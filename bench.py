@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed via a count-style action that forces full
+evaluation without collecting results to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from discogs_xml_to_parquet_spark import registry
+from discogs_xml_to_parquet_spark.session import get_spark
+
+# Headline set: one per major operator family; extended as coverage grows.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_filter_project",
+    "q_sort_limit_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all_queries()
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(name: str) -> None:
+        # noop sink forces every output column to be materialized (count()
+        # would let Catalyst prune the projection)
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # one warm pass: JVM/codegen/noop-datasource class loading and parquet
+    # footer caching, so timed runs measure the query plan, not startup
+    for name in names:
+        force(name)
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        force(name)
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+"""Query modules; importing this package registers every named query."""
+
+from discogs_xml_to_parquet_spark.queries import relational  # noqa: F401

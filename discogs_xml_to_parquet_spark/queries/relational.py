@@ -1,0 +1,130 @@
+"""Core relational queries: scan/filter/project/agg/sort (SURVEY.md §2.B).
+
+The reference implements only scan+project+sink (src/main.rs:436-473);
+filters, aggregates and sorts are 'absent' categories supplied here by
+stock Spark primitives. Each query is written so Catalyst can push the
+filter and the column pruning into the parquet scan, and so the
+aggregation runs as a two-phase HashAggregate (partial map-side combine
+before the shuffle) -- at 100 TB the shuffle carries only
+num_groups x num_partitions rows, not the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions.exact import davg, dsum
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load
+
+FLAGSHIP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=FLAGSHIP_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the flagship end-to-end slice.
+
+    Scan -> pushed filter -> two-phase hash aggregate -> sort. The scan
+    reads only the 8 referenced columns (ReadSchema pruning) and the
+    shipdate predicate reaches the parquet row-group stats
+    (PushedFilters), so at scale the input is bounded by the date range,
+    not the table size.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_filter_project",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_quantity AS BIGINT) AS qty_int,
+  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price_dec,
+  l_returnflag = 'R' AS is_returned
+FROM lineitem
+WHERE l_discount > 0.05 AND l_quantity >= 40 AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+""",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection + casts (reference analog: main.rs:486,846 casts,
+    and the skip-parser projection pushdown at main.rs:758-917).
+
+    All three predicates and the 7-column projection push into the scan;
+    no shuffle at all -- the whole query is one narrow stage.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") > 0.05)
+            & (F.col("l_quantity") >= 40)
+            & (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty_int"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("net_price_dec"),
+            (F.col("l_returnflag") == "R").alias("is_returned"),
+        )
+    )
+
+
+@query(
+    "q_sort_limit_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: sort + limit with a unique-key tiebreak.
+
+    Spark executes this as TakeOrderedAndProject -- each task keeps a
+    25-row heap and the driver merges; no full sort, no shuffle of the
+    table. This is the only scalable global-top-k plan at 100 TB.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )

@@ -1,0 +1,27 @@
+"""Every registered query must match its DuckDB oracle (driver gate t2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from discogs_xml_to_parquet_spark import registry
+
+registry.load_all_queries()
+
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare
+
+ORACLE_NAMES = sorted(registry.ORACLES)
+ROWS_ONLY_NAMES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, name):
+    compare(spark, SF_ORACLE, registry.QUERIES[name], registry.ORACLES[name], name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, name):
+    df = registry.QUERIES[name](spark, SF_ORACLE)
+    assert df.columns, f"{name}: no columns"
+    assert df.count() >= 0
