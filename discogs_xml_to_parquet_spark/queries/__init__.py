@@ -1,3 +1,6 @@
 """Query modules; importing this package registers every named query."""
 
-from discogs_xml_to_parquet_spark.queries import relational  # noqa: F401
+from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
+    conversion,
+    relational,
+)

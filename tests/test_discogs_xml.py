@@ -1,0 +1,158 @@
+"""Conversion round-trip tests for the Discogs XML source (SURVEY.md §5.2-4).
+
+Fixture covers every branch the reference handles (FIXTURES.md §B):
+optional anv/join null paths (main.rs:718-741), missing master_id
+(:557-560), &amp; unescape (:596,619), empty tags (:518-520), skipped
+subtrees (main.rs:758-917), unknown-attr-on-label tolerance (:662);
+negative fixtures mirror the reference's panics (:496-500, :549-554,
+:826-830).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from discogs_xml_to_parquet_spark.sources import discogs_xml as dx
+from discogs_xml_to_parquet_spark.sources.fixture import RELEASES_XML as FIXTURE
+
+EXPECTED = {
+    1: {
+        "status": "Accepted",
+        "title": "First Album",
+        "artists": [
+            ("10", "Alpha & Beta", "A&B", "feat."),
+            ("11", "Gamma", None, None),
+        ],
+        "genres": ["Rock", "R&B"],
+        "styles": ["Indie & Alt"],
+        "labels": [
+            ("100", "CAT-1", "LabelOne"),
+            ("101", "CAT-2", "LabelTwo"),
+        ],
+        "is_main_release": True,
+        "master_id": 555,
+    },
+    2: {
+        "status": "Draft",
+        "title": "Second",
+        "artists": [],
+        "genres": [],
+        "styles": [],
+        "labels": [],
+        "is_main_release": False,
+        "master_id": 556,
+    },
+    3: {
+        "status": "Deleted",
+        "title": "Third",
+        "artists": [],
+        "genres": ["Jazz"],
+        "styles": [],
+        "labels": [],
+        "is_main_release": None,
+        "master_id": None,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def fixture_gz(tmp_path_factory):
+    d = tmp_path_factory.mktemp("discogs")
+    p = d / "releases.xml.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write(FIXTURE)
+    return str(p)
+
+
+def _check_rows(rows):
+    assert len(rows) == 3
+    by_id = {r["id"]: r for r in rows}
+    for rid, exp in EXPECTED.items():
+        r = by_id[rid]
+        assert r["status"] == exp["status"]
+        assert r["title"] == exp["title"]
+        assert [tuple(a) for a in r["artists"]] == exp["artists"], rid
+        assert list(r["genres"]) == exp["genres"]
+        assert list(r["styles"]) == exp["styles"]
+        assert [tuple(l) for l in r["labels"]] == exp["labels"]
+        assert r["is_main_release"] == exp["is_main_release"]
+        assert r["master_id"] == exp["master_id"]
+
+
+def test_native_read(spark, fixture_gz):
+    df = dx.read_releases(spark, fixture_gz)
+    assert [f.name for f in df.schema.fields] == [f.name for f in dx.OUTPUT_SCHEMA.fields]
+    _check_rows([r.asDict() for r in df.collect()])
+
+
+def test_strict_read(spark, fixture_gz):
+    df = dx.read_releases_strict(spark, fixture_gz)
+    _check_rows([r.asDict() for r in df.collect()])
+
+
+def test_roundtrip_parquet(spark, fixture_gz, tmp_path):
+    out = str(tmp_path / "releases.parquet")
+    dx.convert(spark, fixture_gz, out, single_file=True)
+    back = spark.read.parquet(out)
+    # schema parity with SURVEY.md §1.2 (types, not just names)
+    got = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert got == {
+        "id": "bigint",
+        "status": "string",
+        "title": "string",
+        "artists": "array<struct<id:string,name:string,anv:string,join:string>>",
+        "genres": "array<string>",
+        "styles": "array<string>",
+        "labels": "array<struct<id:string,cat_no:string,name:string>>",
+        "is_main_release": "boolean",
+        "master_id": "bigint",
+    }
+    _check_rows([r.asDict() for r in back.collect()])
+    # single-file parity with the reference's one output file (main.rs:223)
+    import glob
+    assert len(glob.glob(out + "/part-*")) == 1
+
+
+def _strict_rows(spark, xml: str):
+    import io
+
+    return list(dx._parse_stream(xml.encode()))
+
+
+def test_strict_rejects_unknown_element(spark):
+    xml = '<releases>\n<release id="9" status="Draft"><bogus>x</bogus></release>\n</releases>'
+    with pytest.raises(ValueError, match="unknown element"):
+        _strict_rows(spark, xml)
+
+
+def test_strict_rejects_unknown_attribute(spark):
+    xml = '<releases>\n<release id="9" status="Draft" foo="bar"><title>t</title></release>\n</releases>'
+    with pytest.raises(ValueError, match="unknown attribute"):
+        _strict_rows(spark, xml)
+
+
+def test_strict_rejects_malformed_bool(spark):
+    xml = ('<releases>\n<release id="9" status="Draft">'
+           '<master_id is_main_release="maybe">1</master_id></release>\n</releases>')
+    with pytest.raises(ValueError, match="malformed is_main_release"):
+        _strict_rows(spark, xml)
+
+
+def test_strict_skips_empty_unknown_tag(spark):
+    xml = ('<releases>\n<release id="9" status="Draft">'
+           '<title>t</title><dummy/></release>\n</releases>')
+    rows = _strict_rows(spark, xml)
+    assert rows[0][0] == 9
+
+
+def test_native_failfast_malformed_bool(spark, tmp_path):
+    p = tmp_path / "bad.xml"
+    p.write_text('<releases>\n<release id="9" status="Draft">'
+                 '<master_id is_main_release="maybe">1</master_id></release>\n</releases>')
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        dx.read_releases(spark, str(p), mode="FAILFAST").collect()
