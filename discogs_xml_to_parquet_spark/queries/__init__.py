@@ -2,5 +2,7 @@
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     conversion,
+    joins,
     relational,
+    scalars,
 )

@@ -9,6 +9,7 @@ the test data they are single parquet files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -24,7 +25,34 @@ BROADCAST_DIMS = {"region", "nation", "supplier"}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
+    nanos via the legacy conf and rebuild a timestamp_ntz:
+
+    - integer `div` (never `/`: double division of an 1.7e18 nanos value
+      rounds in the last microseconds)
+    - epoch + exact DECIMAL microsecond interval, so the result is
+      independent of the session timezone (timestamp_micros() would
+      detour through TimestampType and shift under a non-UTC session)
+
+    Truncation ns->us matches DuckDB's TIMESTAMP_NS->TIMESTAMP cast,
+    keeping oracle comparisons exact.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.expr(
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+        "make_interval(0, 0, 0, 0, 0, 0, CAST(ts DIV 1000 AS DECIMAL(26,6)) / 1000000)"
+    )
+    return raw.select(
+        "event_id", ts.alias("ts"), "user_id", "event_type", "value", "props"
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
