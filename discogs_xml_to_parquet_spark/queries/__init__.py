@@ -1,8 +1,12 @@
 """Query modules; importing this package registers every named query."""
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
+    aggregates,
     conversion,
     joins,
+    nested,
     relational,
     scalars,
+    setops,
+    windows,
 )
