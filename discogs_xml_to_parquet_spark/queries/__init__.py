@@ -3,6 +3,7 @@
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     aggregates,
     conversion,
+    dedup,
     joins,
     nested,
     relational,

@@ -1,0 +1,248 @@
+"""Deduplication queries over the documents/embeddings tables --
+north-star training-data-pipeline operators (BASELINE.json), each
+oracle-checked end to end including the hash math.
+
+Every signature computation is mirrored digit-for-digit in DuckDB SQL
+(md5 hex is engine-independent; list_sum/aggregate are both in-order
+folds), so even the MinHash-LSH bucketing is exact-verified rather than
+rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions import vector as V
+from discogs_xml_to_parquet_spark.operators import dedup as D
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load
+
+# Shared DuckDB CTE: distinct word-3-gram shingles per document.
+_SH_CTE = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+"""
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_id
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-keyed group, min doc_id survives. The shuffle
+    carries 32-byte keys, not documents -- at 100 TB this is a cheap
+    pre-pass that also removes the worst skew source for MinHash-LSH
+    (huge buckets of identical docs)."""
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "doc_id", "text").orderBy("keep_id")
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SH_CTE},
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || '|' || s)))) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) AS band_key
+  FROM sigs, generate_series(0, 3) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+  FROM bands a
+  JOIN bands c ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+),
+verified AS (
+  SELECT id1, id2,
+         len(list_intersect(s1.shingles, s2.shingles))
+           / (len(s1.shingles) + len(s2.shingles)
+              - len(list_intersect(s1.shingles, s2.shingles))) AS jaccard_sim
+  FROM cand
+  JOIN sh s1 ON cand.id1 = s1.doc_id
+  JOIN sh s2 ON cand.id2 = s2.doc_id
+)
+SELECT id1, id2, jaccard_sim FROM verified
+WHERE jaccard_sim >= 0.5
+ORDER BY id1, id2
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, exact-verified.
+
+    Stages (see operators/dedup.py for the scale analysis): per-row
+    signature (no shuffle) -> band explode + self-join (the one wide
+    shuffle, on band_key) -> Jaccard verification join by doc_id.
+    16 hashes, 4 bands x 4 rows: candidate threshold ~ (1/4)^(1/4) ~ 0.7
+    similarity; the 0.5 Jaccard filter keeps verified near-dups."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", D.word_shingles(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    # repartition = an explicit exchange barrier: without it, projection
+    # collapse inlines the whole signature fold into each of the 16
+    # element_at references in band_keys (16x recompute). The shuffled
+    # payload is (doc_id, 16x32B sig) ~ 0.5 KB/doc -- negligible at any
+    # scale, and the bands stage then reads sig as a materialized column.
+    sigs = (
+        sh.select("doc_id", D.minhash_signature(F.col("shingles")).alias("sig"))
+        .repartition("doc_id")
+        .select("doc_id", D.band_keys(F.col("sig")).alias("bands"))
+    )
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", "bands")
+    s1 = sh.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", D.jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= 0.5)
+        .orderBy("id1", "id2")
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t ->
+    (strpos('0123456789abcdef', md5(t)[1]) - 1) * 4096 +
+    (strpos('0123456789abcdef', md5(t)[2]) - 1) * 256 +
+    (strpos('0123456789abcdef', md5(t)[3]) - 1) * 16 +
+    (strpos('0123456789abcdef', md5(t)[4]) - 1)) AS vs
+  FROM documents
+),
+sums AS (
+  SELECT doc_id, list_transform(generate_series(0, 15), j ->
+    list_sum(list_transform(vs, v -> CASE WHEN ((v >> (15 - j)) & 1) = 1 THEN 1 ELSE -1 END))) AS s
+  FROM tk
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0, 15), j ->
+         CASE WHEN s[j+1] > 0 THEN (CAST(1 AS BIGINT) << (15 - j)) ELSE 0 END)) AS BIGINT) AS simhash
+FROM sums
+ORDER BY doc_id
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (near-dups differ in few
+    bits). Pure per-row nested-fold math -- zero shuffles; the grouping/
+    banding on the fingerprint reuses the LSH machinery above."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", D.simhash16(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SH_CTE},
+bounded AS (SELECT * FROM sh WHERE doc_id < 250),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM bounded),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id1, id2,
+         len(list_intersect(s1.shingles, s2.shingles))
+           / (len(s1.shingles) + len(s2.shingles)
+              - len(list_intersect(s1.shingles, s2.shingles))) AS jaccard_sim
+  FROM cand
+  JOIN bounded s1 ON cand.id1 = s1.doc_id
+  JOIN bounded s2 ON cand.id2 = s2.doc_id
+)
+SELECT id1, id2, jaccard_sim FROM verified
+WHERE jaccard_sim >= 0.6
+ORDER BY id1, id2
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram-Jaccard near-dup: candidates = any shared shingle.
+
+    Deliberately the non-LSH baseline: candidate count grows with
+    shingle document frequency (a shingle in d docs contributes
+    O(d^2) pairs), which is exactly the blow-up MinHash-LSH avoids --
+    at scale you'd first drop shingles with document frequency above a
+    cap. Bounded to doc_id < 250 to keep the pair space honest."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sh = d.select(
+        "doc_id", D.word_shingles(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", D.jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= 0.6)
+        .orderBy("id1", "id2")
+    )
+
+
+@query(
+    "q_dedup_embedding_cosine",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+           / (a.nrm * b.nrm) AS cos_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos_sim FROM pairs
+WHERE cos_sim >= 0.95
+ORDER BY id1, id2
+""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup). Brute-force
+    O(n^2) self-join is the correctness baseline; the scale path --
+    hyperplane-LSH bucketing so only same-bucket pairs are compared --
+    is q_ann_lsh_buckets in queries/similarity.py. Cosine values are
+    bit-identical across engines (in-order folds + IEEE sqrt/div), so
+    the pair set is exact."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", F.sqrt(V.norm2(F.col("v"))))
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            (V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+        .orderBy("id1", "id2")
+    )
