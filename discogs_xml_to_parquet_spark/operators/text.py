@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All per-row JVM expressions (split/filter/aggregate over token arrays)
+except language ID, which is the canonical explode-join-argmax shape:
+tokens join a broadcast stopword dimension, count overlap per (doc,
+lang), argmax by overlap. At 100 TB the stopword table is a few KB --
+the join never shuffles the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists -- the n-gram-heuristic stand-in.
+# A production languid model is a broadcast table of (lang, ngram,
+# weight); the dataflow below is identical.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "a", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "fr": ["le", "la", "de", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+def toks(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append token/char statistics columns; all exact arithmetic."""
+    t = toks(F.col(text_col))
+    n_tokens = F.size(t)
+    sum_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.array_intersect(t, stop_arr))
+    n_unique = F.size(F.array_distinct(t))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_unique_tokens", n_unique)
+        .withColumn("avg_token_len", sum_len / n_tokens)
+        .withColumn("unique_ratio", n_unique / n_tokens)
+        .withColumn("stopword_hits", n_stop)
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0, 1] from token_stats columns:
+    rewards lexical diversity and penalizes very short docs. Exact
+    arithmetic over integer-derived values -> cross-engine stable."""
+    len_component = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    return df.withColumn(
+        "quality_score",
+        (F.col("unique_ratio") + len_component) / 2,
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: (doc, lang, hits) via exploded
+    tokens joining the broadcast stopword dim; argmax hits with
+    lexicographic tie-break; docs with zero overlap -> 'und'."""
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, words in STOPWORDS.items() for w in words],
+        "lang string, word string",
+    )
+    hits = (
+        df.select(F.col(id_col), F.explode(toks(F.col(text_col))).alias("word"))
+        .join(F.broadcast(sw), "word")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), "hits")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content md5 (after lower+trim
+    normalization) plus min/max over word-3-gram md5s (a 2-hash
+    winnowing sketch: robust to local edits, cheap to compare)."""
+    from discogs_xml_to_parquet_spark.operators.dedup import word_shingles
+
+    norm = F.md5(F.trim(F.lower(F.col(text_col))))
+    sh = word_shingles(F.col(text_col))
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    return df.select(
+        F.col(id_col),
+        norm.alias("content_md5"),
+        F.array_min(hashed).alias("min_shingle_md5"),
+        F.array_max(hashed).alias("max_shingle_md5"),
+    )

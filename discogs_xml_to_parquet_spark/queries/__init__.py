@@ -9,5 +9,9 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     relational,
     scalars,
     setops,
+    similarity,
+    streaming_queries,
+    temporal,
+    text_analysis,
     windows,
 )

@@ -1,0 +1,138 @@
+"""Similarity-search queries over the embeddings table, oracle-checked
+exactly (cosine/L2 math is bit-identical across engines -- see
+functions/vector.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions import vector as V
+from discogs_xml_to_parquet_spark.operators import similarity as S
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        V.as_double(F.col("embedding")).alias("v"),
+    )
+
+
+@query(
+    "q_ann_bruteforce_topk",
+    oracle="""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.id AS q_id, c.id AS n_id,
+         list_sum(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2]))
+           / (q.nrm * c.nrm) AS cos_sim
+  FROM e q JOIN e c ON q.id < 5 AND q.id <> c.id
+),
+ranked AS (
+  SELECT q_id, n_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 5 query vectors: broadcast the
+    query set across the corpus scan, per-query heap for the top-k.
+    The exact baseline that the LSH/IVF variants approximate."""
+    e = _corpus(spark, sf_dir)
+    return S.brute_force_topk(e.filter(F.col("id") < 5), e, k=5).orderBy("q_id", "rank")
+
+
+def _planes_sql() -> str:
+    rows = ",\n  ".join(
+        f"({p}, {plane})"
+        for p, plane in enumerate(S.hyperplanes())
+    )
+    return f"(VALUES\n  {rows}\n) AS planes(p, plane)"
+
+
+@query(
+    "q_ann_lsh_buckets",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bits AS (
+  SELECT vec_id, p,
+         CASE WHEN list_sum(list_transform(list_zip(v, plane), s -> s[1] * s[2])) >= 0
+              THEN (1 << p) ELSE 0 END AS bit
+  FROM e, {_planes_sql()}
+)
+SELECT vec_id, CAST(SUM(bit) AS INT) AS bucket
+FROM bits
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the scale path for
+    cosine search): 8 sign bits -> 256 buckets, computed per-row against
+    literal plane arrays -- zero joins, zero shuffles. Writing the
+    corpus partitioned by this column turns ANN search into a
+    partition-pruned read of ~1/256 of the data per probe."""
+    e = _corpus(spark, sf_dir)
+    return (
+        S.with_lsh_bucket(e, "v", "bucket")
+        .select(F.col("id").alias("vec_id"), F.col("bucket").cast("int").alias("bucket"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_ann_ivf_assign",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
+dists AS (
+  SELECT e.vec_id, cent.c_id,
+         list_sum(list_transform(list_zip(e.v, cent.c_v), s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist2
+  FROM e, cent
+),
+ranked AS (
+  SELECT vec_id, c_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rk
+  FROM dists
+)
+SELECT vec_id, c_id AS centroid_id, dist2 FROM ranked WHERE rk = 1
+ORDER BY vec_id
+""",
+)
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization: nearest-of-K-centroids assignment
+    (K=8 deterministic seed centroids, broadcast). The inverted-file
+    layout -- corpus partitioned by centroid_id, query probes nprobe
+    partitions -- is the standard ANN scale-out; this query is the
+    assignment kernel."""
+    e = _corpus(spark, sf_dir)
+    cent = e.filter(F.col("id") < 8).select(
+        F.col("id").alias("c_id"), F.col("v").alias("c_v")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_id")
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select(F.col("id").alias("vec_id"), "c_id", dist2.alias("dist2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_id").alias("centroid_id"), "dist2")
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,90 @@
+"""Structured Streaming over the events stream (SURVEY.md §2.B
+'Streaming' -- an extension; the reference is pure batch,
+main.rs:436-473).
+
+The transformations are written once and applied to both batch and
+streaming frames (Structured Streaming's core contract): `tumbling_agg`
+and `session_agg` below are used by the oracle-checked batch queries in
+queries/streaming_queries.py AND by the readStream pipeline in
+`stream_events` / tests.
+
+Scale notes:
+- watermark bounds state: with a 10-minute watermark, window state
+  older than (max event time - 10 min) is evicted every microbatch;
+  without it, windowed state grows forever
+- the aggregation state store is keyed by (window, event_type) --
+  bounded cardinality here; for high-cardinality keys size
+  spark.sql.shuffle.partitions to spread state
+- output mode 'append' emits each window once, when the watermark
+  passes it -- the right mode for a downstream parquet sink
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions.exact import DEC
+
+
+def tumbling_agg(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Works identically on
+    batch and streaming inputs (window() is epoch-aligned, matching
+    DuckDB's time_bucket)."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events are < gap apart. In streaming this is state-store-backed
+    session_window; in batch the same expression runs as a sort-based
+    aggregation."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_events(spark: SparkSession, source_dir: str,
+                  watermark: str = "10 minutes",
+                  width: str = "5 minutes") -> DataFrame:
+    """readStream -> watermark -> tumbling agg: the streaming pipeline.
+    `source_dir` must contain parquet files with the events schema
+    (ts already a timestamp -- see tables._load_events for the nanos
+    caveat on the raw testdata)."""
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # watermarks require TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # on NTZ); the cast interprets wall time in the session zone -- the
+    # session pins UTC (session.py) so batch (NTZ) and stream agree
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    return tumbling_agg(stream, width)
