@@ -6,8 +6,11 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     dedup,
     joins,
     nested,
+    python_udfs,
     relational,
+    reshaping,
     scalars,
+    semistructured,
     setops,
     similarity,
     streaming_queries,
