@@ -20,11 +20,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from discogs_xml_to_parquet_spark import registry
 from discogs_xml_to_parquet_spark.session import get_spark
 
-# Headline set: one per major operator family; extended as coverage grows.
+# Headline set: one per major operator family.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_join_star_revenue",
     "q_filter_project",
     "q_sort_limit_topk",
+    "q_window_topk_per_group",
+    "q_agg_rollup",
+    "q_explode_wordcount",
+    "q_json_funcs",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_ann_bruteforce_topk",
+    "q_asof_join",
+    "q_stream_tumbling",
+    "q_text_stats",
 ]
 
 

@@ -29,6 +29,26 @@ sh AS (
 )
 """
 
+# DuckDB mirror of operators.dedup.shingle_hash32: Horner over the first
+# 8 hex digits of md5(s).
+_H32 = "0"
+for _i in range(1, 9):
+    _H32 = f"({_H32} * 16 + strpos('0123456789abcdef', md5(s)[{_i}]) - 1)"
+
+# DuckDB mirror of minhash_signature: one list element per (a, b) pair.
+_SIG_ELEMS = ",\n    ".join(
+    f"list_min(list_transform(vs, v -> ({a} * v + {b}) % {D.MERSENNE31}))"
+    for a, b in D.HASH_AB
+)
+
+# DuckDB mirror of band_keys (4 bands x 4 rows).
+_BAND_ELEMS = ",\n    ".join(
+    "md5(" + " || '|' || ".join(
+        f"CAST(sig[{b * 4 + r + 1}] AS VARCHAR)" for r in range(4)
+    ) + ")"
+    for b in range(4)
+)
+
 
 @query(
     "q_dedup_exact",
@@ -54,16 +74,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash_lsh",
     oracle=f"""
 WITH {_SH_CTE},
-sigs AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 15),
-           h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || '|' || s)))) AS sig
+hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {_H32}) AS vs, shingles
   FROM sh WHERE len(shingles) > 0
 ),
+sigs AS (
+  SELECT doc_id, [
+    {_SIG_ELEMS}
+  ] AS sig
+  FROM hashed
+),
+band_arr AS (
+  SELECT doc_id, [
+    {_BAND_ELEMS}
+  ] AS bkeys
+  FROM sigs
+),
 bands AS (
-  SELECT doc_id, b,
-         md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) AS band_key
-  FROM sigs, generate_series(0, 3) AS g(b)
+  SELECT doc_id, b, bkeys[b + 1] AS band_key
+  FROM band_arr, generate_series(0, 3) AS g(b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
