@@ -14,6 +14,7 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     setops,
     similarity,
     streaming_queries,
+    subqueries,
     temporal,
     text_analysis,
     windows,
