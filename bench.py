@@ -69,12 +69,37 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 
+    # the reference's core job: gz-XML -> Snappy Parquet throughput over
+    # a deterministic synthetic corpus (rows scaled by SF; 8 files ->
+    # 8 scan tasks, mirroring the reference's 1-thread-per-file x 8)
+    import tempfile
+
+    from discogs_xml_to_parquet_spark.sources.discogs_xml import convert
+    from discogs_xml_to_parquet_spark.sources.fixture import (
+        write_synthetic_releases,
+    )
+
+    n_rel = max(int(200_000 * float(sf)), 2_000)
+    xml_dir = write_synthetic_releases(
+        f"{tempfile.gettempdir()}/discogs_bench_{n_rel}", n_rel, n_files=8
+    )
+    out = f"{tempfile.gettempdir()}/discogs_bench_out"
+    convert(spark, xml_dir, out)  # warm (XML source class load, codegen)
+    t0 = time.perf_counter()
+    convert(spark, xml_dir, out)
+    conv_sec = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "headline_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "conversion": {
+            "rows": n_rel,
+            "sec": conv_sec,
+            "rows_per_sec": round(n_rel / conv_sec),
+        },
     }))
     spark.stop()
 

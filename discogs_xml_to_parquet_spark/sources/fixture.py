@@ -46,3 +46,66 @@ def write_fixture_gz(path: str) -> str:
             f.write(RELEASES_XML)
         os.replace(tmp, path)
     return path
+
+
+_GENRES = ["Rock", "Jazz", "Electronic", "Folk, World, &amp; Country", "Hip Hop"]
+_STYLES = ["Indie", "Ambient", "House", "Punk", "R&amp;B"]
+_STATUSES = ["Accepted", "Draft", "Deleted"]
+
+
+def _release_xml(i: int) -> str:
+    status = _STATUSES[i % 3]
+    parts = [f'<release id="{i}" status="{status}">\n']
+    parts.append(f"<title>Release {i} &amp; Friends</title>\n")
+    parts.append("<artists>")
+    for a in range(1 + i % 3):
+        anv = f"<anv>AKA {i}-{a}</anv>" if a % 2 == 0 else "<anv></anv>"
+        parts.append(
+            f"<artist><id>{i * 10 + a}</id><name>Artist {i}-{a}</name>"
+            f"{anv}<join>,</join><role></role><tracks></tracks></artist>"
+        )
+    parts.append("</artists>\n")
+    parts.append(
+        f"<genres><genre>{_GENRES[i % len(_GENRES)]}</genre></genres>\n"
+        f"<styles><style>{_STYLES[i % len(_STYLES)]}</style></styles>\n"
+    )
+    parts.append(
+        "<labels>"
+        + "".join(
+            f'<label id="{i * 100 + l}" catno="CAT-{i}-{l}" name="Label {l}"/>'
+            for l in range(1 + i % 2)
+        )
+        + "</labels>\n"
+    )
+    if i % 4 != 0:  # absent master_id every 4th release
+        flag = "true" if i % 2 == 0 else "false"
+        parts.append(f'<master_id is_main_release="{flag}">{i + 7}</master_id>\n')
+    parts.append(f"<country>Country {i % 20}</country>\n")
+    parts.append(f"<notes>notes for release {i}</notes>\n")
+    parts.append("</release>\n")
+    return "".join(parts)
+
+
+def write_synthetic_releases(dir_path: str, n_releases: int,
+                             n_files: int = 4) -> str:
+    """Deterministic n_releases-row Discogs-shaped corpus split over
+    n_files .xml.gz files (idempotent). Exercises every parse branch at
+    volume; one scan task per file, like the reference x N processes."""
+    os.makedirs(dir_path, exist_ok=True)
+    marker = os.path.join(dir_path, f".done-{n_releases}-{n_files}")
+    if os.path.exists(marker):
+        return dir_path
+    per = n_releases // n_files
+    rid = 1
+    for f_no in range(n_files):
+        count = per if f_no < n_files - 1 else n_releases - per * (n_files - 1)
+        fp = os.path.join(dir_path, f"releases-{f_no}.xml.gz")
+        with gzip.open(fp + ".tmp", "wt", encoding="utf-8") as f:
+            f.write("<releases>\n")
+            for _ in range(count):
+                f.write(_release_xml(rid))
+                rid += 1
+            f.write("</releases>\n")
+        os.replace(fp + ".tmp", fp)
+    open(marker, "w").close()
+    return dir_path

@@ -147,6 +147,43 @@ def test_strict_skips_empty_unknown_tag(spark):
     assert rows[0][0] == 9
 
 
+def test_multi_file_parallel_scan(spark, tmp_path):
+    """A directory of N .xml.gz files must scan as N tasks (gzip is
+    unsplittable; parallelism comes from file count -- SURVEY §4.3)."""
+    from pyspark.sql import functions as F
+
+    from discogs_xml_to_parquet_spark.sources.fixture import (
+        write_synthetic_releases,
+    )
+
+    d = str(tmp_path / "multi")
+    write_synthetic_releases(d, n_releases=200, n_files=4)
+    df = dx.read_releases(spark, d)
+    assert df.count() == 200
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 4
+    # every 4th release has no master_id -> both columns null
+    nulls = df.filter(F.col("master_id").isNull()).count()
+    assert nulls == 50
+
+
+def test_strict_matches_native_at_volume(spark, tmp_path):
+    """Native JVM path and strict Python path must agree row-for-row on
+    the synthetic corpus (cross-validation of the two parsers)."""
+    from discogs_xml_to_parquet_spark.sources.fixture import (
+        write_synthetic_releases,
+    )
+
+    d = str(tmp_path / "vol")
+    write_synthetic_releases(d, n_releases=300, n_files=2)
+    native = {tuple(map(str, r)) for r in dx.read_releases(spark, d).collect()}
+    strict = {
+        tuple(map(str, r))
+        for r in dx.read_releases_strict(spark, d + "/*.xml.gz").collect()
+    }
+    assert native == strict
+
+
 def test_native_failfast_malformed_bool(spark, tmp_path):
     p = tmp_path / "bad.xml"
     p.write_text('<releases>\n<release id="9" status="Draft">'
