@@ -122,13 +122,15 @@ XML_READ_SCHEMA = T.StructType([
 ])
 
 
-def _to_output(df: DataFrame) -> DataFrame:
-    """Native-read frame -> OUTPUT_SCHEMA. Empty string fields from empty
-    elements (<anv></anv>) become null, matching main.rs:721-728."""
+def _to_output(df: DataFrame, *extra: "F.Column") -> DataFrame:
+    """Native-read frame -> OUTPUT_SCHEMA (+ passthrough columns).
+    Empty string fields from empty elements (<anv></anv>) become null,
+    matching main.rs:721-728."""
     empty_artists = F.array().cast(T.ArrayType(ARTIST_STRUCT))
     empty_labels = F.array().cast(T.ArrayType(LABEL_STRUCT))
     empty_str = F.array().cast("array<string>")
     return df.select(
+        *extra,
         F.col("_id").alias("id"),
         F.col("_status").alias("status"),
         F.col("title"),
@@ -173,6 +175,27 @@ def read_releases(spark: SparkSession, path: str,
         .load(path)
     )
     return _to_output(raw)
+
+
+def read_releases_permissive(spark: SparkSession, path: str) -> DataFrame:
+    """The softer lane the reference lacks (SURVEY §1.3): malformed
+    releases land as null rows with the raw XML captured in
+    `_corrupt_record` instead of failing the job -- at 100 TB one bad
+    release must not kill a multi-hour ingest. Returns the output
+    columns plus `corrupt_record` (null for good rows); callers split
+    good/bad with a filter and route bad rows to a quarantine sink."""
+    schema = T.StructType(
+        XML_READ_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "release")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .load(path)
+    )
+    return _to_output(raw, F.col("_corrupt_record").alias("corrupt_record"))
 
 
 # --- strict fallback parser -------------------------------------------

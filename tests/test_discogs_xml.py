@@ -184,6 +184,26 @@ def test_strict_matches_native_at_volume(spark, tmp_path):
     assert native == strict
 
 
+def test_permissive_quarantines_bad_rows(spark, tmp_path):
+    """PERMISSIVE lane: malformed releases become corrupt-record rows;
+    good rows still parse -- one bad row must not kill the ingest."""
+    p = tmp_path / "mixed.xml"
+    p.write_text(
+        '<releases>\n'
+        '<release id="1" status="Accepted"><title>Good</title></release>\n'
+        '<release id="2" status="Draft">'
+        '<master_id is_main_release="maybe">1</master_id></release>\n'
+        '</releases>'
+    )
+    df = dx.read_releases_permissive(spark, str(p))
+    rows = {r["id"]: r for r in df.collect()}
+    good = rows[1]
+    assert good["title"] == "Good" and good["corrupt_record"] is None
+    bad = [r for r in df.collect() if r["corrupt_record"] is not None]
+    assert len(bad) == 1
+    assert "maybe" in bad[0]["corrupt_record"]
+
+
 def test_native_failfast_malformed_bool(spark, tmp_path):
     p = tmp_path / "bad.xml"
     p.write_text('<releases>\n<release id="9" status="Draft">'
