@@ -24,6 +24,8 @@ from discogs_xml_to_parquet_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume",
     "q_join_star_revenue",
     "q_filter_project",
     "q_sort_limit_topk",

@@ -17,5 +17,6 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     subqueries,
     temporal,
     text_analysis,
+    tpch_extra,
     windows,
 )
