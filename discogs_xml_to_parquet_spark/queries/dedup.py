@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.functions import vector as V
 from discogs_xml_to_parquet_spark.operators import dedup as D
+from discogs_xml_to_parquet_spark.operators import graph as G
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -70,9 +71,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(d, "doc_id", "text").orderBy("keep_id")
 
 
-@query(
-    "q_dedup_minhash_lsh",
-    oracle=f"""
+# Full CTE chain shingles -> signatures -> bands -> verified pairs,
+# shared by the LSH query and the components query built on its output.
+_MINHASH_VERIFIED_CTES = f"""
 WITH {_SH_CTE},
 hashed AS (
   SELECT doc_id, list_transform(shingles, s -> {_H32}) AS vs, shingles
@@ -107,20 +108,15 @@ verified AS (
   FROM cand
   JOIN sh s1 ON cand.id1 = s1.doc_id
   JOIN sh s2 ON cand.id2 = s2.doc_id
-)
-SELECT id1, id2, jaccard_sim FROM verified
-WHERE jaccard_sim >= 0.5
-ORDER BY id1, id2
-""",
-)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup detection, exact-verified.
+),
+near_dups AS (
+  SELECT id1, id2, jaccard_sim FROM verified WHERE jaccard_sim >= 0.5
+)"""
 
-    Stages (see operators/dedup.py for the scale analysis): per-row
-    signature (no shuffle) -> band explode + self-join (the one wide
-    shuffle, on band_key) -> Jaccard verification join by doc_id.
-    16 hashes, 4 bands x 4 rows: candidate threshold ~ (1/4)^(1/4) ~ 0.7
-    similarity; the 0.5 Jaccard filter keeps verified near-dups."""
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (id1 < id2, jaccard >= 0.5); the shared
+    Spark pipeline behind q_dedup_minhash_lsh and q_dedup_components."""
     d = load(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", D.word_shingles(F.col("text")).alias("shingles")
@@ -143,7 +139,66 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "id2")
         .select("id1", "id2", D.jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= 0.5)
-        .orderBy("id1", "id2")
+    )
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=_MINHASH_VERIFIED_CTES + """
+SELECT id1, id2, jaccard_sim FROM near_dups
+ORDER BY id1, id2
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, exact-verified.
+
+    Stages (see operators/dedup.py for the scale analysis): per-row
+    signature (no shuffle) -> band explode + self-join (the one wide
+    shuffle, on band_key) -> Jaccard verification join by doc_id.
+    16 hashes, 4 bands x 4 rows: candidate threshold ~ (1/4)^(1/4) ~ 0.7
+    similarity; the 0.5 Jaccard filter keeps verified near-dups."""
+    return minhash_near_dup_pairs(spark, sf_dir).orderBy("id1", "id2")
+
+
+@query(
+    "q_dedup_components",
+    oracle=_MINHASH_VERIFIED_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM near_dups
+  UNION
+  SELECT id2, id1 FROM near_dups
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup groups: connected components by iterative
+    min-label propagation (operators/graph.py), every document labeled
+    with its component's minimum doc_id (singletons label themselves).
+    This is the step that turns pairwise similarity into 'keep one per
+    group'. Oracle: DuckDB recursive-CTE transitive closure."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    comp = G.connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+        )
+        .orderBy("doc_id")
     )
 
 
