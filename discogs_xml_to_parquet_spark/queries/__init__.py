@@ -5,6 +5,7 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     conversion,
     dedup,
     joins,
+    matching,
     nested,
     python_udfs,
     relational,

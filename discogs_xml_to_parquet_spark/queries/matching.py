@@ -1,0 +1,106 @@
+"""Fuzzy matching + behavioral funnels: the remaining analytic shapes
+a curation/analytics user reaches for."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load
+
+
+@query(
+    "q_fuzzy_levenshtein",
+    oracle="""
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       a.c_name AS name1, b.c_name AS name2,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_custkey < 150 AND b.c_custkey < 150
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id1, id2
+""",
+)
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match by edit distance (entity-resolution kernel).
+    Brute pairs on a bounded slice for the oracle; the scale path is
+    blocking (join on a cheap key -- first char, length band, or a
+    phonetic code) before the quadratic distance step, exactly like
+    LSH prunes the minhash pair space."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+            F.col("a.c_name").alias("name1"),
+            F.col("b.c_name").alias("name2"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("id1", "id2")
+    )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+converted AS (
+  SELECT DISTINCT f.user_id
+  FROM first_signup f
+  JOIN events e
+    ON e.user_id = f.user_id
+   AND e.event_type = 'purchase'
+   AND CAST(e.ts AS TIMESTAMP) >= f.signup_ts
+   AND CAST(e.ts AS TIMESTAMP) < f.signup_ts + INTERVAL 7 DAY
+)
+SELECT
+  (SELECT COUNT(*) FROM first_signup) AS n_signed_up,
+  (SELECT COUNT(*) FROM converted) AS n_converted,
+  (SELECT COUNT(*) FROM converted) * 1.0
+    / (SELECT COUNT(*) FROM first_signup) AS conversion_rate
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase-within-7-days funnel: first-touch per user,
+    semi join for the conversion event, single-row rates. The two-step
+    shape (per-user reduce, then bounded-range existence join) is the
+    scalable funnel idiom -- no per-user sequence materialization."""
+    e = load(spark, sf_dir, "events")
+    first_signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_signup.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+    )
+    # single declarative plan (no driver-side counts): two 1-row
+    # aggregates cross-joined
+    return (
+        first_signup.agg(F.count(F.lit(1)).alias("n_signed_up"))
+        .crossJoin(converted.agg(F.count(F.lit(1)).alias("n_converted")))
+        .select(
+            "n_signed_up",
+            "n_converted",
+            (F.col("n_converted") * 1.0 / F.col("n_signed_up")).alias("conversion_rate"),
+        )
+    )
