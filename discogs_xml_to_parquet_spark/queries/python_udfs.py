@@ -90,6 +90,42 @@ def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_python_udtf",
+    oracle="""
+SELECT doc_id, word, length(word) AS word_len
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 20
+)
+WHERE length(word) > 4
+ORDER BY doc_id, word, word_len
+""",
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row -> many output rows
+    via LATERAL, the row-expanding extension point (parsers, chunkers,
+    tokenizers that need Python). Registered lazily per session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, word_len int")
+    class SplitLongWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                if len(w) > 4:
+                    yield w, len(w)
+
+    spark.udtf.register("split_long_words", SplitLongWords)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("docs_udtf_v")
+    return spark.sql("""
+        SELECT doc_id, s.word, s.word_len
+        FROM docs_udtf_v, LATERAL split_long_words(text) s
+        ORDER BY doc_id, word, word_len
+    """)
+
+
+@query(
     "q_apply_in_pandas",
     oracle="""
 SELECT c_mktsegment, c_custkey,

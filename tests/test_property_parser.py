@@ -1,0 +1,65 @@
+"""Property-based conformance for the strict Discogs parser (SURVEY
+§5.3): randomized releases with shuffled child order -- the reference is
+explicitly order-insensitive (main.rs:526) -- must parse totally with
+aligned columns. Pure-Python (_parse_stream), so hypothesis can run
+hundreds of examples without a Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from discogs_xml_to_parquet_spark.sources.discogs_xml import _parse_stream
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters='<>&"',
+        exclude_categories=("Cs", "Cc"),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@st.composite
+def release(draw):
+    rid = draw(st.integers(min_value=1, max_value=2**32 - 1))
+    status = draw(st.sampled_from(["Accepted", "Draft", "Deleted"]))
+    children = [f"<title>{draw(_text)}</title>"]
+    if draw(st.booleans()):
+        genres = draw(st.lists(_text, max_size=3))
+        children.append(
+            "<genres>" + "".join(f"<genre>{g}</genre>" for g in genres) + "</genres>"
+        )
+    if draw(st.booleans()):
+        artists = []
+        for _ in range(draw(st.integers(0, 3))):
+            anv = draw(st.sampled_from(["<anv></anv>", "<anv>x</anv>", ""]))
+            artists.append(
+                f"<artist><id>{draw(st.integers(1, 999))}</id>"
+                f"<name>{draw(_text)}</name>{anv}<join>,</join></artist>"
+            )
+        children.append("<artists>" + "".join(artists) + "</artists>")
+    if draw(st.booleans()):
+        flag = draw(st.sampled_from(["true", "false"]))
+        children.append(
+            f'<master_id is_main_release="{flag}">{draw(st.integers(1, 99))}</master_id>'
+        )
+    if draw(st.booleans()):
+        children.append(f"<notes>{draw(_text)}</notes>")  # skipped subtree
+    # order-insensitivity is the property under test (main.rs:526)
+    order = draw(st.permutations(children))
+    return rid, status, f'<release id="{rid}" status="{status}">' + "".join(order) + "</release>"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(release(), min_size=1, max_size=5))
+def test_random_releases_parse_totally(releases):
+    xml = "<releases>\n" + "\n".join(r[2] for r in releases) + "\n</releases>"
+    rows = list(_parse_stream(xml.encode()))
+    assert len(rows) == len(releases)
+    for (rid, status, _), row in zip(releases, rows):
+        assert row[0] == rid
+        assert row[1] == status
+        assert len(row) == 9  # column alignment: every field present
