@@ -65,7 +65,9 @@ def brute_force_topk(queries_df: DataFrame, corpus_df: DataFrame,
         F.col("id").alias("q_id"), F.col("v").alias("q_v"),
         F.sqrt(V.norm2(F.col("v"))).alias("q_nrm"),
     )
-    c = corpus_df.select(
+    # spread the probe side: a single-file corpus is one partition, and
+    # a broadcast join over it would otherwise score on one core
+    c = corpus_df.repartition(64).select(
         F.col("id").alias("n_id"), F.col("v").alias("n_v"),
         F.sqrt(V.norm2(F.col("v"))).alias("n_nrm"),
     )

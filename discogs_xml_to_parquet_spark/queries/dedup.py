@@ -294,7 +294,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH n AS (
   SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < 2000)
 ),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -313,13 +314,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH bucketing so only same-bucket pairs are compared --
     is q_ann_lsh_buckets in queries/similarity.py. Cosine values are
     bit-identical across engines (in-order folds + IEEE sqrt/div), so
-    the pair set is exact."""
-    e = load(spark, sf_dir, "embeddings")
+    the pair set is exact. Bounded to vec_id < 2000 to keep the
+    deliberately-quadratic pair space honest at larger SFs (the same
+    bound the oracle carries)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     n = e.select(
         "vec_id",
         V.as_double(F.col("embedding")).alias("v"),
     ).withColumn("nrm", F.sqrt(V.norm2(F.col("v"))))
-    a, b = n.alias("a"), n.alias("b")
+    # the corpus arrives as ONE parquet file = one partition; without a
+    # repartition the broadcast NLJ evaluates every pair on a single
+    # core (74s -> ~3s at sf0.1 on 32 cores)
+    a, b = n.repartition(64).alias("a"), n.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

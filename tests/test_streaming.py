@@ -40,6 +40,46 @@ def test_stream_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup state bounded by the
+    watermark (the streaming face of exact dedup -- state for keys
+    older than the watermark is evicted instead of growing forever)."""
+    import datetime as dt
+
+    src = str(tmp_path / "dd_src")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=30), 1, "click", 1.0, "{}"),  # dup id
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dd_test").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
 def test_stream_watermark_drops_late(spark, tmp_path):
     """Append mode + watermark: feed a first batch, advance event time
     far beyond the watermark with a second batch, then append an event
