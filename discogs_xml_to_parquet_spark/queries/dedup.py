@@ -17,7 +17,7 @@ from discogs_xml_to_parquet_spark.functions import vector as V
 from discogs_xml_to_parquet_spark.operators import dedup as D
 from discogs_xml_to_parquet_spark.operators import graph as G
 from discogs_xml_to_parquet_spark.registry import query
-from discogs_xml_to_parquet_spark.tables import load
+from discogs_xml_to_parquet_spark.tables import load, load_spread
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per document.
 _SH_CTE = """
@@ -116,8 +116,10 @@ near_dups AS (
 
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (id1 < id2, jaccard >= 0.5); the shared
-    Spark pipeline behind q_dedup_minhash_lsh and q_dedup_components."""
-    d = load(spark, sf_dir, "documents")
+    Spark pipeline behind q_dedup_minhash_lsh and q_dedup_components.
+    load_spread: the shingle+signature folds are compute-bound and the
+    source is one file -- without spreading they run on one core."""
+    d = load_spread(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", D.word_shingles(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -227,9 +229,10 @@ ORDER BY doc_id
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (near-dups differ in few
-    bits). Pure per-row nested-fold math -- zero shuffles; the grouping/
-    banding on the fingerprint reuses the LSH machinery above."""
-    d = load(spark, sf_dir, "documents")
+    bits). Pure per-row nested-fold math; spread across cores (the
+    single-file source would otherwise serialize the folds); the
+    grouping/banding on the fingerprint reuses the LSH machinery."""
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id", D.simhash16(F.col("text")).alias("simhash")
     ).orderBy("doc_id")

@@ -13,7 +13,7 @@ from discogs_xml_to_parquet_spark.operators.multimodal import (
     extract_features,
 )
 from discogs_xml_to_parquet_spark.registry import query
-from discogs_xml_to_parquet_spark.tables import load
+from discogs_xml_to_parquet_spark.tables import load, load_spread
 
 
 @query(
@@ -86,6 +86,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deterministic byte-level stand-ins (real decoders aren't in this
     container -- operators/multimodal.py), which makes even the pandas
     stage oracle-checkable: the oracle recomputes them relationally.
-    ASCII text means n_bytes == n_chars on the DuckDB side."""
-    d = load(spark, sf_dir, "documents")
+    ASCII text means n_bytes == n_chars on the DuckDB side. Spread so
+    the Arrow/pandas stage gets parallel batches from the single-file
+    source."""
+    d = load_spread(spark, sf_dir, "documents")
     return extract_features(attach_payload(d)).orderBy("doc_id")

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.operators import text as TX
 from discogs_xml_to_parquet_spark.registry import query
-from discogs_xml_to_parquet_spark.tables import load
+from discogs_xml_to_parquet_spark.tables import load, load_spread
 
 _STOP_SQL = "['" + "','".join(TX.ENGLISH_STOPWORDS) + "']"
 
@@ -159,6 +159,7 @@ ORDER BY doc_id
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: normalized full-text md5 + min/max shingle
-    hashes (a 2-hash winnowing sketch robust to local edits)."""
-    d = load(spark, sf_dir, "documents")
+    hashes (a 2-hash winnowing sketch robust to local edits). Spread:
+    per-row md5-fold compute over a single-file source."""
+    d = load_spread(spark, sf_dir, "documents")
     return TX.fingerprint(d).orderBy("doc_id")

@@ -57,3 +57,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str,
+                parts: int = 64) -> DataFrame:
+    """load() + repartition: for compute-bound per-row pipelines over
+    under-partitioned sources. Each test table is ONE parquet file =
+    one partition, so signature folds / pandas stages would otherwise
+    run on a single core until the first shuffle. The same applies in
+    production to any single-big-gzip or few-file input: spread before
+    heavy per-row compute, skip it for scan-shaped aggregations (the
+    extra exchange would cost more than it buys)."""
+    return load(spark, sf_dir, name).repartition(parts)
