@@ -238,6 +238,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SIMHASH_CTES = """
+WITH tk AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t ->
+    (strpos('0123456789abcdef', md5(t)[1]) - 1) * 4096 +
+    (strpos('0123456789abcdef', md5(t)[2]) - 1) * 256 +
+    (strpos('0123456789abcdef', md5(t)[3]) - 1) * 16 +
+    (strpos('0123456789abcdef', md5(t)[4]) - 1)) AS vs
+  FROM documents WHERE doc_id < 250
+),
+sums AS (
+  SELECT doc_id, list_transform(generate_series(0, 15), j ->
+    list_sum(list_transform(vs, v -> CASE WHEN ((v >> (15 - j)) & 1) = 1 THEN 1 ELSE -1 END))) AS s
+  FROM tk
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 15), j ->
+           CASE WHEN s[j+1] > 0 THEN (CAST(1 AS BIGINT) << (15 - j)) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM sums
+)
+"""
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=_SIMHASH_CTES + """
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id1, id2
+""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= 3 over the 16-bit
+    fingerprints (bounded slice; at scale, band the fingerprint into
+    nibbles and equi-join on any shared band -- pigeonhole guarantees
+    a band match at distance <= 3 with 4 bands -- then verify, exactly
+    like the MinHash pipeline)."""
+    d = load_spread(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sigs = d.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id1", "id2")
+    )
+
+
 @query(
     "q_dedup_ngram_jaccard",
     oracle=f"""

@@ -136,3 +136,119 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("c_id").alias("centroid_id"), "dist2")
         .orderBy("vec_id")
     )
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, centroid_id) for the whole corpus -- shared by
+    the probe query; same math as q_ann_ivf_assign."""
+    e = _corpus(spark, sf_dir)
+    cent = e.filter(F.col("id") < 8).select(
+        F.col("id").alias("c_id"), F.col("v").alias("c_v")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_id")
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            F.col("id").alias("vec_id"), "v", "c_id", dist2.alias("dist2")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("centroid_id"))
+    )
+
+
+_IVF_CTES = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
+dists AS (
+  SELECT e.vec_id, e.v, cent.c_id,
+         list_sum(list_transform(list_zip(e.v, cent.c_v), s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist2
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, c_id AS centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rk FROM dists)
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, v AS q_v, c_id AS probe_centroid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rk FROM dists)
+  WHERE rk <= 2 AND vec_id < 5
+)
+"""
+
+
+@query(
+    "q_ann_ivf_probe",
+    oracle=_IVF_CTES + """,
+cand AS (
+  SELECT p.q_id, p.q_v, a.vec_id AS n_id, a.v AS n_v
+  FROM probes p JOIN assigned a ON a.centroid_id = p.probe_centroid
+  WHERE a.vec_id <> p.q_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         list_sum(list_transform(list_zip(q_v, n_v), s -> s[1] * s[2]))
+           / (sqrt(list_sum(list_transform(q_v, x -> x * x)))
+              * sqrt(list_sum(list_transform(n_v, x -> x * x)))) AS cos_sim
+  FROM cand
+),
+dedup AS (SELECT q_id, n_id, MAX(cos_sim) AS cos_sim FROM scored GROUP BY q_id, n_id)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT q_id, n_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM dedup
+) WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+)
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF search itself: each query vector probes its nprobe=2
+    nearest centroid partitions and ranks candidates by exact cosine
+    within them. On a corpus *written partitioned by centroid_id* this
+    scans ~nprobe/K of the data per query -- the ANN scale path, with
+    q_ann_bruteforce_topk as its exact-recall reference."""
+    e = _corpus(spark, sf_dir)
+    cent = e.filter(F.col("id") < 8).select(
+        F.col("id").alias("c_id"), F.col("v").alias("c_v")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("q_v"), F.col("c_v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("dist2", "c_id")
+    probes = (
+        e.filter(F.col("id") < 5)
+        .select(F.col("id").alias("q_id"), F.col("v").alias("q_v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dist2", dist2)
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= 2)
+        .select("q_id", "q_v", F.col("c_id").alias("probe_centroid"))
+    )
+    assigned = _ivf_assignments(spark, sf_dir)
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, assigned["centroid_id"] == probes["probe_centroid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    cos = V.dot(F.col("q_v"), F.col("v")) / (
+        F.sqrt(V.norm2(F.col("q_v"))) * F.sqrt(V.norm2(F.col("v")))
+    )
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("n_id"), cos.alias("cos_sim")
+    ).groupBy("q_id", "n_id").agg(F.max("cos_sim").alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    )
