@@ -32,3 +32,23 @@ def discogs_xml_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_main_release",
         "master_id",
     ).orderBy("id")
+
+
+@query("discogs_explode_artists")  # rows-only: XML source input
+def discogs_explode_artists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested read-back the reference never does (SURVEY §2.B 'Nested
+    access / flatten'): inline the array<struct> artists column of the
+    engine's own converted output -- one row per (release, artist) with
+    the struct fields flattened, null-preserving anv/join."""
+    path = write_fixture_gz(
+        f"{tempfile.gettempdir()}/discogs_fixture/releases.xml.gz")
+    df = read_releases(spark, path)
+    return (
+        df.select(
+            F.col("id").alias("release_id"),
+            "title",
+            F.inline("artists"),  # -> id, name, anv, join columns
+        )
+        .withColumnRenamed("id", "artist_id")
+        .orderBy("release_id", "name")
+    )
