@@ -40,6 +40,70 @@ def test_stream_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with an event-time interval condition:
+    both sides carry watermarks so the join state is bounded -- matched
+    signups/purchases within 1 hour per user."""
+    import datetime as dt
+
+    src_a = str(tmp_path / "signups")
+    src_b = str(tmp_path / "purchases")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    spark.createDataFrame(
+        [(1, t0, 7), (2, t0 + dt.timedelta(hours=3), 8)], schema
+    ).coalesce(1).write.mode("append").parquet(src_a)
+    spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(minutes=30), 7),   # joins signup 1
+            (11, t0 + dt.timedelta(hours=2), 7),      # outside 1h window
+            (12, t0 + dt.timedelta(hours=3, minutes=10), 8),  # joins 2
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src_b)
+
+    from pyspark.sql import functions as F
+
+    signups = (
+        spark.readStream.schema(schema).parquet(src_a)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("s_id"),
+            F.col("ts").alias("s_ts"),
+            F.col("user_id").alias("s_user"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(src_b)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("user_id").alias("p_user"),
+        )
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["s_id"], r["p_id"])
+        for r in spark.sql("SELECT s_id, p_id FROM ss_join").collect()
+    )
+    assert got == [(1, 10), (2, 12)]
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: dedup state bounded by the
     watermark (the streaming face of exact dedup -- state for keys
