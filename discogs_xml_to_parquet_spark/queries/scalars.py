@@ -36,7 +36,7 @@ SELECT
   CONCAT(p_brand, '/', p_type) AS brand_type,
   TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
   LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-  CONTAINS(p_type, 'STEEL') AS is_steel,
+  CONTAINS(p_type, 'STANDARD') AS is_standard,
   SPLIT_PART(p_type, ' ', 1) AS type_first_word
 FROM part
 WHERE STARTS_WITH(p_name, 'p')
@@ -56,7 +56,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        F.col("p_type").contains("STEEL").alias("is_steel"),
+        F.col("p_type").contains("STANDARD").alias("is_standard"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
     )
 

@@ -150,7 +150,9 @@ SELECT
   RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_rank,
   DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_dense_rank,
   CAST(NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS BIGINT) AS price_quartile,
-  CAST(FIRST_VALUE(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS BIGINT) AS cheapest_part
+  CAST(FIRST_VALUE(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS BIGINT) AS cheapest_part,
+  PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS price_pct_rank,
+  CUME_DIST() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS price_cume_dist
 FROM part
 WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
 ORDER BY p_brand, p_partkey
@@ -174,4 +176,6 @@ def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_size).alias("size_dense_rank"),
         F.ntile(4).over(w_price).cast("bigint").alias("price_quartile"),
         F.first_value(F.col("p_partkey")).over(w_price).cast("bigint").alias("cheapest_part"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+        F.cume_dist().over(w_price).alias("price_cume_dist"),
     ).orderBy("p_brand", "p_partkey")
