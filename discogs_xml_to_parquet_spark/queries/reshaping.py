@@ -110,21 +110,48 @@ def q_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_percentiles")  # rows-only: see docstring
+@query(
+    "q_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q1_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentiles per return flag: exact interpolated (percentile) and
-    sketch-based (approx_percentile, the scale path -- mergeable
-    KLL/GK-style summaries, no full sort). Rows-only: approx sketches
-    are engine-specific, and even 'exact' interpolation differs in the
-    last bits across engines' arithmetic; the exact-median value itself
-    is cross-checked in tests/test_percentile.py against numpy."""
+    """Exact interpolated percentiles per return flag. Both engines use
+    the same sort + linear-interpolation formula (lower + frac*(upper -
+    lower)) on identical doubles -- verified bit-identical, so this is
+    oracle-checked, not rows-only. Also cross-checked against numpy in
+    tests/test_percentile.py. At 100 TB the exact form costs a
+    per-group sort; the sketch below is the scale path."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.percentile("l_extendedprice", 0.5).alias("median_price"),
             F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+            F.percentile("l_quantity", 0.25).alias("q1_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q_percentiles_approx")  # rows-only: sketches are engine-specific
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna style summary): mergeable,
+    bounded-memory, no per-group sort -- the percentile to reach for at
+    100 TB. Rows-only by nature: sketch estimates differ by engine."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
             F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.approx_percentile("l_extendedprice", 0.95, 10000).alias("approx_p95"),
         )
         .orderBy("l_returnflag")
     )
