@@ -74,7 +74,7 @@ SELECT
   l_orderkey,
   l_linenumber,
   CAST(l_quantity AS BIGINT) AS qty_int,
-  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price_dec,
+  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price_dec,
   l_returnflag = 'R' AS is_returned
 FROM lineitem
 WHERE l_discount > 0.05 AND l_quantity >= 40 AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
@@ -100,6 +100,7 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("bigint").alias("qty_int"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("net_price_dec"),
             (F.col("l_returnflag") == "R").alias("is_returned"),
         )

@@ -39,14 +39,16 @@ SELECT
   CONTAINS(p_type, 'STANDARD') AS is_standard,
   SPLIT_PART(p_type, ' ', 1) AS type_first_word
 FROM part
-WHERE STARTS_WITH(p_name, 'p')
+WHERE STARTS_WITH(p_name, 'r')
 """,
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions (reference analog: the hand-rolled `replace`
-    unescape at main.rs:596). All JVM built-ins; fully pushed/pruned."""
+    unescape at main.rs:596). All JVM built-ins; fully pushed/pruned.
+    Predicate matches ~13% of part names ('red widget', ...) -- round 1
+    shipped startswith('p') which matched zero rows, a vacuous green."""
     p = load(spark, sf_dir, "part")
-    return p.filter(F.col("p_name").startswith("p")).select(
+    return p.filter(F.col("p_name").startswith("r")).select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.lower("p_brand").alias("brand_lower"),

@@ -24,7 +24,7 @@ WITH m AS (
 )
 SELECT c_mktsegment,
        len(map_keys(seg_map)) AS n_keys,
-       list_sum(map_values(seg_map)) AS total_customers,
+       CAST(list_sum(map_values(seg_map)) AS BIGINT) AS total_customers,
        list_min(map_keys(seg_map)) AS min_nation,
        map_extract(seg_map, list_min(map_keys(seg_map)))[1] AS min_nation_count
 FROM m

@@ -17,7 +17,12 @@ import duckdb
 
 from discogs_xml_to_parquet_spark.tables import TABLES
 
-FLOAT_SIG = 6  # driver hash tolerance is unknown; keep engine outputs exact
+# Driver-exact normalization (VERDICT r1 item 2): the round-1 mirror
+# coerced Decimal->float and rounded floats to 6 significant digits, which
+# masked two driver hash failures (Decimal vs double, int vs float). The
+# driver compares cells exactly and type-sensitively, so the mirror must
+# too: Decimal keeps its own tag+repr, floats compare by full repr, and an
+# int-vs-float split is a mismatch.
 
 
 def _norm_cell(v):
@@ -26,13 +31,13 @@ def _norm_cell(v):
     if isinstance(v, bool):
         return f"b:{v}"
     if isinstance(v, _decimal.Decimal):
-        v = float(v)
+        return f"d:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
         if v == 0:
             v = 0.0
-        return f"f:{v:.{FLOAT_SIG}g}"
+        return f"f:{v!r}"
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, (_dt.datetime, _dt.date)):
@@ -60,7 +65,9 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def compare(spark, sf_dir: str, query_fn, oracle: str, name: str = "?") -> None:
+def compare(
+    spark, sf_dir: str, query_fn, oracle: str, name: str = "?", allow_empty: bool = False
+) -> None:
     sdf = query_fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -77,6 +84,11 @@ def compare(spark, sf_dir: str, query_fn, oracle: str, name: str = "?") -> None:
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
     )
+    if not allow_empty:
+        # A 0-row green verifies nothing (VERDICT r1: q_string_funcs was
+        # vacuously green on an empty set). Queries that may legitimately
+        # be empty must opt in explicitly.
+        assert len(s_rows) > 0, f"{name}: vacuous oracle check -- both sides empty"
     sn = _normalize(s_rows, s_cols)
     dn = _normalize(d_rows, d_cols)
     if sn != dn:

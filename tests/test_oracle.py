@@ -14,14 +14,26 @@ from tests.oracle_utils import compare
 ORACLE_NAMES = sorted(registry.ORACLES)
 ROWS_ONLY_NAMES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 
+# Queries that may legitimately return zero rows at the local test SF.
+# Empty by policy: a 0-row green verifies nothing (round-1 lesson), so
+# every addition needs a comment justifying why empty is correct.
+MAY_BE_EMPTY: set[str] = set()
+
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, name):
-    compare(spark, SF_ORACLE, registry.QUERIES[name], registry.ORACLES[name], name)
+    compare(
+        spark,
+        SF_ORACLE,
+        registry.QUERIES[name],
+        registry.ORACLES[name],
+        name,
+        allow_empty=name in MAY_BE_EMPTY,
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_query_runs(spark, name):
     df = registry.QUERIES[name](spark, SF_ORACLE)
     assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: vacuous rows-only check -- empty result"
