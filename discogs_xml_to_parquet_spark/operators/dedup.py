@@ -163,29 +163,32 @@ def jaccard(a: Column, b: Column) -> Column:
 # --- simhash ------------------------------------------------------------
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash: each token hashes to 16 bits (first 4 hex chars
-    of md5); per bit, tokens vote +1/-1; the sign of each bit-sum forms
-    the fingerprint. Entirely per-row array math (two nested folds),
-    no explode, codegen-friendly; mirrored digit-for-digit by the
-    DuckDB oracle."""
+def simhash(text: Column, nbits: int = 16) -> Column:
+    """nbits-wide SimHash: each token hashes to nbits bits (first
+    nbits/4 hex chars of md5); per bit, tokens vote +1/-1; the sign of
+    each bit-sum forms the fingerprint. Entirely per-row array math
+    (two nested folds), no explode, codegen-friendly; mirrored
+    digit-for-digit by the DuckDB oracles. nbits must be a multiple of
+    4 and <= 52 (the fingerprint is collapsed through exact double
+    powers of two)."""
+    assert nbits % 4 == 0 and nbits <= 52
     tok_vals = F.transform(
         tokens(text),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, nbits // 4), 16, 10).cast("bigint"),
     )
-    # Single fold with a 16-slot accumulator (same single-evaluation
+    # Single fold with an nbits-slot accumulator (same single-evaluation
     # rationale as minhash_signature). Bit positions are unrolled as
     # Python constants because shiftright takes a literal shift amount.
     bit_sums = F.aggregate(
         tok_vals,
-        F.array_repeat(F.lit(0), 16),
+        F.array_repeat(F.lit(0), nbits),
         lambda acc, v: F.zip_with(
             acc,
             F.array(*[
                 F.when(
-                    F.shiftright(v, 15 - j).bitwiseAND(F.lit(1)) == 1, 1
+                    F.shiftright(v, nbits - 1 - j).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
-                for j in range(16)
+                for j in range(nbits)
             ]),
             lambda a, b: a + b,
         ),
@@ -195,13 +198,37 @@ def simhash16(text: Column) -> Column:
     return F.aggregate(
         F.zip_with(
             bit_sums,
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda s, j: F.when(s > 0, F.pow(F.lit(2.0), (F.lit(15) - j).cast("double")))
-            .otherwise(F.lit(0.0)),
+            F.sequence(F.lit(0), F.lit(nbits - 1)),
+            lambda s, j: F.when(
+                s > 0, F.pow(F.lit(2.0), (F.lit(nbits - 1) - j).cast("double"))
+            ).otherwise(F.lit(0.0)),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     ).cast("bigint")
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash (kept as the named oracle-mirrored variant)."""
+    return simhash(text, 16)
+
+
+def simhash_bands(fingerprint: Column, nbits: int = 32,
+                  bands: int = 4) -> Column:
+    """Split an nbits fingerprint into `bands` equal bit-slices
+    (array<bigint>, one value per band). Pigeonhole: two fingerprints
+    at Hamming distance <= bands - 1 agree on at least one band, so an
+    equi-join on (band_no, band_value) finds every such pair -- the
+    scale-safe replacement for the all-pairs theta join. Skew note:
+    identical documents collapse to identical fingerprints and blow up
+    one bucket; run exact dedup first (it is cheaper and removes
+    exactly that mass)."""
+    w = nbits // bands
+    mask = (1 << w) - 1
+    return F.array(*[
+        F.shiftright(fingerprint, nbits - w * (b + 1)).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
 
 
 # --- exact --------------------------------------------------------------

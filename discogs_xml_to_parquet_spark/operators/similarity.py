@@ -42,6 +42,14 @@ def hyperplanes(num_planes: int = NUM_PLANES, dim: int = DIM,
     return [[float(x) for x in row] for row in rng.randn(num_planes, dim)]
 
 
+def planes_sql() -> str:
+    """The same hyperplanes as a DuckDB VALUES relation (p, plane) --
+    float64 repr round-trips, so both engines dot against identical
+    planes and bucket ids match exactly."""
+    rows = ",\n  ".join(f"({p}, {plane})" for p, plane in enumerate(hyperplanes()))
+    return f"(VALUES\n  {rows}\n) AS planes(p, plane)"
+
+
 def with_lsh_bucket(df: DataFrame, vec_col: str = "v",
                     bucket_col: str = "bucket") -> DataFrame:
     """Add the hyperplane-LSH bucket id: bit p = (v . plane_p >= 0),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from discogs_xml_to_parquet_spark.functions import vector as V
 from discogs_xml_to_parquet_spark.operators import dedup as D
 from discogs_xml_to_parquet_spark.operators import graph as G
+from discogs_xml_to_parquet_spark.operators import similarity as S
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load, load_spread
 
@@ -398,5 +399,152 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.40)
+        .orderBy("id1", "id2")
+    )
+
+
+# 32-bit SimHash mirror (token hash = first 8 md5 hex digits, the same
+# _H32 Horner fold used for shingles; bands = 4 byte-slices).
+_SIMHASH32_CTES = f"""
+WITH tk AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), s -> {_H32}) AS vs
+  FROM documents
+),
+sums AS (
+  SELECT doc_id, list_transform(generate_series(0, 31), j ->
+    list_sum(list_transform(vs, v -> CASE WHEN ((v >> (31 - j)) & 1) = 1 THEN 1 ELSE -1 END))) AS s
+  FROM tk
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 31), j ->
+           CASE WHEN s[j+1] > 0 THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END)) AS BIGINT) AS sh
+  FROM sums
+),
+bands AS (
+  SELECT doc_id, sh, b, (sh >> (32 - 8 * (b + 1))) & 255 AS band_val
+  FROM sigs, generate_series(0, 3) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, a.sh AS sh1, c.doc_id AS id2, c.sh AS sh2
+  FROM bands a
+  JOIN bands c ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+)"""
+
+
+@query(
+    "q_dedup_simhash_banded",
+    oracle=_SIMHASH32_CTES + """
+SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh1, sh2)) <= 3
+ORDER BY id1, id2
+""",
+)
+def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, the scale path (VERDICT r1 item 4):
+    32-bit fingerprint split into 4 byte-bands; candidates come from an
+    equi-join on (band_no, band_value) -- pigeonhole guarantees any pair
+    at Hamming distance <= 3 shares at least one band, so recall vs the
+    all-pairs theta join is exact -- then Hamming verification on the
+    candidates only. Runs over the WHOLE documents table (no doc_id
+    bound: the banding is what makes that affordable; expected bucket
+    size is n/256 per band). q_dedup_simhash_pairs remains as the
+    bounded all-pairs recall baseline. Skew: exact-duplicate documents
+    share fingerprints and pile into one bucket -- run exact dedup
+    first (see operators/dedup.py simhash_bands note)."""
+    d = load_spread(spark, sf_dir, "documents")
+    # repartition = materialization barrier: without it the 32-slot
+    # simhash fold inlines into every band expression (4x recompute)
+    sigs = d.select(
+        "doc_id", D.simhash(F.col("text"), 32).alias("sh")
+    ).repartition("doc_id")
+    ex = sigs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(D.simhash_bands(F.col("sh"), 32, 4)).alias("band_no", "band_val"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("b.sh").alias("sh2"),
+        )
+        .distinct()
+        .select("id1", "id2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id1", "id2")
+    )
+
+
+@query(
+    "q_dedup_embedding_lsh",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bits AS (
+  SELECT vec_id, p,
+         CASE WHEN list_sum(list_transform(list_zip(v, plane), s -> s[1] * s[2])) >= 0
+              THEN (1 << p) ELSE 0 END AS bit
+  FROM e, {S.planes_sql()}
+),
+bk AS (SELECT vec_id, CAST(SUM(bit) AS INT) AS bucket FROM bits GROUP BY vec_id),
+n AS (
+  SELECT e.vec_id, bucket, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e JOIN bk ON e.vec_id = bk.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+           / (a.nrm * b.nrm) AS cos_sim
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos_sim FROM pairs
+WHERE cos_sim >= 0.30
+ORDER BY id1, id2
+""",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH buckets, the scale path
+    (VERDICT r1 item 6): bucket the WHOLE corpus with 8 sign bits (a
+    per-row projection against literal planes -- no shuffle), then an
+    equi-join on bucket produces only in-bucket candidate pairs
+    (expected bucket size n/256), cosine-verified at 0.30 (threshold
+    from the observed in-bucket cosine distribution: ~20-30 pairs per
+    SF; bucket-mates are angularly close by construction). Recall is
+    approximate -- cross-bucket near-dups are missed, the standard LSH
+    trade -- with q_dedup_embedding_cosine as the bounded exact
+    baseline. At 100 TB, writing the corpus partitioned by bucket makes
+    this a partition-local join with zero wide shuffle."""
+    e = load(spark, sf_dir, "embeddings").repartition(64)
+    n = S.with_lsh_bucket(
+        e.select(F.col("vec_id"), V.as_double(F.col("embedding")).alias("v")),
+        "v",
+        "bucket",
+    ).withColumn("nrm", F.sqrt(V.norm2(F.col("v"))))
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            (V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.30)
         .orderBy("id1", "id2")
     )

@@ -3,7 +3,7 @@ a curation/analytics user reaches for."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.registry import query
@@ -42,6 +42,84 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_name").alias("name2"),
             dist.alias("edit_dist"),
         )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("id1", "id2")
+    )
+
+
+@query(
+    "q_fuzzy_blocked",
+    oracle="""
+WITH ex AS (
+  SELECT c_custkey, c_name, LENGTH(c_name) AS ln, b AS band_no,
+         substring(c_name, b * 3 + 1, 3) AS band_val
+  FROM customer, generate_series(0, 5) AS g(b)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY ln, band_no, band_val) AS df
+    FROM ex
+  ) WHERE df <= 200
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2,
+         a.c_name AS name1, b.c_name AS name2
+  FROM kept a
+  JOIN kept b ON a.ln = b.ln AND a.band_no = b.band_no
+             AND a.band_val = b.band_val AND a.c_custkey < b.c_custkey
+)
+SELECT id1, id2, name1, name2, levenshtein(name1, name2) AS edit_dist
+FROM cand
+WHERE levenshtein(name1, name2) <= 2
+ORDER BY id1, id2
+""",
+)
+def q_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching, the scale path (VERDICT r1 item 5): over
+    the WHOLE customer table (no custkey bound), each name explodes to
+    6 blocking keys -- (length, band_no, 3-char band) -- candidates come
+    from an equi-join on the key, and only candidates pay the
+    levenshtein. Pigeonhole: equal-length names within edit distance 2
+    (substitutions) differ in at most 2 of 6 bands, so they share at
+    least four -- recall is exact for that class; indel pairs that
+    change length need a second pass with (length+-1) keys, the
+    standard multi-pass blocking trade, documented not implemented.
+    A document-frequency cap (bucket > 200 dropped) keeps degenerate
+    bands (constant prefixes like 'Cus'/'tom') from regenerating the
+    all-pairs blow-up -- the same DF-cap idea as q_dedup_ngram_jaccard.
+    q_fuzzy_levenshtein stays as the bounded all-pairs recall baseline
+    (test_oracle asserts blocked == all-pairs at the SF where no band
+    is capped)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ex = c.select(
+        "c_custkey",
+        "c_name",
+        F.length("c_name").alias("ln"),
+        F.posexplode(
+            F.array(*[F.substring("c_name", b * 3 + 1, 3) for b in range(6)])
+        ).alias("band_no", "band_val"),
+    )
+    w = Window.partitionBy("ln", "band_no", "band_val")
+    kept = ex.withColumn("df", F.count(F.lit(1)).over(w)).filter(F.col("df") <= 200)
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ln") == F.col("b.ln"))
+            & (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+            F.col("a.c_name").alias("name1"),
+            F.col("b.c_name").alias("name2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein(F.col("name1"), F.col("name2")))
         .filter(F.col("edit_dist") <= 2)
         .orderBy("id1", "id2")
     )

@@ -51,12 +51,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e.filter(F.col("id") < 5), e, k=5).orderBy("q_id", "rank")
 
 
-def _planes_sql() -> str:
-    rows = ",\n  ".join(
-        f"({p}, {plane})"
-        for p, plane in enumerate(S.hyperplanes())
-    )
-    return f"(VALUES\n  {rows}\n) AS planes(p, plane)"
+_planes_sql = S.planes_sql
 
 
 @query(

@@ -40,3 +40,69 @@ def test_partition_count_invariant(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b, f"{name}: result depends on shuffle partition count"
+
+
+def test_simhash_banded_full_recall_vs_all_pairs(spark):
+    """Pigeonhole guarantee: at Hamming distance <= 3, a 4-band split of
+    the 32-bit fingerprint must find EVERY pair the all-pairs theta join
+    finds (banding trades compute, never recall, at this distance)."""
+    from discogs_xml_to_parquet_spark import registry
+    from discogs_xml_to_parquet_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+    from discogs_xml_to_parquet_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    banded = {
+        (r.id1, r.id2)
+        for r in registry.QUERIES["q_dedup_simhash_banded"](spark, SF_ORACLE).collect()
+    }
+    sigs = (
+        load(spark, SF_ORACLE, "documents")
+        .select("doc_id", D.simhash(F.col("text"), 32).alias("sh"))
+        .repartition("doc_id")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert len(banded) > 0
+
+
+def test_blocked_fuzzy_full_recall_when_uncapped(spark):
+    """At sf0.001 every blocking band's bucket (150 rows) is under the
+    DF cap, so the blocked matcher must reproduce the all-pairs
+    levenshtein result exactly -- blocking trades recall only through
+    the explicit cap, never silently."""
+    from discogs_xml_to_parquet_spark import registry
+    from pyspark.sql import functions as F
+    from discogs_xml_to_parquet_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    blocked = {
+        (r.id1, r.id2, r.edit_dist)
+        for r in registry.QUERIES["q_fuzzy_blocked"](spark, SF_ORACLE).collect()
+    }
+    c = load(spark, SF_ORACLE, "customer").select("c_custkey", "c_name")
+    a, b = c.alias("a"), c.alias("b")
+    brute = {
+        (r.id1, r.id2, r.edit_dist)
+        for r in a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .collect()
+    }
+    assert blocked == brute
+    assert len(blocked) > 0

@@ -113,3 +113,32 @@ def test_semi_join_stays_semi(spark):
     """EXISTS must plan as a semi join (no row duplication)."""
     df = registry.QUERIES["q_join_semi"](spark, SF_SMOKE)
     assert "LeftSemi" in plan_of(df)
+
+
+def test_banded_simhash_plan_has_no_theta_join(spark):
+    """The banded SimHash scale path must candidate-generate via an
+    equi-join on (band_no, band_value) -- any BroadcastNestedLoopJoin /
+    CartesianProduct would mean the all-pairs blow-up snuck back in."""
+    df = registry.QUERIES["q_dedup_simhash_banded"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocked_fuzzy_plan_has_no_theta_join(spark):
+    """Blocked levenshtein: candidates from an equi-join on the
+    blocking key; the quadratic distance function runs on candidates
+    only."""
+    df = registry.QUERIES["q_fuzzy_blocked"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_dedup_plan_has_no_theta_join(spark):
+    """Bucketed embedding dedup: the join condition includes the
+    equality on bucket, so Spark must pick a hash-based join."""
+    df = registry.QUERIES["q_dedup_embedding_lsh"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
