@@ -30,7 +30,12 @@ def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25) -> DataFrame:
     """(src, dst) edge list -> (id, component) with component = min
     node id in the component. Nodes = every endpoint; callers union in
-    isolated nodes afterwards if needed."""
+    isolated nodes afterwards if needed.
+
+    Raises RuntimeError if the fixpoint has not converged after
+    max_iter rounds (component diameter > max_iter) -- silently
+    returning split components would corrupt downstream dedup groups
+    without any signal (ADVICE r1)."""
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -68,4 +73,10 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to the large-star/small-star variant for deep components"
+        )
     return labels

@@ -41,7 +41,17 @@ Semantics reproduced (fixture coverage in tests/test_discogs_xml.py):
   (main.rs:626-668, :662)
 - &amp; entity unescape in genres/styles (main.rs:596, 619) -- native
   to any real XML parser; the reference hand-rolls it because
-  quick-xml hands it raw bytes
+  quick-xml hands it raw bytes.
+  DELIBERATE DIVERGENCE (ADVICE r1): the reference unescapes ONLY
+  '&amp;' and ONLY in genres/styles -- titles, artist name/anv/join
+  are written with the raw '&amp;' bytes, and other entities (&lt;,
+  &gt;, ...) stay raw even in genres/styles. Both Spark lanes use real
+  XML parsers, which unescape every entity in every field; a title
+  'Alpha &amp; Beta' converts to 'Alpha & Beta' here but stays
+  'Alpha &amp; Beta' in the reference's parquet. We treat the
+  reference's behavior as a quick-xml artifact, not a spec: correct
+  XML decoding wins over byte parity (re-escaping '&'->'&amp;' in 4
+  fields would restore byte parity if a consumer ever needs it)
 - absent list elements -> empty (non-null) arrays: the reference's
   per-row builder close appends empty lists (main.rs:391-403)
 - skipped subtrees (images, extraartists, formats, country,
@@ -234,7 +244,11 @@ def _parse_release_elem(elem) -> tuple:
             continue
         if tag not in CONSUMED:
             # main.rs:518-520 skips empty unknown tags; :549-554 panics
-            # on non-empty unknown elements
+            # on non-empty unknown elements. Known divergence (ADVICE
+            # r1): ElementTree cannot distinguish <dummy></dummy> from
+            # <dummy/>, so a content-free unknown Start/End pair is
+            # accepted here while the reference (which sees the Start
+            # event) panics -- an inherent iterparse limitation.
             if len(child) == 0 and not (child.text or "").strip() and not child.attrib:
                 continue
             raise ValueError(f"unknown element in <release>: <{tag}>")
@@ -267,11 +281,18 @@ def _parse_release_elem(elem) -> tuple:
                     if f.tag not in ARTIST_CONSUMED:
                         raise ValueError(
                             f"unknown element in <artist>: <{f.tag}>")
-                    # empty element -> null (main.rs:721-728, 733-740)
+                    # empty->null applies ONLY to anv/join
+                    # (main.rs:721-728, 733-740); an empty <id>/<name>
+                    # hits expect_text on an End event in the reference
+                    # and errors (ADVICE r1) -- mirror that here
                     val = f.text if (f.text or "") != "" else None
                     if f.tag == "id":
+                        if val is None:
+                            raise ValueError("empty <id> in <artist>")
                         aid = val
                     elif f.tag == "name":
+                        if val is None:
+                            raise ValueError("empty <name> in <artist>")
                         name = val
                     elif f.tag == "anv":
                         anv = val
@@ -280,14 +301,19 @@ def _parse_release_elem(elem) -> tuple:
                 artists.append((aid, name, anv, join))
         elif tag == "master_id":
             imr = child.attrib.get("is_main_release")
-            if imr is not None:
-                if imr == "true":
-                    is_main_release = True
-                elif imr == "false":
-                    is_main_release = False
-                else:  # main.rs:826-830
-                    raise ValueError(
-                        f"malformed is_main_release: {imr!r}")
+            if imr is None:
+                # reference panics when <master_id> lacks the attribute
+                # (main.rs parse_master_id_attributes else-branch;
+                # ADVICE r1)
+                raise ValueError(
+                    "<master_id> missing is_main_release attribute")
+            if imr == "true":
+                is_main_release = True
+            elif imr == "false":
+                is_main_release = False
+            else:  # main.rs:826-830
+                raise ValueError(
+                    f"malformed is_main_release: {imr!r}")
             master_id = int(child.text)  # main.rs:846 str->u32
 
     return (int(rid), status, title, artists, genres, styles, labels,

@@ -54,25 +54,34 @@ _STATUSES = ["Accepted", "Draft", "Deleted"]
 
 
 def _release_xml(i: int) -> str:
+    """One synthetic release exercising the reference's branch space by
+    residue class: i%3 status, i%4==0 absent master_id (main.rs:557-560
+    null default), i%7==0 no genres/styles (empty non-null arrays),
+    i%11==0 no artists, i%2 anv empty->null (main.rs:721-728), i%6==0
+    unknown label attr (silently ignored, main.rs:662), i%5==0 extra
+    skipped subtrees (main.rs:758-917)."""
     status = _STATUSES[i % 3]
     parts = [f'<release id="{i}" status="{status}">\n']
     parts.append(f"<title>Release {i} &amp; Friends</title>\n")
-    parts.append("<artists>")
-    for a in range(1 + i % 3):
-        anv = f"<anv>AKA {i}-{a}</anv>" if a % 2 == 0 else "<anv></anv>"
+    if i % 11 != 0:
+        parts.append("<artists>")
+        for a in range(1 + i % 3):
+            anv = f"<anv>AKA {i}-{a}</anv>" if a % 2 == 0 else "<anv></anv>"
+            parts.append(
+                f"<artist><id>{i * 10 + a}</id><name>Artist {i}-{a}</name>"
+                f"{anv}<join>,</join><role></role><tracks></tracks></artist>"
+            )
+        parts.append("</artists>\n")
+    if i % 7 != 0:
         parts.append(
-            f"<artist><id>{i * 10 + a}</id><name>Artist {i}-{a}</name>"
-            f"{anv}<join>,</join><role></role><tracks></tracks></artist>"
+            f"<genres><genre>{_GENRES[i % len(_GENRES)]}</genre></genres>\n"
+            f"<styles><style>{_STYLES[i % len(_STYLES)]}</style></styles>\n"
         )
-    parts.append("</artists>\n")
-    parts.append(
-        f"<genres><genre>{_GENRES[i % len(_GENRES)]}</genre></genres>\n"
-        f"<styles><style>{_STYLES[i % len(_STYLES)]}</style></styles>\n"
-    )
+    extra_attr = ' ignored_attr="zzz"' if i % 6 == 0 else ""
     parts.append(
         "<labels>"
         + "".join(
-            f'<label id="{i * 100 + l}" catno="CAT-{i}-{l}" name="Label {l}"/>'
+            f'<label id="{i * 100 + l}" catno="CAT-{i}-{l}" name="Label {l}"{extra_attr}/>'
             for l in range(1 + i % 2)
         )
         + "</labels>\n"
@@ -80,6 +89,13 @@ def _release_xml(i: int) -> str:
     if i % 4 != 0:  # absent master_id every 4th release
         flag = "true" if i % 2 == 0 else "false"
         parts.append(f'<master_id is_main_release="{flag}">{i + 7}</master_id>\n')
+    if i % 5 == 0:
+        parts.append(
+            f'<images><image uri="http://x/{i}.jpg"/></images>\n'
+            "<formats><format name=\"Vinyl\"><descriptions>"
+            "<description>LP</description></descriptions></format></formats>\n"
+            f"<tracklist><track><title>T{i}</title></track></tracklist>\n"
+        )
     parts.append(f"<country>Country {i % 20}</country>\n")
     parts.append(f"<notes>notes for release {i}</notes>\n")
     parts.append("</release>\n")
@@ -87,16 +103,16 @@ def _release_xml(i: int) -> str:
 
 
 def write_synthetic_releases(dir_path: str, n_releases: int,
-                             n_files: int = 4) -> str:
+                             n_files: int = 4, start_id: int = 1) -> str:
     """Deterministic n_releases-row Discogs-shaped corpus split over
     n_files .xml.gz files (idempotent). Exercises every parse branch at
     volume; one scan task per file, like the reference x N processes."""
     os.makedirs(dir_path, exist_ok=True)
-    marker = os.path.join(dir_path, f".done-{n_releases}-{n_files}")
+    marker = os.path.join(dir_path, f".done-{n_releases}-{n_files}-{start_id}")
     if os.path.exists(marker):
         return dir_path
     per = n_releases // n_files
-    rid = 1
+    rid = start_id
     for f_no in range(n_files):
         count = per if f_no < n_files - 1 else n_releases - per * (n_files - 1)
         fp = os.path.join(dir_path, f"releases-{f_no}.xml.gz")

@@ -140,6 +140,50 @@ def test_strict_rejects_malformed_bool(spark):
         _strict_rows(spark, xml)
 
 
+def test_strict_rejects_master_id_without_flag_attr(spark):
+    """Reference panics when <master_id> lacks is_main_release
+    (main.rs parse_master_id_attributes else branch; ADVICE r1)."""
+    xml = ('<releases>\n<release id="9" status="Draft">'
+           '<master_id>1</master_id></release>\n</releases>')
+    with pytest.raises(ValueError, match="missing is_main_release"):
+        _strict_rows(spark, xml)
+
+
+def test_strict_rejects_empty_artist_id_and_name(spark):
+    """empty->null applies only to anv/join (main.rs:721-740); an empty
+    <id> or <name> hits expect_text on an End event and errors
+    (ADVICE r1)."""
+    base = ('<releases>\n<release id="9" status="Draft">'
+            '<artists><artist>{fields}</artist></artists></release>\n</releases>')
+    with pytest.raises(ValueError, match="empty <id>"):
+        _strict_rows(spark, base.format(fields="<id></id><name>n</name>"))
+    with pytest.raises(ValueError, match="empty <name>"):
+        _strict_rows(spark, base.format(fields="<id>1</id><name></name>"))
+    # empty anv/join still null, not an error
+    rows = _strict_rows(
+        spark,
+        base.format(fields="<id>1</id><name>n</name><anv></anv><join></join>"),
+    )
+    assert rows[0][3] == [("1", "n", None, None)]
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A path graph of diameter > max_iter must raise, not silently
+    return split components (ADVICE r1)."""
+    from discogs_xml_to_parquet_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # and with enough rounds it converges to a single component
+    comp = connected_components(edges, max_iter=15)
+    assert {r.comp for r in comp.collect()} == {0}
+
+
 def test_strict_skips_empty_unknown_tag(spark):
     xml = ('<releases>\n<release id="9" status="Draft">'
            '<title>t</title><dummy/></release>\n</releases>')
