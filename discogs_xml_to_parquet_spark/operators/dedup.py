@@ -136,9 +136,15 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, band_col: str) -> DataFrame:
     """(id, array<band_key>) -> distinct candidate pairs (id1 < id2).
     The exploded (band, id) relation is the only wide dataset; the
     self-join shuffles on band_key."""
+    # posexplode_OUTER: plain posexplode triggers InferFiltersFromGenerate
+    # (`size(bands) > 0`), which pushes the band-key expression down into
+    # the pre-exchange scan stage and re-evaluates the signature fold on
+    # one core (see q_dedup_simhash_banded). Band arrays are fixed-length
+    # and non-empty, so outer semantics are identical; null keys (if any)
+    # drop out of the equi-join anyway.
     exploded = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.col(band_col)).alias("_band_no", "_band_key"),
+        F.posexplode_outer(F.col(band_col)).alias("_band_no", "_band_key"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
@@ -179,15 +185,15 @@ def simhash(text: Column, nbits: int = 16) -> Column:
     # Single fold with an nbits-slot accumulator (same single-evaluation
     # rationale as minhash_signature). Bit positions are unrolled as
     # Python constants because shiftright takes a literal shift amount.
+    # branchless votes: ((v >> k) & 1) * 2 - 1 is +-1 without a CASE
+    # per bit (measured ~20% off the fold vs when/otherwise)
     bit_sums = F.aggregate(
         tok_vals,
-        F.array_repeat(F.lit(0), nbits),
+        F.array_repeat(F.lit(0).cast("bigint"), nbits),
         lambda acc, v: F.zip_with(
             acc,
             F.array(*[
-                F.when(
-                    F.shiftright(v, nbits - 1 - j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+                F.shiftright(v, nbits - 1 - j).bitwiseAND(F.lit(1)) * 2 - 1
                 for j in range(nbits)
             ]),
             lambda a, b: a + b,
@@ -211,6 +217,85 @@ def simhash(text: Column, nbits: int = 16) -> Column:
 def simhash16(text: Column) -> Column:
     """16-bit SimHash (kept as the named oracle-mirrored variant)."""
     return simhash(text, 16)
+
+
+def simhash64_bit_sums(text: Column) -> Column:
+    """Stage 1 of the 64-bit SimHash: per-bit vote sums
+    (array<bigint> of length 64) -- the canonical production
+    fingerprint width. Token hash = two 32-bit halves of md5 (hex
+    digits 1-8 and 9-16), one fold with a 64-slot accumulator,
+    branchless +-1 votes.
+
+    Callers MUST materialize this column (repartition barrier) before
+    simhash64_bands_from_sums: the band collapse references the sums 4
+    times, and projection collapse would otherwise inline this whole
+    fold into each reference (4x recompute -- the same trap documented
+    on minhash_signature)."""
+    nbits, half = 64, 32
+    tok_vals = F.transform(
+        tokens(text),
+        lambda t: F.array(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("bigint"),
+        ),
+    )
+    return F.aggregate(
+        tok_vals,
+        F.array_repeat(F.lit(0).cast("bigint"), nbits),
+        lambda acc, v: F.zip_with(
+            acc,
+            F.array(*[
+                F.shiftright(
+                    F.element_at(v, 1 if j < half else 2),
+                    (half - 1 - j) if j < half else (nbits - 1 - j),
+                ).bitwiseAND(F.lit(1)) * 2 - 1
+                for j in range(nbits)
+            ]),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def simhash64_bands_from_sums(bit_sums: Column) -> Column:
+    """Stage 2: collapse the 64 sign bits into 4 x 16-bit band values
+    (array<bigint>). A single 64-bit scalar cannot round-trip through
+    the exact-double collapse (2^63 exceeds the 2^52 integer-exact
+    range), so the fingerprint lives as band values end to end; Hamming
+    distance is the sum of per-band popcounts and banding needs no
+    extra step.
+
+    Why 16-bit bands beat 8-bit at scale: real corpora have biased
+    fingerprint bits (shared vocabulary pushes many documents toward
+    the same band values), and candidate volume grows with the square
+    of bucket occupancy. Doubling band width roughly squares down the
+    per-band collision probability -- measured 2.5M -> ~100k candidates
+    on the sf0.1 synthetic corpus -- while pigeonhole recall at
+    Hamming <= 3 is unchanged (4 bands > 3 differing bits)."""
+
+    def band(b: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(bit_sums, b * 16 + 1, 16),
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda s, k: F.when(
+                    s > 0, F.pow(F.lit(2.0), (F.lit(15) - k).cast("double"))
+                ).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("bigint")
+
+    return F.array(*[band(b) for b in range(4)])
+
+
+def band_hamming(bands_a: Column, bands_b: Column) -> Column:
+    """Hamming distance between two band-value fingerprints: sum of
+    per-band xor popcounts (int)."""
+    return F.aggregate(
+        F.zip_with(bands_a, bands_b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
 
 
 def simhash_bands(fingerprint: Column, nbits: int = 32,

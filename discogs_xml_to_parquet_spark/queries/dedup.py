@@ -403,69 +403,91 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 32-bit SimHash mirror (token hash = first 8 md5 hex digits, the same
-# _H32 Horner fold used for shingles; bands = 4 byte-slices).
-_SIMHASH32_CTES = f"""
+# 64-bit SimHash mirror: token hash = two 32-bit md5 halves (_H32 over
+# hex digits 1-8; _H32B over 9-16), 4 x 16-bit band values.
+_H32B = "0"
+for _i in range(9, 17):
+    _H32B = f"({_H32B} * 16 + strpos('0123456789abcdef', md5(s)[{_i}]) - 1)"
+
+_SIMHASH64_CTES = f"""
 WITH tk AS (
-  SELECT doc_id, list_transform(string_split(text, ' '), s -> {_H32}) AS vs
+  SELECT doc_id, list_transform(string_split(text, ' '), s -> [{_H32}, {_H32B}]) AS vs
   FROM documents
 ),
 sums AS (
-  SELECT doc_id, list_transform(generate_series(0, 31), j ->
-    list_sum(list_transform(vs, v -> CASE WHEN ((v >> (31 - j)) & 1) = 1 THEN 1 ELSE -1 END))) AS s
+  SELECT doc_id, list_transform(generate_series(0, 63), j ->
+    list_sum(list_transform(vs, v -> CASE WHEN j < 32
+      THEN ((v[1] >> (31 - j)) & 1) * 2 - 1
+      ELSE ((v[2] >> (63 - j)) & 1) * 2 - 1 END))) AS s
   FROM tk
 ),
 sigs AS (
-  SELECT doc_id,
-         CAST(list_sum(list_transform(generate_series(0, 31), j ->
-           CASE WHEN s[j+1] > 0 THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END)) AS BIGINT) AS sh
+  SELECT doc_id, list_transform(generate_series(0, 3), b ->
+    CAST(list_sum(list_transform(generate_series(0, 15), k ->
+      CASE WHEN s[b * 16 + k + 1] > 0 THEN (CAST(1 AS BIGINT) << (15 - k)) ELSE 0 END)) AS BIGINT)) AS bands
   FROM sums
 ),
-bands AS (
-  SELECT doc_id, sh, b, (sh >> (32 - 8 * (b + 1))) & 255 AS band_val
+ex AS (
+  SELECT doc_id, bands, b, bands[b + 1] AS band_val
   FROM sigs, generate_series(0, 3) AS g(b)
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id1, a.sh AS sh1, c.doc_id AS id2, c.sh AS sh2
-  FROM bands a
-  JOIN bands c ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+  SELECT DISTINCT a.doc_id AS id1, a.bands AS ba, c.doc_id AS id2, c.bands AS bb
+  FROM ex a
+  JOIN ex c ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
 )"""
 
 
 @query(
     "q_dedup_simhash_banded",
-    oracle=_SIMHASH32_CTES + """
-SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+    oracle=_SIMHASH64_CTES + """
+SELECT id1, id2,
+       CAST(list_sum(list_transform(generate_series(1, 4),
+         i -> bit_count(xor(ba[i], bb[i])))) AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(sh1, sh2)) <= 3
+WHERE list_sum(list_transform(generate_series(1, 4),
+        i -> bit_count(xor(ba[i], bb[i])))) <= 3
 ORDER BY id1, id2
 """,
 )
 def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, the scale path (VERDICT r1 item 4):
-    32-bit fingerprint split into 4 byte-bands; candidates come from an
-    equi-join on (band_no, band_value) -- pigeonhole guarantees any pair
-    at Hamming distance <= 3 shares at least one band, so recall vs the
-    all-pairs theta join is exact -- then Hamming verification on the
-    candidates only. Runs over the WHOLE documents table (no doc_id
-    bound: the banding is what makes that affordable; expected bucket
-    size is n/256 per band). q_dedup_simhash_pairs remains as the
-    bounded all-pairs recall baseline. Skew: exact-duplicate documents
-    share fingerprints and pile into one bucket -- run exact dedup
-    first (see operators/dedup.py simhash_bands note)."""
+    64-bit fingerprint (the canonical production width) kept as
+    4 x 16-bit band values; candidates come from an equi-join on
+    (band_no, band_value) -- pigeonhole guarantees any pair at Hamming
+    distance <= 3 shares at least one band, so recall vs the all-pairs
+    theta join is exact (test_simhash_banded_full_recall_vs_all_pairs)
+    -- then Hamming verification on the candidates only. Runs over the
+    WHOLE documents table, no doc_id bound. 16-bit bands (not 8): the
+    synthetic corpus's shared vocabulary biases fingerprint bits, and
+    candidate volume grows with the square of bucket occupancy -- the
+    8-bit-band variant produced 2.5M candidates at sf0.1, the 16-bit
+    one ~100k for identical recall. Verification runs BEFORE the
+    distinct so the dedup exchange carries matches, not candidates.
+    q_dedup_simhash_pairs remains as the bounded all-pairs recall
+    baseline. Skew: exact-duplicate documents share fingerprints and
+    pile into one bucket -- run exact dedup first."""
     d = load_spread(spark, sf_dir, "documents")
-    # repartition = materialization barrier: without it the 32-slot
-    # simhash fold inlines into every band expression (4x recompute)
-    sigs = d.select(
-        "doc_id", D.simhash(F.col("text"), 32).alias("sh")
+    # repartition = materialization barrier: without it the 64-slot
+    # vote fold inlines into each of the 4 band expressions
+    sums = d.select(
+        "doc_id", D.simhash64_bit_sums(F.col("text")).alias("s")
     ).repartition("doc_id")
+    sigs = sums.select(
+        "doc_id", D.simhash64_bands_from_sums(F.col("s")).alias("bands")
+    )
+    # posexplode_OUTER, deliberately: plain posexplode makes the
+    # optimizer infer a `size(bands) > 0` filter (InferFiltersFromGenerate)
+    # and push it through both exchanges into the single-task scan stage,
+    # re-evaluating the whole 64-slot fold there on one core (12.7s ->
+    # 0.8s at sf0.1). The array is always length 4, so outer semantics
+    # are identical.
     ex = sigs.select(
         "doc_id",
-        "sh",
-        F.posexplode(D.simhash_bands(F.col("sh"), 32, 4)).alias("band_no", "band_val"),
+        "bands",
+        F.posexplode_outer("bands").alias("band_no", "band_val"),
     )
     a, b = ex.alias("a"), ex.alias("b")
-    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
     return (
         a.join(
             b,
@@ -475,13 +497,11 @@ def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("id1"),
-            F.col("a.sh").alias("sh1"),
             F.col("b.doc_id").alias("id2"),
-            F.col("b.sh").alias("sh2"),
+            D.band_hamming(F.col("a.bands"), F.col("b.bands")).alias("hamming"),
         )
-        .distinct()
-        .select("id1", "id2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .distinct()
         .orderBy("id1", "id2")
     )
 

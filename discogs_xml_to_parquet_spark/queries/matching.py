@@ -95,7 +95,10 @@ def q_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         F.length("c_name").alias("ln"),
-        F.posexplode(
+        # posexplode_outer: avoids the inferred size()>0 filter being
+        # pushed into the scan (see q_dedup_simhash_banded); the literal
+        # 6-element array is never empty
+        F.posexplode_outer(
             F.array(*[F.substring("c_name", b * 3 + 1, 3) for b in range(6)])
         ).alias("band_no", "band_val"),
     )

@@ -44,7 +44,7 @@ def test_partition_count_invariant(spark, name):
 
 def test_simhash_banded_full_recall_vs_all_pairs(spark):
     """Pigeonhole guarantee: at Hamming distance <= 3, a 4-band split of
-    the 32-bit fingerprint must find EVERY pair the all-pairs theta join
+    the 64-bit fingerprint must find EVERY pair the all-pairs theta join
     finds (banding trades compute, never recall, at this distance)."""
     from discogs_xml_to_parquet_spark import registry
     from discogs_xml_to_parquet_spark.operators import dedup as D
@@ -56,10 +56,13 @@ def test_simhash_banded_full_recall_vs_all_pairs(spark):
         (r.id1, r.id2)
         for r in registry.QUERIES["q_dedup_simhash_banded"](spark, SF_ORACLE).collect()
     }
-    sigs = (
+    sums = (
         load(spark, SF_ORACLE, "documents")
-        .select("doc_id", D.simhash(F.col("text"), 32).alias("sh"))
+        .select("doc_id", D.simhash64_bit_sums(F.col("text")).alias("s"))
         .repartition("doc_id")
+    )
+    sigs = sums.select(
+        "doc_id", D.simhash64_bands_from_sums(F.col("s")).alias("bands")
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     brute = {
@@ -68,7 +71,7 @@ def test_simhash_banded_full_recall_vs_all_pairs(spark):
         .select(
             F.col("a.doc_id").alias("id1"),
             F.col("b.doc_id").alias("id2"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+            D.band_hamming(F.col("a.bands"), F.col("b.bands")).alias("h"),
         )
         .filter(F.col("h") <= 3)
         .collect()
