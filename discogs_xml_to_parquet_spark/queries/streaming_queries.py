@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from discogs_xml_to_parquet_spark.registry import query
-from discogs_xml_to_parquet_spark.streaming.events import session_agg, tumbling_agg
+from discogs_xml_to_parquet_spark.streaming.events import (
+    dedup_first,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 from discogs_xml_to_parquet_spark.tables import load
 
 
@@ -67,3 +72,58 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the lag-based reconstruction is exact."""
     e = load(spark, sf_dir, "events")
     return session_agg(e).orderBy("user_id", "session_start")
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+WITH ex AS (
+  SELECT unnest([
+           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE
+         ]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(window_start + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM ex
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows hopping every 5: each event counts in
+    exactly 2 windows. The oracle materializes the window instances an
+    event belongs to (its 5-min bucket and the one before) -- the same
+    expansion Spark's window(width, slide) performs."""
+    e = load(spark, sf_dir, "events")
+    return sliding_agg(e).orderBy("window_start", "event_type")
+
+
+@query(
+    "q_stream_dedup_face",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       user_id,
+       event_type,
+       arg_min(event_id, CAST(ts AS TIMESTAMP)) AS first_event_id,
+       strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       COUNT(*) - 1 AS n_collapsed
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q_stream_dedup_face(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type, 5-min window): the batch
+    face of dropDuplicatesWithinWatermark-style stream dedup
+    (tests/test_streaming.py::test_drop_duplicates_within_watermark
+    drives the true streaming path). (ts, event_id) is unique per key
+    in this data, so DuckDB's single-key arg_min matches Spark's
+    struct-ordered min_by exactly."""
+    e = load(spark, sf_dir, "events")
+    return dedup_first(e).orderBy("window_start", "user_id", "event_type")

@@ -67,6 +67,55 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def sliding_agg(events: DataFrame, width: str = "10 minutes",
+                slide: str = "5 minutes") -> DataFrame:
+    """Sliding (hopping) windows: each event lands in width/slide
+    overlapping windows (2 here). In streaming, state is kept per open
+    window copy -- watermark eviction matters twice as much as for
+    tumbling; batch runs the same expression as an explode of window
+    instances + hash agg."""
+    return (
+        events.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_first(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Streaming-shaped dedup: one surviving event per (user_id,
+    event_type, window) key -- the earliest by (ts, event_id) -- plus
+    the number of events collapsed. This is the batch face of
+    dropDuplicatesWithinWatermark-style dedup (keep-first within a
+    bounded horizon; tests/test_streaming.py drives the true streaming
+    variant): a windowed min_by aggregation is streaming-legal under a
+    watermark, unlike row_number windows."""
+    return (
+        events.groupBy(F.window("ts", width), "user_id", "event_type")
+        .agg(
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"),
+            F.min(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).alias("first_ts"),
+            (F.count(F.lit(1)) - 1).alias("n_collapsed"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            "event_type",
+            "first_event_id",
+            "first_ts",
+            "n_collapsed",
+        )
+    )
+
+
 def stream_events(spark: SparkSession, source_dir: str,
                   watermark: str = "10 minutes",
                   width: str = "5 minutes") -> DataFrame:

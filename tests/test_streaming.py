@@ -40,6 +40,42 @@ def test_stream_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_sliding_stream_matches_batch(spark, tmp_path):
+    """Same batch-equivalence contract for the sliding (hopping)
+    window: each event lands in 2 overlapping window copies and the
+    streaming state store must produce the identical window set."""
+    from discogs_xml_to_parquet_spark.streaming.events import sliding_agg
+
+    src = str(tmp_path / "events_sliding_src")
+    events = load(spark, SF_SMOKE, "events")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    expected = {tuple(r) for r in sliding_agg(spark.read.parquet(src)).collect()}
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        sliding_agg(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sliding_test").collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Stream-stream inner join with an event-time interval condition:
     both sides carry watermarks so the join state is bounded -- matched
