@@ -249,3 +249,43 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact x dim join (operators/skew.py salted_join):
+    each fact row's join key is widened with a deterministic salt
+    (pmod(hash(event_id), 8)) and the dim side is replicated 8-fold, so
+    one hot user key spreads over 8 shuffle tasks instead of one
+    straggler. Results are provably identical to the plain join -- the
+    oracle IS the plain join -- which is the whole point: salting is a
+    physical rewrite, not a semantic one. Use when AQE's skew splitting
+    can't help (it only splits sort-merge partitions, not a
+    hot-building broadcast or a combiner-defeated aggregation)."""
+    from discogs_xml_to_parquet_spark.operators.skew import salted_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, "user_id", salt_buckets=8,
+                         fact_unique_col="event_id")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
