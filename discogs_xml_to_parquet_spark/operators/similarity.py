@@ -8,9 +8,9 @@ Three tiers, trading recall for scan cost:
   then a per-query top-k (WindowGroupLimit heap under the exchange).
 - hyperplane LSH: 8 fixed random hyperplanes -> 8 sign bits -> 256
   buckets. At scale, search = hash the query vector, probe its bucket
-  (plus Hamming-1 neighbors for recall): the corpus scan is replaced by
-  a partition-pruned read when the table is written partitioned/bucketed
-  by lsh_bucket.
+  plus its 8 Hamming-1 neighbors (implemented: queries/similarity.py
+  q_ann_lsh_probe): the corpus scan is replaced by a partition-pruned
+  read when the table is written partitioned/bucketed by lsh_bucket.
 - IVF-style coarse quantization: assign each vector to its nearest
   centroid; search probes the nprobe closest centroid partitions. The
   centroid set here is the first K corpus vectors (deterministic, no
