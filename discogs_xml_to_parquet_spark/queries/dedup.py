@@ -10,7 +10,7 @@ rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.functions import vector as V
@@ -302,9 +302,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_SH_CTE},
 bounded AS (SELECT * FROM sh WHERE doc_id < 250),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM bounded),
+kept AS (
+  SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM ex)
+  WHERE df <= 100
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
 ),
 verified AS (
   SELECT id1, id2,
@@ -325,15 +329,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deliberately the non-LSH baseline: candidate count grows with
     shingle document frequency (a shingle in d docs contributes
-    O(d^2) pairs), which is exactly the blow-up MinHash-LSH avoids --
-    at scale you'd first drop shingles with document frequency above a
-    cap. Bounded to doc_id < 250 to keep the pair space honest."""
+    O(d^2) pairs), which is exactly the blow-up MinHash-LSH avoids.
+    The standard mitigation is implemented: shingles whose document
+    frequency exceeds 100 are dropped before candidate generation
+    (boilerplate shingles pair everything with everything and carry no
+    dedup signal; the cap is the same DF-cap lever as q_fuzzy_blocked).
+    Bounded to doc_id < 250 to keep the pair space honest."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     sh = d.select(
         "doc_id", D.word_shingles(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
+    w_df = Window.partitionBy("s")
+    kept = ex.withColumn("df", F.count(F.lit(1)).over(w_df)).filter(
+        F.col("df") <= 100
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
