@@ -14,10 +14,11 @@ Scale rules encoded here:
   re-analyzes the whole history every round.
 - convergence is checked with a count of changed labels (an action per
   round -- inherent to any fixpoint loop).
-- for web-scale graphs the upgrade is the large-star/small-star
-  algorithm (fewer rounds on skewed degree distributions); the
-  min-label round below is the right tool for dedup graphs, whose
-  components are small and shallow.
+- for web-scale or deep graphs use connected_components_two_phase
+  (large-star/small-star, implemented below): O(log^2 diameter)
+  rounds vs O(diameter); the min-label round is the simpler tool for
+  dedup graphs, whose components are small and shallow, and each
+  labels components identically (equivalence-tested).
 """
 
 from __future__ import annotations
@@ -76,7 +77,96 @@ def connected_components(edges: DataFrame, src: str = "src",
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or switch "
-            "to the large-star/small-star variant for deep components"
+            f"({changed} labels still changing); raise max_iter or use "
+            "connected_components_two_phase for deep components"
         )
     return labels
+
+
+def connected_components_two_phase(edges: DataFrame, src: str = "src",
+                                   dst: str = "dst",
+                                   max_iter: int = 25) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond') -- the web-scale
+    upgrade over min-label propagation: rounds needed are
+    O(log^2 diameter) rather than O(diameter), so deep/chained
+    components (exactly what near-dup graphs degenerate into when a
+    template document links long chains) converge in a handful of
+    rounds.
+
+    Each round rewrites the edge set:
+    - large-star: for every node u, connect each strictly-larger
+      neighbor v > u to m = min(neighborhood(u) + u). Breaks tall
+      stars apart without losing connectivity.
+    - small-star: connect each neighbor v <= u (and u) to m. Flattens
+      everything onto local minima.
+    Both are one groupBy per round over (node -> neighbors); no
+    per-node state table, and skewed high-degree nodes are handled by
+    the aggregation's map-side combine rather than a hot join key.
+
+    Returns (id, comp) = min node id of each component, identical to
+    connected_components (equivalence is regression-tested)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # canonical undirected edge set, no self loops
+    e = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("a").alias("id")).union(
+        e.select(F.col("b").alias("id"))
+    ).distinct().localCheckpoint()
+
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # large-star: per node u, m = min(min neighbor, u); emit (v, m)
+        # for neighbors v > u
+        grouped = sym.groupBy("a").agg(
+            F.collect_list("b").alias("nbrs"), F.min("b").alias("min_nbr")
+        )
+        m = F.least(F.col("a"), F.col("min_nbr"))
+        large = (
+            grouped.select("a", m.alias("m"), F.explode("nbrs").alias("v"))
+            .filter(F.col("v") > F.col("a"))
+            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star on the large-star output
+        sym2 = large.union(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        grouped2 = sym2.groupBy("a").agg(
+            F.collect_list("b").alias("nbrs"), F.min("b").alias("min_nbr")
+        )
+        m2 = F.least(F.col("a"), F.col("min_nbr"))
+        new_e = (
+            grouped2.select("a", m2.alias("m"), F.explode("nbrs").alias("v"))
+            .filter(F.col("v") <= F.col("a"))
+            .select(F.least("v", "m").alias("na"), F.greatest("v", "m").alias("nb"))
+            .union(grouped2.select(m2.alias("na"), F.col("a").alias("nb")))
+            .filter(F.col("na") != F.col("nb"))
+            .select(F.col("na").alias("a"), F.col("nb").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when every edge points at a root: edge sets equal
+        if new_e.exceptAll(e).limit(1).count() == 0 and \
+                e.exceptAll(new_e).limit(1).count() == 0:
+            e = new_e
+            break
+        e = new_e
+    else:
+        raise RuntimeError(
+            f"two-phase connected components did not converge in "
+            f"{max_iter} rounds"
+        )
+    # at fixpoint every edge is (root, member); roots label themselves
+    labels = e.select(F.col("b").alias("id"), F.col("a").alias("comp"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )

@@ -257,3 +257,39 @@ def test_native_failfast_malformed_bool(spark, tmp_path):
 
     with pytest.raises((PySparkException, Py4JJavaError)):
         dx.read_releases(spark, str(p), mode="FAILFAST").collect()
+
+
+def test_two_phase_cc_matches_min_label(spark):
+    """large-star/small-star must produce the same component labeling
+    as min-label propagation on path, star, clique, and random graphs
+    (incl. the deep-path case where min-label needs diameter rounds but
+    two-phase needs O(log^2 d))."""
+    import random
+
+    from discogs_xml_to_parquet_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(7)
+    cases = {
+        "path": [(i, i + 1) for i in range(12)],
+        "star": [(0, i) for i in range(1, 10)],
+        "clique": [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        "random": [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(30)
+        ],
+        "two_comps": [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)],
+    }
+    for name, pairs in cases.items():
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        base = {
+            (r.id, r.comp) for r in connected_components(edges).collect()
+        }
+        two = {
+            (r.id, r.comp)
+            for r in connected_components_two_phase(edges).collect()
+        }
+        assert two == base, f"{name}: {sorted(two)} != {sorted(base)}"
+        assert len(two) > 0
