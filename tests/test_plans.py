@@ -142,3 +142,22 @@ def test_embedding_lsh_dedup_plan_has_no_theta_join(spark):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_probe_broadcasts_query_set(spark):
+    """Multi-probe ANN search must broadcast the (tiny) probe set into
+    the corpus scan -- shuffling the corpus for 5 queries would be
+    absurd at scale."""
+    df = registry.QUERIES["q_ann_lsh_probe"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_is_equi_hash_join(spark):
+    """The salted join must remain a hash equi-join on (key, salt);
+    salting must never degrade the join strategy."""
+    df = registry.QUERIES["q_skew_salted_join"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
