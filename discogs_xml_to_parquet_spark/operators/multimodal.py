@@ -87,3 +87,66 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("resized", T.BinaryType()),
+    T.StructField("out_bytes", T.LongType()),
+])
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 4096) -> DataFrame:
+    """'Resize' stage: 1:1 mapInPandas producing a transformed binary
+    column (payload truncated to target_bytes -- the deterministic
+    stand-in; a real build calls PIL's resize here). Demonstrates the
+    binary-in/binary-out batch shape: the output column stays opaque
+    binary with a size column alongside, so downstream stages keep
+    planning relationally. For fat rows, tune
+    spark.sql.execution.arrow.maxRecordsPerBatch down so a batch of
+    decoded frames fits executor memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p[:target_bytes]) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "resized": resized,
+                "out_bytes": [len(r) for r in resized],
+            })
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_no", T.IntegerType()),
+    T.StructField("frame_bytes", T.LongType()),
+    T.StructField("frame_md5", T.StringType()),
+])
+
+
+def sample_frames(df: DataFrame, frame_size: int = 256,
+                  stride: int = 4) -> DataFrame:
+    """'Frame-sample' stage: 1:N mapInPandas -- each payload is chopped
+    into fixed-size frames and every stride-th frame is emitted as its
+    own row (the video-keyframe access pattern; a real build runs
+    ffmpeg keyframe extraction here). Demonstrates the expanding batch
+    shape: mapInPandas output cardinality is independent of input
+    cardinality, declared only by schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_bytes": [],
+                   "frame_md5": []}
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(p) + frame_size - 1) // frame_size
+                for f_no in range(0, n_frames, stride):
+                    frame = bytes(p[f_no * frame_size:(f_no + 1) * frame_size])
+                    out["doc_id"].append(i)
+                    out["frame_no"].append(f_no)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -11,6 +11,8 @@ from discogs_xml_to_parquet_spark.operators.asof import asof_join
 from discogs_xml_to_parquet_spark.operators.multimodal import (
     attach_payload,
     extract_features,
+    resize_payloads,
+    sample_frames,
 )
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load, load_spread
@@ -91,3 +93,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     source."""
     d = load_spread(spark, sf_dir, "documents")
     return extract_features(attach_payload(d)).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(length(substring(text, 1, 4096)) AS BIGINT) AS out_bytes,
+       md5(substring(text, 1, 4096)) AS resized_md5
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the multimodal pipeline: binary-in/binary-out
+    mapInPandas (operators/multimodal.py resize_payloads -- the
+    deterministic truncation stand-in for PIL resize). The oracle
+    recomputes the transform relationally on the ASCII source text, so
+    the Arrow round trip of the binary column is value-checked via its
+    md5."""
+    d = load_spread(spark, sf_dir, "documents")
+    resized = resize_payloads(attach_payload(d))
+    return resized.select(
+        "doc_id",
+        "out_bytes",
+        F.md5("resized").alias("resized_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, CAST(g.f_no AS INT) AS frame_no,
+         substring(text, g.f_no * 256 + 1, 256) AS frame
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(ceil(length(text) / 256.0) AS BIGINT) - 1)) AS f_no) g
+  WHERE g.f_no % 4 = 0
+)
+SELECT doc_id, frame_no,
+       CAST(length(frame) AS BIGINT) AS frame_bytes,
+       md5(frame) AS frame_md5
+FROM f
+ORDER BY doc_id, frame_no
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage: 1:N mapInPandas emitting every 4th
+    256-byte frame per payload (operators/multimodal.py sample_frames
+    -- the keyframe-extraction access pattern with a deterministic
+    chop stand-in). Output cardinality is decoupled from input
+    cardinality; the oracle rebuilds the same frames with a lateral
+    series."""
+    d = load_spread(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(d)).orderBy("doc_id", "frame_no")
