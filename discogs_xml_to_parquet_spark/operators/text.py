@@ -108,3 +108,50 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.array_min(hashed).alias("min_shingle_md5"),
         F.array_max(hashed).alias("max_shingle_md5"),
     )
+
+
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647  # 2^31 - 1
+ROLL_K = 4       # character window
+WINNOW_W = 8     # windows per winnowing block
+
+
+def rolling_window_hashes(text: Column, k: int = ROLL_K,
+                          base: int = ROLL_BASE,
+                          mod: int = ROLL_MOD) -> Column:
+    """Rabin-Karp window hashes: the polynomial hash of every k-char
+    window, h_i = sum_j code(c_{i+j}) * base^(k-1-j) mod m, as
+    array<bigint>. Built by Horner-composing k shifted slices of the
+    char-code array (the same sliced-zip discipline as word_shingles:
+    the slices are zip_with *arguments*, evaluated once per row -- an
+    element_at-in-lambda formulation would re-split the text per
+    element). The sequential add-one-drop-one recurrence is a
+    single-thread optimization; the declarative per-window polynomial
+    is what parallelizes."""
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("bigint"))
+    n = F.greatest(F.size(codes) - (k - 1), F.lit(0))
+    parts = [F.slice(codes, j + 1, n) for j in range(k)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda a, b: a * base + b)
+    return F.transform(z, lambda h: h % mod)
+
+
+def winnow_select(hashes: Column, w: int = WINNOW_W) -> Column:
+    """Winnowing selection: the minimum hash of each w-window block
+    (array<bigint>, one element per block). Documents sharing a long
+    substring share selected hashes, so equal block-mins are plagiarism
+    /near-dup evidence at character granularity -- the standard
+    winnowing fingerprint (Schleimer et al.). IMPORTANT: `hashes` must
+    be a materialized column (repartition barrier), not an inline
+    expression -- the block lambda references it per block."""
+    n_blocks = F.ceil(F.size(hashes) / w).cast("int")
+    # guard: sequence(0, -1) would generate a DESCENDING [0, -1] for
+    # empty inputs, not an empty list
+    return F.when(
+        n_blocks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda b: F.array_min(F.slice(hashes, b * w + 1, F.lit(w))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))

@@ -163,3 +163,51 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row md5-fold compute over a single-file source."""
     d = load_spread(spark, sf_dir, "documents")
     return TX.fingerprint(d).orderBy("doc_id")
+
+
+@query(
+    "q_text_rolling_winnow",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 3, 0)), i ->
+           ((((ord(text[i]) * 31 + ord(text[i+1])) * 31 + ord(text[i+2])) * 31
+             + ord(text[i+3])) % 2147483647)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       len(hs) AS n_windows,
+       list_min(hs) AS min_hash,
+       CASE WHEN len(hs) = 0 THEN NULL ELSE
+         md5(list_aggregate(
+           list_transform(generate_series(0, CAST(ceil(len(hs) / 8.0) AS BIGINT) - 1),
+             b -> CAST(list_min(hs[b * 8 + 1 : b * 8 + 8]) AS VARCHAR)),
+           'string_agg', ','))
+       END AS winnow_md5
+FROM h
+ORDER BY doc_id
+""",
+)
+def q_text_rolling_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (Rabin-Karp 4-char window
+    polynomial + winnowing min-per-8-window selection, Schleimer et
+    al.) -- character-granular near-dup/plagiarism evidence, unlike the
+    word-shingle fingerprints. The winnowed selection is emitted as an
+    md5 over the block minimums so the whole selection is value-checked
+    cross-engine. Two selects with a repartition barrier between hash
+    computation and block selection (the block lambda references the
+    hash array per block -- the projection-collapse discipline)."""
+    d = load_spread(spark, sf_dir, "documents")
+    hs = d.select(
+        "doc_id", TX.rolling_window_hashes(F.col("text")).alias("hs")
+    ).repartition("doc_id")
+    sel = TX.winnow_select(F.col("hs"))
+    return hs.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_windows"),
+        F.array_min("hs").alias("min_hash"),
+        F.when(
+            F.size("hs") > 0,
+            F.md5(F.concat_ws(",", F.transform(sel, lambda x: x.cast("string")))),
+        ).alias("winnow_md5"),
+    ).orderBy("doc_id")
