@@ -155,3 +155,69 @@ def winnow_select(hashes: Column, w: int = WINNOW_W) -> Column:
             lambda b: F.array_min(F.slice(hashes, b * w + 1, F.lit(w))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _char_trigrams_of(word: str) -> set[str]:
+    p = f" {word} "
+    return {p[i:i + 3] for i in range(len(p) - 2)}
+
+
+# Per-language character-trigram profiles derived deterministically from
+# the stopword lists (word-boundary padded) -- the Cavnar-Trenkle-style
+# n-gram heuristic. Shared with the DuckDB oracle generator so both
+# engines score against identical profiles.
+TRIGRAM_PROFILES: dict[str, list[str]] = {
+    lang: sorted(set().union(*[_char_trigrams_of(w) for w in words]))
+    for lang, words in STOPWORDS.items()
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """Distinct character trigrams of ' '+lower(text)+' ' (array<string>),
+    built from three shifted slices of the char array zipped together --
+    same single-evaluation discipline as word_shingles."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    chars = F.split(padded, "")
+    n = F.greatest(F.size(chars) - 2, F.lit(0))
+    parts = [F.slice(chars, j + 1, n) for j in range(3)]
+    z = F.zip_with(parts[0], parts[1], lambda a, b: F.concat(a, b))
+    z = F.zip_with(z, parts[2], lambda a, b: F.concat(a, b))
+    return F.array_distinct(z)
+
+
+def language_id_ngram(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Character-n-gram language ID (the n-gram heuristic proper):
+    distinct doc trigrams explode-join the broadcast per-language
+    trigram profile; argmax distinct-trigram overlap per doc,
+    lexicographic tie-break, zero overlap -> 'und'. Same
+    explode-join-argmax scale shape as the stopword variant -- the
+    profile table is KB-sized, the corpus never shuffles whole rows."""
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(lang, g) for lang, grams in TRIGRAM_PROFILES.items() for g in grams],
+        "lang string, trigram string",
+    )
+    hits = (
+        df.select(
+            F.col(id_col), F.explode(char_trigrams(F.col(text_col))).alias("trigram")
+        )
+        .join(F.broadcast(prof), "trigram")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), "hits")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )

@@ -211,3 +211,51 @@ def q_text_rolling_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(",", F.transform(sel, lambda x: x.cast("string")))),
         ).alias("winnow_md5"),
     ).orderBy("doc_id")
+
+
+_TRIGRAM_ROWS = ",\n  ".join(
+    "('{}', '{}')".format(lang, g.replace("'", "''"))
+    for lang, grams in TX.TRIGRAM_PROFILES.items()
+    for g in grams
+)
+
+
+@query(
+    "q_text_langid_ngram",
+    oracle=f"""
+WITH prof(lang, trigram) AS (VALUES
+  {_TRIGRAM_ROWS}
+),
+doc_grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(' ' || lower(text) || ' ') - 2, 0)),
+           i -> substring(' ' || lower(text) || ' ', i, 3)))) AS trigram
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, COUNT(*) AS hits
+  FROM doc_grams JOIN prof USING (trigram)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rk
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.pred_lang, 'und') AS pred_lang,
+       COALESCE(b.hits, 0) AS hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle-style n-gram
+    heuristic, complementing the word-level stopword variant): distinct
+    doc trigrams join the broadcast per-language trigram profiles
+    (derived deterministically from the stopword lists, shared with the
+    oracle), argmax overlap per doc."""
+    d = load(spark, sf_dir, "documents")
+    return TX.language_id_ngram(d).orderBy("doc_id")
