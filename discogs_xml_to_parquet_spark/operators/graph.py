@@ -49,6 +49,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         .localCheckpoint()
     )
 
+    changed = -1  # max_iter <= 0 must hit the non-convergence raise
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -106,19 +107,22 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
 
     Returns (id, comp) = min node id of each component, identical to
     connected_components (equivalence is regression-tested)."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node set from RAW edges, before the self-loop filter: a node whose
+    # only edge is a self-loop must still appear in the output (as its
+    # own component), matching connected_components
+    nodes = raw.select(F.col("a").alias("id")).union(
+        raw.select(F.col("b").alias("id"))
+    ).distinct().localCheckpoint()
     # canonical undirected edge set, no self loops
     e = (
-        e.filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
         .localCheckpoint()
     )
-    nodes = e.select(F.col("a").alias("id")).union(
-        e.select(F.col("b").alias("id"))
-    ).distinct().localCheckpoint()
 
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -153,9 +157,13 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
             .distinct()
             .localCheckpoint()
         )
-        # converged when every edge points at a root: edge sets equal
-        if new_e.exceptAll(e).limit(1).count() == 0 and \
-                e.exceptAll(new_e).limit(1).count() == 0:
+        # converged when every edge points at a root: edge sets equal.
+        # Both sides are distinct canonical sets, so equal counts plus
+        # one empty difference proves equality -- the count precheck
+        # (narrow job over checkpointed data) short-circuits the wide
+        # exceptAll for every non-final round
+        if new_e.count() == e.count() and \
+                new_e.exceptAll(e).limit(1).count() == 0:
             e = new_e
             break
         e = new_e

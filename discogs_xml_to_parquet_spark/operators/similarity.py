@@ -50,6 +50,25 @@ def planes_sql() -> str:
     return f"(VALUES\n  {rows}\n) AS planes(p, plane)"
 
 
+def lsh_bucket_norm_sql() -> str:
+    """The bits/bk/n CTE block (vec_id, bucket, v, nrm) shared by every
+    bucket-computing oracle -- expects a preceding CTE `e(vec_id, v)`.
+    One definition so the three LSH oracles (buckets, probe, embedding
+    dedup) can never silently diverge from each other."""
+    return f"""bits AS (
+  SELECT vec_id, p,
+         CASE WHEN list_sum(list_transform(list_zip(v, plane), s -> s[1] * s[2])) >= 0
+              THEN (1 << p) ELSE 0 END AS bit
+  FROM e, {planes_sql()}
+),
+bk AS (SELECT vec_id, CAST(SUM(bit) AS INT) AS bucket FROM bits GROUP BY vec_id),
+n AS (
+  SELECT e.vec_id, bucket, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e JOIN bk ON e.vec_id = bk.vec_id
+)"""
+
+
 def with_lsh_bucket(df: DataFrame, vec_col: str = "v",
                     bucket_col: str = "bucket") -> DataFrame:
     """Add the hyperplane-LSH bucket id: bit p = (v . plane_p >= 0),

@@ -133,8 +133,11 @@ def rolling_window_hashes(text: Column, k: int = ROLL_K,
     parts = [F.slice(codes, j + 1, n) for j in range(k)]
     z = parts[0]
     for p in parts[1:]:
-        z = F.zip_with(z, p, lambda a, b: a * base + b)
-    return F.transform(z, lambda h: h % mod)
+        # reduce INSIDE the fold: the accumulator stays < mod, so the
+        # next step is bounded by mod * base + 127 << 2^63 for any k
+        # (an end-only mod overflows int64 from k ~ 13)
+        z = F.zip_with(z, p, lambda a, b: (a * base + b) % mod)
+    return z
 
 
 def winnow_select(hashes: Column, w: int = WINNOW_W) -> Column:

@@ -523,18 +523,7 @@ def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-bits AS (
-  SELECT vec_id, p,
-         CASE WHEN list_sum(list_transform(list_zip(v, plane), s -> s[1] * s[2])) >= 0
-              THEN (1 << p) ELSE 0 END AS bit
-  FROM e, {S.planes_sql()}
-),
-bk AS (SELECT vec_id, CAST(SUM(bit) AS INT) AS bucket FROM bits GROUP BY vec_id),
-n AS (
-  SELECT e.vec_id, bucket, v,
-         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-  FROM e JOIN bk ON e.vec_id = bk.vec_id
-),
+{S.lsh_bucket_norm_sql()},
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))

@@ -60,15 +60,8 @@ _planes_sql = S.planes_sql
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-bits AS (
-  SELECT vec_id, p,
-         CASE WHEN list_sum(list_transform(list_zip(v, plane), s -> s[1] * s[2])) >= 0
-              THEN (1 << p) ELSE 0 END AS bit
-  FROM e, {_planes_sql()}
-)
-SELECT vec_id, CAST(SUM(bit) AS INT) AS bucket
-FROM bits
-GROUP BY vec_id
+{S.lsh_bucket_norm_sql()}
+SELECT vec_id, bucket FROM n
 ORDER BY vec_id
 """,
 )
@@ -255,17 +248,7 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-bits AS (
-  SELECT vec_id, p,
-         CASE WHEN list_sum(list_transform(list_zip(v, plane), s -> s[1] * s[2])) >= 0
-              THEN (1 << p) ELSE 0 END AS bit
-  FROM e, {_planes_sql()}
-),
-bk AS (SELECT vec_id, CAST(SUM(bit) AS INT) AS bucket FROM bits GROUP BY vec_id),
-n AS (
-  SELECT e.vec_id, bucket, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-  FROM e JOIN bk ON e.vec_id = bk.vec_id
-),
+{S.lsh_bucket_norm_sql()},
 probes AS (
   SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm,
          unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),

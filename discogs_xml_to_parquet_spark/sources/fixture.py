@@ -111,6 +111,14 @@ def write_synthetic_releases(dir_path: str, n_releases: int,
     marker = os.path.join(dir_path, f".done-{n_releases}-{n_files}-{start_id}")
     if os.path.exists(marker):
         return dir_path
+    # remove stale output from any previous parameter combination: a
+    # glob reader over the dir must see exactly this corpus, never a
+    # mix (e.g. an old n_files=4 write leaving releases-2/3 behind)
+    import glob as _glob
+
+    for old in _glob.glob(os.path.join(dir_path, "releases-*.xml.gz")) + \
+            _glob.glob(os.path.join(dir_path, ".done-*")):
+        os.remove(old)
     per = n_releases // n_files
     rid = start_id
     for f_no in range(n_files):

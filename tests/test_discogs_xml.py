@@ -293,3 +293,22 @@ def test_two_phase_cc_matches_min_label(spark):
         }
         assert two == base, f"{name}: {sorted(two)} != {sorted(base)}"
         assert len(two) > 0
+
+
+def test_two_phase_cc_keeps_self_loop_nodes(spark):
+    """A node whose only edge is a self-loop must still appear (as its
+    own component) -- both CC variants, same output."""
+    from discogs_xml_to_parquet_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2)], "src long, dst long"
+    )
+    base = {(r.id, r.comp) for r in connected_components(edges).collect()}
+    two = {
+        (r.id, r.comp)
+        for r in connected_components_two_phase(edges).collect()
+    }
+    assert two == base == {(5, 5), (1, 1), (2, 1)}
