@@ -568,3 +568,86 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.30)
         .orderBy("id1", "id2")
     )
+
+
+@query(
+    "q_curation_keep_best",
+    oracle=_MINHASH_VERIFIED_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM near_dups
+  UNION
+  SELECT id2, id1 FROM near_dups
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+labeled AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component,
+         (len(list_distinct(string_split(d.text, ' ')))
+            / len(string_split(d.text, ' '))
+          + least(len(string_split(d.text, ' ')) / 50.0, 1.0)) / 2 AS quality_score
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                               ORDER BY quality_score DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY component) AS n_members
+  FROM labeled
+)
+SELECT component, doc_id AS keep_id, n_members, quality_score AS best_quality
+FROM ranked WHERE rk = 1
+ORDER BY component
+""",
+)
+def q_curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline these operators exist for,
+    composed in one declarative plan: MinHash-LSH near-dup pairs ->
+    connected components (dedup groups) -> per-doc quality score ->
+    keep the highest-quality member of each group (tie-break min
+    doc_id). Output: one row per surviving document with its group
+    size. Every stage is the scale-path variant (banded LSH candidates,
+    iterative CC, per-row quality arithmetic); the oracle rebuilds the
+    whole chain -- signatures, transitive closure, quality argmax --
+    relationally in DuckDB."""
+    from discogs_xml_to_parquet_spark.operators.text import (
+        quality_score,
+        token_stats,
+    )
+    from pyspark.sql import Window as W
+
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    comp = G.connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    docs = load(spark, sf_dir, "documents")
+    labeled = (
+        quality_score(token_stats(docs))
+        .select("doc_id", "quality_score")
+        .join(comp, F.col("doc_id") == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+            "quality_score",
+        )
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wc = W.partitionBy("component")
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            "n_members",
+            F.col("quality_score").alias("best_quality"),
+        )
+        .orderBy("component")
+    )
