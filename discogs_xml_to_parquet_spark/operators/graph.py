@@ -101,9 +101,13 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
       stars apart without losing connectivity.
     - small-star: connect each neighbor v <= u (and u) to m. Flattens
       everything onto local minima.
-    Both are one groupBy per round over (node -> neighbors); no
-    per-node state table, and skewed high-degree nodes are handled by
-    the aggregation's map-side combine rather than a hot join key.
+    Per round each phase is a groupBy("a").agg(min("b")) -- which DOES
+    combine map-side, so a star root costs one number per map task --
+    joined back to the edge list to emit (v, m) per edge. No neighbor
+    array is ever materialized (a collect_list would put an entire
+    component's neighborhood into one reducer row for star roots --
+    ADVICE r2); the residual hot spot is join skew on the root's key,
+    which AQE's skew-join splitting handles.
 
     Returns (id, comp) = min node id of each component, identical to
     connected_components (equivalence is regression-tested)."""
@@ -127,15 +131,18 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # large-star: per node u, m = min(min neighbor, u); emit (v, m)
-        # for neighbors v > u
-        grouped = sym.groupBy("a").agg(
-            F.collect_list("b").alias("nbrs"), F.min("b").alias("min_nbr")
-        )
+        # for neighbors v > u. min() combines map-side; the per-edge
+        # fan-out comes from joining the scalar m back to the edges, so
+        # no task ever holds a whole neighborhood (ADVICE r2).
+        mins = sym.groupBy("a").agg(F.min("b").alias("min_nbr"))
         m = F.least(F.col("a"), F.col("min_nbr"))
         large = (
-            grouped.select("a", m.alias("m"), F.explode("nbrs").alias("v"))
-            .filter(F.col("v") > F.col("a"))
-            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.least(F.col("b"), m).alias("a"),
+                F.greatest(F.col("b"), m).alias("b"),
+            )
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
@@ -143,15 +150,16 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
         sym2 = large.union(
             large.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        grouped2 = sym2.groupBy("a").agg(
-            F.collect_list("b").alias("nbrs"), F.min("b").alias("min_nbr")
-        )
+        mins2 = sym2.groupBy("a").agg(F.min("b").alias("min_nbr"))
         m2 = F.least(F.col("a"), F.col("min_nbr"))
         new_e = (
-            grouped2.select("a", m2.alias("m"), F.explode("nbrs").alias("v"))
-            .filter(F.col("v") <= F.col("a"))
-            .select(F.least("v", "m").alias("na"), F.greatest("v", "m").alias("nb"))
-            .union(grouped2.select(m2.alias("na"), F.col("a").alias("nb")))
+            sym2.join(mins2, "a")
+            .filter(F.col("b") <= F.col("a"))
+            .select(
+                F.least(F.col("b"), m2).alias("na"),
+                F.greatest(F.col("b"), m2).alias("nb"),
+            )
+            .union(mins2.select(m2.alias("na"), F.col("a").alias("nb")))
             .filter(F.col("na") != F.col("nb"))
             .select(F.col("na").alias("a"), F.col("nb").alias("b"))
             .distinct()

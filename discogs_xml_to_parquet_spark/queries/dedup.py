@@ -424,6 +424,7 @@ _SIMHASH64_CTES = f"""
 WITH tk AS (
   SELECT doc_id, list_transform(string_split(text, ' '), s -> [{_H32}, {_H32B}]) AS vs
   FROM documents
+  WHERE text IS NOT NULL
 ),
 sums AS (
   SELECT doc_id, list_transform(generate_series(0, 63), j ->
@@ -477,8 +478,13 @@ def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct so the dedup exchange carries matches, not candidates.
     q_dedup_simhash_pairs remains as the bounded all-pairs recall
     baseline. Skew: exact-duplicate documents share fingerprints and
-    pile into one bucket -- run exact dedup first."""
-    d = load_spread(spark, sf_dir, "documents")
+    pile into one bucket -- run exact dedup first. NULL text is
+    filtered identically on both sides (ADVICE r2: DuckDB's CASE would
+    otherwise collapse NULL vote sums to band 0 while Spark's NULL
+    bands drop out of the equi-join)."""
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     # repartition = materialization barrier: without it the 64-slot
     # vote fold inlines into each of the 4 band expressions
     sums = d.select(

@@ -107,14 +107,24 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_dedup_face",
     oracle="""
-SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+WITH ranked AS (
+  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w,
+         user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                                         user_id, event_type
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                                     user_id, event_type) AS cnt
+  FROM events
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
        user_id,
        event_type,
-       arg_min(event_id, CAST(ts AS TIMESTAMP)) AS first_event_id,
-       strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_ts,
-       COUNT(*) - 1 AS n_collapsed
-FROM events
-GROUP BY 1, 2, 3
+       event_id AS first_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+       cnt - 1 AS n_collapsed
+FROM ranked
+WHERE rn = 1
 ORDER BY 1, 2, 3
 """,
 )
@@ -122,8 +132,9 @@ def q_stream_dedup_face(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup per (user, event_type, 5-min window): the batch
     face of dropDuplicatesWithinWatermark-style stream dedup
     (tests/test_streaming.py::test_drop_duplicates_within_watermark
-    drives the true streaming path). (ts, event_id) is unique per key
-    in this data, so DuckDB's single-key arg_min matches Spark's
-    struct-ordered min_by exactly."""
+    drives the true streaming path). The oracle ranks explicitly by
+    (ts, event_id) -- the same composite tie-break as Spark's
+    min_by(event_id, struct(ts, event_id)) -- so a shared ts between
+    two events in one group cannot make the hash flake (ADVICE r2)."""
     e = load(spark, sf_dir, "events")
     return dedup_first(e).orderBy("window_start", "user_id", "event_type")

@@ -106,30 +106,37 @@ def write_synthetic_releases(dir_path: str, n_releases: int,
                              n_files: int = 4, start_id: int = 1) -> str:
     """Deterministic n_releases-row Discogs-shaped corpus split over
     n_files .xml.gz files (idempotent). Exercises every parse branch at
-    volume; one scan task per file, like the reference x N processes."""
-    os.makedirs(dir_path, exist_ok=True)
-    marker = os.path.join(dir_path, f".done-{n_releases}-{n_files}-{start_id}")
-    if os.path.exists(marker):
-        return dir_path
-    # remove stale output from any previous parameter combination: a
-    # glob reader over the dir must see exactly this corpus, never a
-    # mix (e.g. an old n_files=4 write leaving releases-2/3 behind)
-    import glob as _glob
+    volume; one scan task per file, like the reference x N processes.
 
-    for old in _glob.glob(os.path.join(dir_path, "releases-*.xml.gz")) + \
-            _glob.glob(os.path.join(dir_path, ".done-*")):
-        os.remove(old)
+    Returns a params-keyed SUBDIRECTORY of dir_path. The corpus is
+    built in a unique temp dir and atomically renamed into place, so a
+    concurrent reader (parallel pytest worker, second driver) can never
+    glob a partially-written or mixed-parameter corpus (ADVICE r2); a
+    losing concurrent writer discards its build and reads the winner's.
+    """
+    import shutil
+    import tempfile as _tempfile
+
+    corpus = os.path.join(
+        dir_path, f"n{n_releases}-f{n_files}-s{start_id}"
+    )
+    if os.path.isdir(corpus):
+        return corpus
+    os.makedirs(dir_path, exist_ok=True)
+    build = _tempfile.mkdtemp(dir=dir_path, prefix=".build-")
     per = n_releases // n_files
     rid = start_id
     for f_no in range(n_files):
         count = per if f_no < n_files - 1 else n_releases - per * (n_files - 1)
-        fp = os.path.join(dir_path, f"releases-{f_no}.xml.gz")
-        with gzip.open(fp + ".tmp", "wt", encoding="utf-8") as f:
+        fp = os.path.join(build, f"releases-{f_no}.xml.gz")
+        with gzip.open(fp, "wt", encoding="utf-8") as f:
             f.write("<releases>\n")
             for _ in range(count):
                 f.write(_release_xml(rid))
                 rid += 1
             f.write("</releases>\n")
-        os.replace(fp + ".tmp", fp)
-    open(marker, "w").close()
-    return dir_path
+    try:
+        os.rename(build, corpus)  # atomic publish; fails if target exists
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)  # lost the race
+    return corpus

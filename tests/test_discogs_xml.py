@@ -200,8 +200,8 @@ def test_multi_file_parallel_scan(spark, tmp_path):
         write_synthetic_releases,
     )
 
-    d = str(tmp_path / "multi")
-    write_synthetic_releases(d, n_releases=200, n_files=4)
+    d = write_synthetic_releases(str(tmp_path / "multi"), n_releases=200,
+                                 n_files=4)
     df = dx.read_releases(spark, d)
     assert df.count() == 200
     n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
@@ -218,8 +218,8 @@ def test_strict_matches_native_at_volume(spark, tmp_path):
         write_synthetic_releases,
     )
 
-    d = str(tmp_path / "vol")
-    write_synthetic_releases(d, n_releases=300, n_files=2)
+    d = write_synthetic_releases(str(tmp_path / "vol"), n_releases=300,
+                                 n_files=2)
     native = {tuple(map(str, r)) for r in dx.read_releases(spark, d).collect()}
     strict = {
         tuple(map(str, r))
