@@ -80,7 +80,7 @@ SELECT
   CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
   CAST(GROUPING(l_linestatus) AS INT) AS g_status,
   COUNT(*) AS n_rows,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+  CAST(SUM(CAST(floor((l_quantity) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY g_flag, g_status, l_returnflag, l_linestatus
@@ -112,7 +112,7 @@ SELECT
   CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
   CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+  CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority

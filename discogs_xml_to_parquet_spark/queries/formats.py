@@ -35,7 +35,7 @@ def _out(sf_dir: str, tag: str) -> str:
     oracle="""
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+       CAST(SUM(CAST(floor((c_acctbal) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_acctbal
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -74,7 +74,7 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_price,
        MIN(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')) AS first_date
 FROM orders
 GROUP BY o_orderpriority

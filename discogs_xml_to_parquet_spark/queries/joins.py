@@ -28,7 +28,7 @@ from discogs_xml_to_parquet_spark.tables import load
     oracle="""
 SELECT
   n_name,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -84,7 +84,7 @@ SELECT
   c_custkey,
   c_mktsegment,
   COUNT(o_orderkey) AS n_orders,
-  CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
+  CAST(SUM(CAST(floor((COALESCE(o_totalprice, 0)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS total_spent
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
@@ -173,7 +173,7 @@ PRICE_BANDS = [
 SELECT
   b.band,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS band_total
+  CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS band_total
 FROM orders
 JOIN (VALUES
   ('small', 0.0, 100000.0),
@@ -256,7 +256,7 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(floor((e.value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment

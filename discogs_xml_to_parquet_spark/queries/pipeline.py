@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import DEC
+from discogs_xml_to_parquet_spark.functions.exact import dsum, scaled, unscale
 from discogs_xml_to_parquet_spark.operators import dedup as D
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load, load_spread
@@ -62,7 +62,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(floor((l_quantity) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_qty
 FROM lineitem
 WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
                     || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
@@ -84,7 +84,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            dsum("l_quantity").alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -155,7 +155,7 @@ def q_dedup_span_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -164,17 +164,17 @@ ORDER BY 1, 2
 def q_rollup_reuse_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate reuse (the hypertable rollup pattern): the
     daily aggregate is computed FROM the hourly partial aggregate --
-    counts sum, decimal sums sum -- never from raw rows. The oracle
+    counts sum, integer-scaled exact sums sum -- never from raw rows. The oracle
     aggregates the raw table directly, so the hash proves the partials
-    compose losslessly (decimal addition is associative; double sums
-    would not be). At 100 TB this is the difference between scanning a
+    compose losslessly (scaled-integer addition is associative; double
+    sums would not be). At 100 TB this is the difference between scanning a
     day of raw events and scanning 24 pre-aggregated rows per key."""
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("c"),
-        F.sum(F.col("value").cast(DEC)).alias("v"),  # stay decimal
+        F.sum(scaled("value").cast("decimal(38,0)")).alias("v"),  # exact partial
     )
     return (
         hourly.groupBy(
@@ -185,7 +185,7 @@ def q_rollup_reuse_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("c").alias("n_events"),
-            F.sum("v").cast("double").alias("total_value"),
+            unscale(F.sum("v")).alias("total_value"),
         )
         .orderBy("day", "event_type")
     )

@@ -30,7 +30,7 @@ WITH p AS (
 SELECT p.event_id,
        p.user_id,
        COUNT(e.event_id) AS n_prior,
-       COALESCE(CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE), 0.0)
+       COALESCE(CAST(SUM(CAST(floor((e.value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000, 0.0)
          AS prior_value
 FROM p
 LEFT JOIN events e

@@ -22,13 +22,13 @@ FLAGSHIP_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM(CAST(floor((l_quantity) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_qty,
+  CAST(SUM(CAST(floor((l_extendedprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_base_price,
+  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_disc_price,
+  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+  CAST(SUM(CAST(floor((l_quantity) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(floor((l_extendedprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(floor((l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -112,7 +112,7 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   o_orderkey,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
   STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -181,7 +181,7 @@ def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_returnflag,
   COUNT(*) AS n_rows,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+  CAST(SUM(CAST(floor((l_quantity) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag

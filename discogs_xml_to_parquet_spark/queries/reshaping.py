@@ -20,9 +20,9 @@ SELECT o_orderpriority,
        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
        COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_F,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_O,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS total_P
+       CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 1000000 AS total_F,
+       CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 1000000 AS total_O,
+       CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 1000000 AS total_P
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

@@ -71,7 +71,7 @@ SELECT
   EXTRACT(year FROM o_orderdate) AS order_year,
   EXTRACT(quarter FROM o_orderdate) AS order_quarter,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS month_revenue,
+  CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS month_revenue,
   MIN(STRFTIME(o_orderdate, '%Y-%m-%d')) AS first_day,
   MAX(DATEDIFF('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')) AS max_days_to_2002
 FROM orders

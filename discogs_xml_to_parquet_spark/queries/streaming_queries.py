@@ -24,7 +24,7 @@ SELECT
   strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+  CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -58,7 +58,7 @@ SELECT user_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+       CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS session_value
 FROM sessions
 GROUP BY user_id, session_no
 ORDER BY user_id, session_start
@@ -89,7 +89,7 @@ SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(window_start + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
 FROM ex
 GROUP BY 1, 2, 3
 ORDER BY 1, 3

@@ -15,7 +15,7 @@ from discogs_xml_to_parquet_spark.tables import load
     "q10_returned_items",
     oracle="""
 SELECT c_custkey, c_name, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -53,9 +53,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle="""
 SELECT
-  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+  100.0 * (CAST(SUM(CAST(floor((CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000)
+        / (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000)
     AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

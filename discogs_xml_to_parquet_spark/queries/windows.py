@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import DEC
+from discogs_xml_to_parquet_spark.functions.exact import scaled, unscale
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -60,7 +60,7 @@ SELECT
   user_id,
   event_id,
   event_type,
-  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS running_total,
+  CAST(SUM(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1000000 AS running_total,
   LAG(event_type) OVER w AS prev_type,
   LEAD(event_type) OVER w AS next_type,
   ROW_NUMBER() OVER w AS seq
@@ -81,9 +81,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "event_type",
-            F.sum(F.col("value").cast(DEC)).over(
+            unscale(F.sum(scaled("value").cast("decimal(38,0)")).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ).cast("double").alias("running_total"),
+            )).alias("running_total"),
             F.lag("event_type").over(w).alias("prev_type"),
             F.lead("event_type").over(w).alias("next_type"),
             F.row_number().over(w).alias("seq"),
@@ -100,7 +100,7 @@ SELECT
   o_orderkey,
   day_no,
   COUNT(*) OVER w AS orders_30d,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS spend_30d
+  CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1000000 AS spend_30d
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no
@@ -134,7 +134,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "day_no",
             F.count(F.lit(1)).over(w).alias("orders_30d"),
-            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("spend_30d"),
+            unscale(F.sum(scaled("o_totalprice").cast("decimal(38,0)")).over(w)).alias("spend_30d"),
         )
         .orderBy("o_custkey", "day_no", "o_orderkey")
     )

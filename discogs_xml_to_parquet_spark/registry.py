@@ -9,10 +9,12 @@ but cell-exactly):
 
 - Alias every computed column identically in Spark and SQL.
 - Never output raw floating aggregates of doubles: sum/avg of doubles is
-  order-dependent across engines. Instead cast each addend to
-  DECIMAL(38,6) (a deterministic per-row rounding), aggregate exactly in
-  decimal, and cast the final value back to double -- bit-identical in
-  both engines regardless of aggregation order.
+  order-dependent across engines. Instead round each addend to a scaled
+  64-bit integer, floor(x * 1e6 + 0.5) (correctly-rounded IEEE ops,
+  engine-independent), aggregate exactly (decimal(38,0) accumulator /
+  DuckDB HUGEINT -- no overflow at scale), and unscale the final value
+  to double -- bit-identical in both engines regardless of aggregation
+  order. Use functions/exact.py dsum/davg and their documented mirrors.
 - Never output raw timestamps; format to 'yyyy-MM-dd[ HH:mm:ss]' strings.
 - Break all ordering ties with a unique key before any limit/rank.
 """

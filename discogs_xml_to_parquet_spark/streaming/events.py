@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import DEC
+from discogs_xml_to_parquet_spark.functions.exact import dsum
 
 
 def tumbling_agg(events: DataFrame, width: str = "5 minutes") -> DataFrame:
@@ -35,7 +35,7 @@ def tumbling_agg(events: DataFrame, width: str = "5 minutes") -> DataFrame:
         events.groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -55,7 +55,7 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         events.groupBy(F.session_window("ts", gap), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+            dsum("value").alias("session_value"),
         )
         .select(
             "user_id",
@@ -78,7 +78,7 @@ def sliding_agg(events: DataFrame, width: str = "10 minutes",
         events.groupBy(F.window("ts", width, slide), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
