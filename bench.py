@@ -45,6 +45,11 @@ HEADLINE = [
     "q_dedup_simhash_banded",
     "q_fuzzy_blocked",
     "q_dedup_embedding_lsh",
+    # round-3 curation additions: decontamination, quality filtering,
+    # and the k-means update (broadcast-assign + scaled-exact means)
+    "q_decontaminate_ngram",
+    "q_quality_gopher_filter",
+    "q_kmeans_update",
 ]
 
 

@@ -1,0 +1,209 @@
+"""Gopher-style repetition and heuristic quality filters over the
+corpus -- the rule family (Rae et al. 2021, "Scaling Language Models",
+table A1) every large-scale pretraining pipeline applies before
+training: word-count bounds, mean-word-length bounds, stopword
+presence, duplicate-word fraction, and most-frequent-n-gram fraction.
+
+Every metric is integer-derived (counts, integer `div` ratios scaled to
+ppm), so Spark and DuckDB agree bit-for-bit with no float discipline
+needed. Thresholds are tuned to the synthetic corpus so both the keep
+and drop sides are non-empty (round-1 lesson: a filter verified against
+an empty set verifies nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load_spread
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+# Gopher-ish bounds, adapted to the 10-99-word synthetic docs.
+MIN_WORDS, MAX_WORDS = 30, 90
+MAX_DUP_PPM = 600_000          # duplicate-word fraction cap
+MIN_STOP_PPM = 10_000          # at least ~1% stopwords
+MIN_MWL_X100, MAX_MWL_X100 = 380, 520  # mean word length in [3.8, 5.2]
+
+
+@query(
+    "q_quality_repetition",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+),
+cnt AS (
+  SELECT doc_id, bigram, COUNT(*) AS n
+  FROM bg GROUP BY doc_id, bigram
+),
+top AS (
+  SELECT doc_id, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, bigram) AS rn
+  FROM cnt
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS INT) AS n_words,
+       CAST(b.n_distinct AS INT) AS n_distinct,
+       (b.n_words - b.n_distinct) * 1000000 // b.n_words AS dup_word_ppm,
+       t.bigram AS top_bigram,
+       t.n AS top_bigram_n,
+       t.n * 1000000 // (b.n_words - 1) AS top_bigram_ppm
+FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+ORDER BY b.doc_id
+""",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics: duplicate-word fraction and the
+    share of the most frequent bigram. The bigram mode is computed
+    distributively -- explode to (doc, bigram), two-level aggregate,
+    then a per-doc window rank -- not per-row, so a pathological
+    million-word doc never builds a giant in-task map. The bigram array
+    itself comes from zipping two shifted token slices (slice args are
+    evaluated once per row; a transform-with-element_at lambda would
+    re-split per element). Ties on the top bigram break
+    lexicographically in both engines."""
+    d = load_spread(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    tok = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ).alias("bigrams"),
+    )
+    base = tok.select("doc_id", "n_words", "n_distinct")
+    cnt = (
+        tok.select("doc_id", F.explode_outer("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("bigram"))
+    top = cnt.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.expr(
+                "cast(n_words - n_distinct as bigint) * 1000000 div n_words"
+            ).alias("dup_word_ppm"),
+            F.col("bigram").alias("top_bigram"),
+            F.col("n").alias("top_bigram_n"),
+            F.expr("n * 1000000 div cast(n_words - 1 as bigint)").alias(
+                "top_bigram_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_quality_gopher_filter",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         (len(string_split(text, ' '))
+          - len(list_distinct(string_split(text, ' '))))
+           * 1000000 // len(string_split(text, ' ')) AS dup_ppm,
+         length(replace(text, ' ', '')) * 100
+           // len(string_split(text, ' ')) AS mwl_x100,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
+           * 1000000 // len(string_split(text, ' ')) AS stop_ppm
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, dup_ppm,
+       CAST(mwl_x100 AS BIGINT) AS mwl_x100, stop_ppm,
+       concat_ws(',',
+         CASE WHEN n_words < {MIN_WORDS} THEN 'too_short' END,
+         CASE WHEN n_words > {MAX_WORDS} THEN 'too_long' END,
+         CASE WHEN dup_ppm > {MAX_DUP_PPM} THEN 'repetitive' END,
+         CASE WHEN stop_ppm < {MIN_STOP_PPM} THEN 'low_stopword' END,
+         CASE WHEN mwl_x100 < {MIN_MWL_X100} THEN 'short_words' END,
+         CASE WHEN mwl_x100 > {MAX_MWL_X100} THEN 'long_words' END
+       ) AS drop_reasons,
+       (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+         AND dup_ppm <= {MAX_DUP_PPM}
+         AND stop_ppm >= {MIN_STOP_PPM}
+         AND mwl_x100 BETWEEN {MIN_MWL_X100} AND {MAX_MWL_X100} AS keep
+FROM m
+ORDER BY doc_id
+""",
+)
+def q_quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite keep/drop decision with an audit trail: every rule
+    that fires lands in drop_reasons (concat_ws skips NULLs identically
+    in both engines), keep is the conjunction. Pure per-row JVM
+    expressions -- a map-only pass at any scale; the reasons string is
+    what a curation pipeline logs per rejected doc for filter-rate
+    monitoring."""
+    d = load_spread(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    m = d.select(
+        "doc_id",
+        F.size(t).alias("n_words"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_letters"
+        ),
+        F.size(
+            F.filter(t, lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr("cast(n_words - n_distinct as bigint) * 1000000 div n_words").alias(
+            "dup_ppm"
+        ),
+        F.expr("cast(n_letters as bigint) * 100 div n_words").alias(
+            "mwl_x100"
+        ),
+        F.expr("cast(n_stop as bigint) * 1000000 div n_words").alias("stop_ppm"),
+    )
+    fails = [
+        (F.col("n_words") < MIN_WORDS, "too_short"),
+        (F.col("n_words") > MAX_WORDS, "too_long"),
+        (F.col("dup_ppm") > MAX_DUP_PPM, "repetitive"),
+        (F.col("stop_ppm") < MIN_STOP_PPM, "low_stopword"),
+        (F.col("mwl_x100") < MIN_MWL_X100, "short_words"),
+        (F.col("mwl_x100") > MAX_MWL_X100, "long_words"),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(tag)) for cond, tag in fails]
+    )
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & (F.col("dup_ppm") <= MAX_DUP_PPM)
+        & (F.col("stop_ppm") >= MIN_STOP_PPM)
+        & F.col("mwl_x100").between(MIN_MWL_X100, MAX_MWL_X100)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "dup_ppm",
+        "mwl_x100",
+        "stop_ppm",
+        reasons.alias("drop_reasons"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")

@@ -20,9 +20,11 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ann_bruteforce_topk",
-    oracle="""
+# Registered at the END of queries/__init__.py, not here: the driver
+# checks the first 50 registered queries per round, and this one is
+# already green in CORRECTNESS_r02 -- its slot goes to queries that
+# still need a row. The oracle lives here next to the implementation.
+BRUTEFORCE_ORACLE = """
 WITH e AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
@@ -41,8 +43,9 @@ ranked AS (
 )
 SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
 ORDER BY q_id, rank
-""",
-)
+"""
+
+
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 5 query vectors: broadcast the
     query set across the corpus scan, per-query heap for the top-k.

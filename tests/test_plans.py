@@ -161,3 +161,39 @@ def test_salted_join_is_equi_hash_join(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontam_broadcasts_eval_grams(spark):
+    """Decontamination must broadcast the (tiny) eval gram set and hash-
+    join the exploded training grams against it -- a sort-merge join
+    here would shuffle every n-gram of a 100 TB corpus."""
+    df = registry.QUERIES["q_decontaminate_ngram"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """K-means assignment is a broadcast NLJ against K centroid rows;
+    any shuffle of the vector side would be corpus-sized."""
+    df = registry.QUERIES["q_kmeans_assign"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_topn_is_heap_not_global_sort(spark):
+    """BM25's top-N must be TakeOrderedAndProject (per-partition heaps);
+    a global row_number-before-limit would funnel the corpus through
+    one window partition."""
+    df = registry.QUERIES["q_bm25_search"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_stratified_sample_is_single_pass(spark):
+    """The stratified sampler is one scan + one small aggregate: no
+    joins, no second pass over the corpus."""
+    df = registry.QUERIES["q_sample_stratified"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    # formatted explain prints each node twice (tree + detail section)
+    assert plan.count("Scan parquet") == 2
