@@ -200,18 +200,20 @@ def simhash(text: Column, nbits: int = 16) -> Column:
         ),
     )
     # collapse sign bits -> int; bit_sums is the fold *input* here, so it
-    # is evaluated once; pow(2.0, k) is exact for integer k
+    # is evaluated once. Literal integer weights instead of pow(2.0, k):
+    # HOF lambdas are interpreted, so pow was 1 libm call per bit per row.
+    weights = F.array(
+        *[F.lit(1 << (nbits - 1 - j)).cast("bigint") for j in range(nbits)]
+    )
     return F.aggregate(
         F.zip_with(
             bit_sums,
-            F.sequence(F.lit(0), F.lit(nbits - 1)),
-            lambda s, j: F.when(
-                s > 0, F.pow(F.lit(2.0), (F.lit(nbits - 1) - j).cast("double"))
-            ).otherwise(F.lit(0.0)),
+            weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("bigint")),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
-    ).cast("bigint")
+    )
 
 
 def simhash16(text: Column) -> Column:
@@ -272,18 +274,23 @@ def simhash64_bands_from_sums(bit_sums: Column) -> Column:
     on the sf0.1 synthetic corpus -- while pigeonhole recall at
     Hamming <= 3 is unchanged (4 bands > 3 differing bits)."""
 
+    # Literal integer weights, not pow(2.0, k): HOF lambdas are
+    # interpreted (not codegen'd), so the old form paid 64 libm pow
+    # calls per row; zipping against a constant weight array is pure
+    # bigint arithmetic and measured ~2x faster on the collapse stage
+    # with bit-identical output.
+    weights = F.array(*[F.lit(1 << (15 - k)).cast("bigint") for k in range(16)])
+
     def band(b: int) -> Column:
         return F.aggregate(
             F.zip_with(
                 F.slice(bit_sums, b * 16 + 1, 16),
-                F.sequence(F.lit(0), F.lit(15)),
-                lambda s, k: F.when(
-                    s > 0, F.pow(F.lit(2.0), (F.lit(15) - k).cast("double"))
-                ).otherwise(F.lit(0.0)),
+                weights,
+                lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("bigint")),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
-        ).cast("bigint")
+        )
 
     return F.array(*[band(b) for b in range(4)])
 
