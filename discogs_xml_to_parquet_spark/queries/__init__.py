@@ -40,6 +40,7 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # new this round, beyond the 50-window (round-4 candidates)
     cohorts,
     formats_extra,
+    packing,
     # stable green in round 2
     windows,
     subqueries,
