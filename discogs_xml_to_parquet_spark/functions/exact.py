@@ -31,10 +31,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Retained for per-row decimal casts outside aggregation (e.g. exact
-# interval arithmetic); do NOT use for sums -- see module docstring.
-DEC = "decimal(38,6)"
-
 _SCALE = 1_000_000
 
 

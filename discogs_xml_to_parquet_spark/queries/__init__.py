@@ -6,15 +6,17 @@ insertion order and the driver checks the first 50 registered queries
 no CORRECTNESS row anywhere go first, then this round's new modules,
 then the stable previously-green bulk.
 
-Round-3 window (the first 50): the 8 new in-window queries (sampling
-x3, decontam, quality x2, kmeans_assign, tfidf) + the 12 never-checked
+Round-3 window (the first 50): the 10 new queries (sampling x3,
+decontam, quality x2, kmeans x2, tfidf, bm25) + the 12 never-checked
 (ranges, pipeline, formats, q_ann_lsh_probe, discogs_conversion_stats,
-q_skew_salted_join) + the 30 checked only in r01 (similarity tail,
-conversion, joins, aggregates, nested, python_udfs, reshaping, setops)
-= exactly 50. q_ann_bruteforce_topk (green in r02) is re-registered at
-the bottom of this file to free its similarity-module slot; the other
-new modules (kmeans_update, bm25, cohorts, orc) queue for round 4
-behind the window.
+q_skew_salted_join) + 28 of the 30 checked only in r01 (similarity
+tail, conversion, joins, aggregates, nested, python_udfs, reshaping)
+= exactly 50. setops (r01-green) lands at positions 51-52 -- a
+deliberate trade: giving its two slots to q_kmeans_update and
+q_bm25_search leaves only cohorts/orc/packing with no row anywhere
+after round 3, the minimum possible. q_ann_bruteforce_topk (green in
+r02) is re-registered at the bottom of this file to free its
+similarity-module slot.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401

@@ -12,22 +12,20 @@ hash.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.queries._paths import scratch_sink_dir
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
 
 
 def _out(sf_dir: str, tag: str) -> str:
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # unique per call: see _paths.scratch_sink_dir on why a fixed
+    # shared path races with concurrent drivers/pytest workers
+    return scratch_sink_dir(tag, sf_dir)
 
 
 @query(

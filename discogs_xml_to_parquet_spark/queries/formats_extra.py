@@ -7,22 +7,13 @@ never-checked gap.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.queries._paths import scratch_sink_dir
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
-
-
-def _out(sf_dir: str, tag: str) -> str:
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
 
 
 @query(
@@ -43,7 +34,7 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     no text parsing), so the oracle aggregates the original parquet
     directly; any divergence in the round-tripped values would break
     the hash."""
-    out = _out(sf_dir, "orc_roundtrip")
+    out = scratch_sink_dir("orc_roundtrip", sf_dir)
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_retailprice"
     )

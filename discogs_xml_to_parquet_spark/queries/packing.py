@@ -19,12 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from discogs_xml_to_parquet_spark.functions.sharding import (
+    shard_col,
+    shard_sql,
+    shuffle_key,
+)
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
 
 CAPACITY = 256  # tokens per packed training sequence
-N_SHARDS = 16
-_HEX = "0123456789abcdef"
 
 
 @query(
@@ -34,8 +37,7 @@ WITH keyed AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
          md5(CAST(doc_id AS VARCHAR)) AS skey,
-         strpos('{_HEX}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
-           AS shard
+         {shard_sql("doc_id")} AS shard
   FROM documents
 ),
 packed AS (
@@ -64,15 +66,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences average capacity tokens with boundary docs spanning two
     sequences, the usual concat-packing semantics."""
     d = load(spark, sf_dir, "documents")
-    skey = F.md5(F.col("doc_id").cast("string"))
     keyed = d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        skey.alias("skey"),
-        F.expr(
-            f"cast(instr('{_HEX}', "
-            "substring(md5(cast(doc_id as string)), 1, 1)) - 1 as int)"
-        ).alias("shard"),
+        shuffle_key("doc_id").alias("skey"),
+        shard_col("doc_id").alias("shard"),
     )
     w = (
         Window.partitionBy("shard")

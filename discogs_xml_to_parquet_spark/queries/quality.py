@@ -33,6 +33,7 @@ MIN_MWL_X100, MAX_MWL_X100 = 380, 520  # mean word length in [3.8, 5.2]
     oracle="""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
 ),
 base AS (
   SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct
@@ -73,8 +74,16 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself comes from zipping two shifted token slices (slice args are
     evaluated once per row; a transform-with-element_at lambda would
     re-split per element). Ties on the top bigram break
-    lexicographically in both engines."""
-    d = load_spread(spark, sf_dir, "documents")
+    lexicographically in both engines. Sub-2-token (or NULL-text) docs
+    are filtered identically on BOTH sides: without the guard Spark's
+    explode_outer would keep such a doc with a NULL bigram row while
+    the oracle's generate_series join drops it (and its
+    top_bigram_ppm would divide by n_words-1 = 0) -- latent on this
+    corpus (min 10 words) but a real divergence class."""
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.size(F.split(F.col("text"), " ")) >= 2)
+    )
     t = F.split(F.col("text"), " ")
     n = F.size(t)
     tok = d.select(

@@ -197,15 +197,10 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. Partitioned layout is the 100 TB sink shape: downstream
     readers filtering on the partition key prune directories instead of
     scanning files (test_partition_pruning pins that plan)."""
-    import os
-    import tempfile
-
     from discogs_xml_to_parquet_spark.operators.sinks import write_partitioned
+    from discogs_xml_to_parquet_spark.queries._paths import scratch_sink_dir
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sink_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    out = scratch_sink_dir("sink_roundtrip", sf_dir)
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     write_partitioned(li, out, ["l_returnflag"])
     back = spark.read.parquet(out)

@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from discogs_xml_to_parquet_spark.functions.sharding import (
+    shard_col,
+    shard_sql,
+    shuffle_key,
+)
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -38,10 +43,6 @@ DEFAULT_THRESHOLD = "1000"  # ~6.25% for the long tail of sources
 LANG_WEIGHTS: dict[str, float] = {
     "en": 0.30, "de": 0.20, "es": 0.20, "fr": 0.20, "zh": 0.10,
 }
-
-N_SHARDS = 16
-_HEXDIGITS = "0123456789abcdef"
-
 
 def _doc_hash() -> F.Column:
     return F.md5(F.col("doc_id").cast("string"))
@@ -199,8 +200,7 @@ def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH keyed AS (
   SELECT doc_id,
          md5(CAST(doc_id AS VARCHAR)) AS skey,
-         strpos('{_HEXDIGITS}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
-           - 1 AS shard
+         {shard_sql("doc_id")} AS shard
   FROM documents
 )
 SELECT doc_id, CAST(shard AS INT) AS shard,
@@ -221,16 +221,10 @@ def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties are impossible (md5 of distinct keys) but doc_id is appended
     to the sort anyway per the registry tie-break rule."""
     d = load(spark, sf_dir, "documents")
-    skey = _doc_hash()
-    # shard = index of the first hex char; instr(haystack, needle) with
-    # the constant haystack mirrors DuckDB strpos exactly (both 1-based).
     keyed = d.select(
         "doc_id",
-        skey.alias("skey"),
-        F.expr(
-            f"cast(instr('{_HEXDIGITS}', "
-            "substring(md5(cast(doc_id as string)), 1, 1)) - 1 as int)"
-        ).alias("shard"),
+        shuffle_key("doc_id").alias("skey"),
+        shard_col("doc_id").alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("skey", "doc_id")
     return (

@@ -112,7 +112,11 @@ WITH ranked AS (
          user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
          ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
                                          user_id, event_type
-                            ORDER BY ts, event_id) AS rn,
+                            -- CAST explicitly: bare `ts` here resolves
+                            -- to the base TIMESTAMP_NS column, which
+                            -- would rank by nanos while Spark ranks by
+                            -- the microsecond-truncated timestamp
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
          COUNT(*) OVER (PARTITION BY time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
                                      user_id, event_type) AS cnt
   FROM events
