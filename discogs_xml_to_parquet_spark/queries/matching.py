@@ -47,49 +47,12 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_fuzzy_blocked",
-    oracle="""
-WITH ex AS (
-  SELECT c_custkey, c_name, LENGTH(c_name) AS ln, b AS band_no,
-         substring(c_name, b * 3 + 1, 3) AS band_val
-  FROM customer, generate_series(0, 5) AS g(b)
-),
-kept AS (
-  SELECT * FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY ln, band_no, band_val) AS df
-    FROM ex
-  ) WHERE df <= 200
-),
-cand AS (
-  SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2,
-         a.c_name AS name1, b.c_name AS name2
-  FROM kept a
-  JOIN kept b ON a.ln = b.ln AND a.band_no = b.band_no
-             AND a.band_val = b.band_val AND a.c_custkey < b.c_custkey
-)
-SELECT id1, id2, name1, name2, levenshtein(name1, name2) AS edit_dist
-FROM cand
-WHERE levenshtein(name1, name2) <= 2
-ORDER BY id1, id2
-""",
-)
-def q_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy matching, the scale path (VERDICT r1 item 5): over
-    the WHOLE customer table (no custkey bound), each name explodes to
-    6 blocking keys -- (length, band_no, 3-char band) -- candidates come
-    from an equi-join on the key, and only candidates pay the
-    levenshtein. Pigeonhole: equal-length names within edit distance 2
-    (substitutions) differ in at most 2 of 6 bands, so they share at
-    least four -- recall is exact for that class; indel pairs that
-    change length need a second pass with (length+-1) keys, the
-    standard multi-pass blocking trade, documented not implemented.
-    A document-frequency cap (bucket > 200 dropped) keeps degenerate
-    bands (constant prefixes like 'Cus'/'tom') from regenerating the
-    all-pairs blow-up -- the same DF-cap idea as q_dedup_ngram_jaccard.
-    q_fuzzy_levenshtein stays as the bounded all-pairs recall baseline
-    (test_oracle asserts blocked == all-pairs at the SF where no band
-    is capped)."""
+def blocked_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the shared blocked-candidate pipeline (mirrors
+    _BLOCKED_CTES): explode each name to 6 (length, band_no, 3-char
+    band) blocking keys, drop degenerate bands via the DF cap,
+    equi-join on the key, verify with levenshtein <= 2. Returns
+    (id1, id2, name1, name2, edit_dist), unordered."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     ex = c.select(
         "c_custkey",
@@ -121,11 +84,64 @@ def q_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
-        cand.withColumn("edit_dist", F.levenshtein(F.col("name1"), F.col("name2")))
-        .filter(F.col("edit_dist") <= 2)
-        .orderBy("id1", "id2")
-    )
+    return cand.withColumn(
+        "edit_dist", F.levenshtein(F.col("name1"), F.col("name2"))
+    ).filter(F.col("edit_dist") <= 2)
+
+
+# Shared blocked-candidate CTEs: ONE fragment for the q_fuzzy_blocked
+# oracle and the q_entity_resolution oracle so the mirrors cannot drift
+# (the shared-fragment rule from round 1).
+_BLOCKED_CTES = """ex AS (
+  SELECT c_custkey, c_name, LENGTH(c_name) AS ln, b AS band_no,
+         substring(c_name, b * 3 + 1, 3) AS band_val
+  FROM customer, generate_series(0, 5) AS g(b)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY ln, band_no, band_val) AS df
+    FROM ex
+  ) WHERE df <= 200
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2,
+         a.c_name AS name1, b.c_name AS name2
+  FROM kept a
+  JOIN kept b ON a.ln = b.ln AND a.band_no = b.band_no
+             AND a.band_val = b.band_val AND a.c_custkey < b.c_custkey
+),
+matched AS (
+  SELECT id1, id2, name1, name2, levenshtein(name1, name2) AS edit_dist
+  FROM cand
+  WHERE levenshtein(name1, name2) <= 2
+)"""
+
+
+@query(
+    "q_fuzzy_blocked",
+    oracle="WITH " + _BLOCKED_CTES + """
+SELECT id1, id2, name1, name2, edit_dist
+FROM matched
+ORDER BY id1, id2
+""",
+)
+def q_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching, the scale path (VERDICT r1 item 5): over
+    the WHOLE customer table (no custkey bound), each name explodes to
+    6 blocking keys -- (length, band_no, 3-char band) -- candidates come
+    from an equi-join on the key, and only candidates pay the
+    levenshtein. Pigeonhole: equal-length names within edit distance 2
+    (substitutions) differ in at most 2 of 6 bands, so they share at
+    least four -- recall is exact for that class; indel pairs that
+    change length need a second pass with (length+-1) keys, the
+    standard multi-pass blocking trade, documented not implemented.
+    A document-frequency cap (bucket > 200 dropped) keeps degenerate
+    bands (constant prefixes like 'Cus'/'tom') from regenerating the
+    all-pairs blow-up -- the same DF-cap idea as q_dedup_ngram_jaccard.
+    q_fuzzy_levenshtein stays as the bounded all-pairs recall baseline
+    (test_oracle asserts blocked == all-pairs at the SF where no band
+    is capped)."""
+    return blocked_match_pairs(spark, sf_dir).orderBy("id1", "id2")
 
 
 @query(
@@ -184,4 +200,72 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_converted",
             (F.col("n_converted") * 1.0 / F.col("n_signed_up")).alias("conversion_rate"),
         )
+    )
+
+
+@query(
+    "q_entity_resolution",
+    oracle="WITH RECURSIVE " + _BLOCKED_CTES + """,
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM matched
+  UNION
+  SELECT id2, id1 FROM matched
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS c_custkey, MIN(b) AS min_reach FROM reach GROUP BY a),
+labeled AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+         LEAST(c.c_custkey, COALESCE(m.min_reach, c.c_custkey)) AS entity_id
+  FROM customer c
+  LEFT JOIN comp m ON c.c_custkey = m.c_custkey
+)
+SELECT entity_id,
+       COUNT(*) AS n_records,
+       arg_min(c_name, c_custkey) AS canonical_name,
+       CAST(SUM(CAST(floor((c_acctbal) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS total_acctbal
+FROM labeled
+GROUP BY entity_id
+HAVING COUNT(*) > 1
+ORDER BY entity_id
+""",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity-resolution capstone, one declarative plan end to end:
+    blocked fuzzy pairs (the scale path -- no all-pairs anywhere) ->
+    connected components (records of one real-world entity) -> golden
+    record per entity (canonical id = min custkey, its name via min_by
+    keyed on the unique custkey, exact-sum of member balances). Output:
+    only multi-record entities, i.e. the merge work-list an MDM/dedup
+    pipeline would emit. The oracle rebuilds the whole chain -- blocked
+    candidates, transitive closure, golden-record aggregates --
+    relationally in DuckDB."""
+    from discogs_xml_to_parquet_spark.functions.exact import dsum
+    from discogs_xml_to_parquet_spark.operators import graph as G
+
+    pairs = blocked_match_pairs(spark, sf_dir)
+    comp = G.connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    labeled = c.join(comp, c["c_custkey"] == comp["id"], "left").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.coalesce("comp", F.col("c_custkey")).alias("entity_id"),
+    )
+    return (
+        labeled.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .filter(F.col("n_records") > 1)
+        .orderBy("entity_id")
     )
