@@ -1,0 +1,92 @@
+"""Structural invariants of the round-3 curation operators -- the
+properties the oracle's value-hash can't state directly (exact cover,
+contiguity, conservation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark import registry
+from discogs_xml_to_parquet_spark.tables import load
+from tests.conftest import SF_ORACLE
+
+registry.load_all_queries()
+
+
+def test_shuffle_is_exact_permutation(spark):
+    """Deterministic shuffle must be a permutation: every doc exactly
+    once, shard in [0, 16), positions contiguous 1..n per shard."""
+    docs = load(spark, SF_ORACLE, "documents")
+    out = registry.QUERIES["q_shuffle_deterministic"](spark, SF_ORACLE)
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    rng = out.agg(F.min("shard"), F.max("shard")).first()
+    assert rng[0] >= 0 and rng[1] <= 15
+    per_shard = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("pos").alias("maxpos"),
+        F.min("pos").alias("minpos"),
+    )
+    bad = per_shard.filter(
+        (F.col("maxpos") != F.col("cnt")) | (F.col("minpos") != 1)
+    ).count()
+    assert bad == 0
+
+
+def test_packing_conserves_docs_and_tokens(spark):
+    """The packing manifest must conserve the corpus: total docs and
+    total tokens across all (shard, seq) cells equal the source."""
+    docs = load(spark, SF_ORACLE, "documents")
+    src = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("tok"),
+    ).first()
+    out = registry.QUERIES["q_pack_sequences"](spark, SF_ORACLE)
+    got = out.agg(F.sum("n_docs"), F.sum("sum_tokens")).first()
+    assert got[0] == src["n"]
+    assert got[1] == src["tok"]
+
+
+def test_gopher_keep_iff_no_reasons(spark):
+    """keep must be exactly 'no rule fired' -- and both sides of the
+    filter must be non-empty at the test SF (vacuity guard)."""
+    out = registry.QUERIES["q_quality_gopher_filter"](spark, SF_ORACLE)
+    assert out.filter(
+        F.col("keep") != (F.col("drop_reasons") == "")
+    ).count() == 0
+    assert out.filter("keep").count() > 0
+    assert out.filter(~F.col("keep")).count() > 0
+
+
+def test_entity_resolution_conserves_customers(spark):
+    """Multi-record entities plus implied singletons must cover the
+    customer table exactly once (entities are disjoint by construction
+    of connected components)."""
+    n_customers = load(spark, SF_ORACLE, "customer").count()
+    out = registry.QUERIES["q_entity_resolution"](spark, SF_ORACLE)
+    agg = out.agg(
+        F.sum("n_records").alias("merged"), F.count(F.lit(1)).alias("ents")
+    ).first()
+    merged = agg["merged"] or 0
+    n_entities = agg["ents"]
+    # every merged record is one customer; the rest are singletons
+    assert merged <= n_customers
+    assert n_entities <= merged // 2 if merged else n_entities == 0
+    # canonical id is a member (min) -> entity_id must be a real custkey
+    keys = load(spark, SF_ORACLE, "customer").select("c_custkey")
+    orphans = out.join(
+        keys, out["entity_id"] == keys["c_custkey"], "left_anti"
+    ).count()
+    assert orphans == 0
+
+
+def test_kmeans_update_shape(spark):
+    """The Lloyd update must emit exactly one cell per (cluster, dim)
+    for every non-empty cluster, dims 0..63."""
+    out = registry.QUERIES["q_kmeans_update"](spark, SF_ORACLE)
+    rows = out.collect()
+    clusters = {r["cluster_id"] for r in rows}
+    assert clusters  # at least one non-empty cluster
+    for c in clusters:
+        dims = sorted(r["dim"] for r in rows if r["cluster_id"] == c)
+        assert dims == list(range(64))
