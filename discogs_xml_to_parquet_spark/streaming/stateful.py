@@ -11,6 +11,13 @@ State design rules encoded here:
   proportional to keys-in-batch, not history
 - a processing-time timeout evicts idle keys, bounding the store
   (without it, state grows with total distinct keys forever)
+
+Spark 4's newer transformWithStateInPandas API (StatefulProcessor +
+value/list/map state + timers) was probed and does NOT run in this
+container: its driver-side runner needs google.protobuf, which is
+broken here (ImportError: cannot import name 'descriptor'), an
+environment gate like the multimodal decoders. applyInPandasWithState
+expresses the same state machines on the stable API.
 """
 
 from __future__ import annotations

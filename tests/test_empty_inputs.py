@@ -24,6 +24,14 @@ REPRESENTATIVE = [
     "q_stream_session",          # session windows
     "q_multimodal_features",     # mapInPandas
     "q_text_langid",             # explode + broadcast join + argmax
+    # round-3 curation families
+    "q_sample_weighted_mix",     # agg -> broadcast rates -> cond agg
+    "q_decontaminate_ngram",     # gram explode + broadcast semi-ish join
+    "q_quality_repetition",      # explode + two-level agg + window
+    "q_kmeans_update",           # broadcast NLJ + posexplode + agg
+    "q_bm25_search",             # scalar-stats crossJoin + heap top-N
+    "q_pack_sequences",          # shard window cumsum
+    "q_entity_resolution",       # blocked pairs -> CC -> golden record
 ]
 
 
