@@ -229,3 +229,54 @@ def test_stream_watermark_drops_late(spark, tmp_path):
     # the [00:00, 00:05) window was finalized when the watermark passed
     # it; event_id=3 (late) must not have produced a second emission
     assert len(rows) <= 1
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill a file-sink stream mid-source, restart it from the SAME
+    checkpoint over a grown source, and require the final output to be
+    duplicate-free and equal to the batch answer -- the
+    checkpoint+idempotent-file-sink contract that makes a 100 TB
+    streaming ingest restartable (memory sinks cannot recover
+    checkpoints; only file sinks exercise this path)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    first, second = events.randomSplit([0.5, 0.5], seed=7)
+    first = first.cache()
+    second = second.cache()
+    first.write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("value_cents",
+                        F.floor(F.col("value") * 100 + F.lit(0.5)))
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    q1.awaitTermination(120)
+
+    # grow the source, then restart from the same checkpoint: only the
+    # new files may be processed (offsets recovered, no reprocessing)
+    second.write.mode("append").parquet(src)
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    n_src = first.count() + second.count()
+    assert got.count() == n_src, "duplicated or lost rows across restart"
+    assert got.select("event_id").distinct().count() == n_src
