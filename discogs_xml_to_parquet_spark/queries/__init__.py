@@ -43,6 +43,7 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     cohorts,
     formats_extra,
     packing,
+    curation_full,
     # stable green in round 2
     windows,
     subqueries,

@@ -1,0 +1,178 @@
+"""The full training-data curation pipeline in ONE declarative plan:
+
+    quality filter -> near-dup removal (keep best) -> deterministic
+    shuffle -> sequence packing manifest
+
+i.e. documents in, training-sequence manifest out -- the complete
+pretraining data path this engine exists to run, with every stage the
+scale-path variant (map-only gopher metrics, banded-LSH candidates,
+iterative connected components, shard-local pack windows). The DuckDB
+oracle rebuilds the entire chain from the same shared fragments
+(GOPHER_METRICS_CTE/GOPHER_KEEP_PRED, minhash_verified_ctes,
+shard_sql), so no stage's mirror can drift from its standalone query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions.sharding import (
+    shard_col,
+    shard_sql,
+    shuffle_key,
+)
+from discogs_xml_to_parquet_spark.operators import graph as G
+from discogs_xml_to_parquet_spark.operators.text import (
+    quality_score,
+    token_stats,
+)
+from discogs_xml_to_parquet_spark.queries.dedup import (
+    minhash_near_dup_pairs,
+    minhash_verified_ctes,
+)
+from discogs_xml_to_parquet_spark.queries.packing import CAPACITY
+from discogs_xml_to_parquet_spark.queries.quality import (
+    GOPHER_KEEP_PRED,
+    GOPHER_METRICS_CTE,
+    gopher_keep_col,
+    gopher_metrics,
+)
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load_spread
+
+# minhash chain re-scoped to the quality survivors; strip its leading
+# "\nWITH " so it splices into the capstone's WITH RECURSIVE chain
+_MINHASH_OVER_KEPT = minhash_verified_ctes("kept_docs").replace(
+    "\nWITH ", "", 1
+)
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+WITH RECURSIVE {GOPHER_METRICS_CTE},
+kept_docs AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN m USING (doc_id)
+  WHERE {GOPHER_KEEP_PRED}
+),
+{_MINHASH_OVER_KEPT},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM near_dups
+  UNION
+  SELECT id2, id1 FROM near_dups
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+stats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         (len(list_distinct(string_split(text, ' ')))
+            / len(string_split(text, ' '))
+          + least(len(string_split(text, ' ')) / 50.0, 1.0)) / 2
+           AS quality_score
+  FROM kept_docs
+),
+labeled AS (
+  SELECT s.doc_id, s.n_tokens, s.quality_score,
+         LEAST(s.doc_id, COALESCE(c.min_reach, s.doc_id)) AS component
+  FROM stats s LEFT JOIN comp c ON s.doc_id = c.doc_id
+),
+survivors AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                 ORDER BY quality_score DESC, doc_id) AS rk
+    FROM labeled
+  ) WHERE rk = 1
+),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS skey,
+         {shard_sql("doc_id")} AS shard
+  FROM survivors
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM keyed
+)
+SELECT CAST(shard AS INT) AS shard,
+       (cum_tokens - n_tokens) // {CAPACITY} AS seq_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS sum_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed
+GROUP BY shard, seq_id
+ORDER BY shard, seq_id
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> packed-sequence manifest, one plan. Stage shapes:
+    gopher metrics and the keep predicate are map-only; near-dup pairs
+    come from the banded-LSH chain restricted to survivors of the
+    filter (the filter runs FIRST -- cheapest stage prunes before the
+    expensive signatures, the standard pipeline ordering); duplicate
+    groups collapse to their highest-quality member; survivors shard,
+    order, and pack exactly like q_pack_sequences. Catalyst sees the
+    whole thing as one DAG, so column pruning and the shared scan of
+    documents are global, not per-stage."""
+    d = load_spread(spark, sf_dir, "documents")
+    # text rides through the metrics projection so the quality filter
+    # is a pure map-only pass -- no join back onto the corpus
+    kept = (
+        gopher_metrics(d, extra=("text",))
+        .filter(gopher_keep_col())
+        .select("doc_id", "text")
+    )
+    pairs = minhash_near_dup_pairs(spark, sf_dir, docs=kept)
+    comp = G.connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    stats = quality_score(token_stats(kept)).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    labeled = stats.join(comp, stats["doc_id"] == comp["id"], "left").select(
+        stats["doc_id"],
+        "n_tokens",
+        "quality_score",
+        F.coalesce("comp", stats["doc_id"]).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    survivors = (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    keyed = survivors.select(
+        "doc_id",
+        "n_tokens",
+        shuffle_key("doc_id").alias("skey"),
+        shard_col("doc_id").alias("shard"),
+    )
+    wp = (
+        Window.partitionBy("shard")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = keyed.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(wp)
+    ).withColumn(
+        "seq_id", F.expr(f"(cum_tokens - n_tokens) div {CAPACITY}")
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "seq_id")
+    )

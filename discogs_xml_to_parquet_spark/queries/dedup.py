@@ -21,15 +21,21 @@ from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load, load_spread
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per document.
-_SH_CTE = """
+def sh_cte(source: str = "documents") -> str:
+    """Shingle CTE over any doc-shaped relation (doc_id, text) -- the
+    capstone pipelines re-scope it to their filtered survivors."""
+    return f"""
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, greatest(len(t) - 2, 0)),
            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {source})
 )
 """
+
+
+_SH_CTE = sh_cte()
 
 # DuckDB mirror of operators.dedup.shingle_hash32: Horner over the first
 # 8 hex digits of md5(s).
@@ -74,8 +80,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Full CTE chain shingles -> signatures -> bands -> verified pairs,
 # shared by the LSH query and the components query built on its output.
-_MINHASH_VERIFIED_CTES = f"""
-WITH {_SH_CTE},
+def minhash_verified_ctes(source: str = "documents") -> str:
+    """The whole LSH chain (shingles -> signatures -> bands ->
+    candidates -> jaccard-verified near_dups) over any doc-shaped
+    relation; ONE builder for every oracle that embeds it."""
+    return f"""
+WITH {sh_cte(source)},
 hashed AS (
   SELECT doc_id, list_transform(shingles, s -> {_H32}) AS vs, shingles
   FROM sh WHERE len(shingles) > 0
@@ -115,12 +125,18 @@ near_dups AS (
 )"""
 
 
-def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+_MINHASH_VERIFIED_CTES = minhash_verified_ctes()
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
+                           docs: DataFrame | None = None) -> DataFrame:
     """Verified near-dup pairs (id1 < id2, jaccard >= 0.5); the shared
     Spark pipeline behind q_dedup_minhash_lsh and q_dedup_components.
+    Pass `docs` to run the chain over a filtered corpus (the capstone
+    pipelines); by default loads the whole documents table.
     load_spread: the shingle+signature folds are compute-bound and the
     source is one file -- without spreading they run on one core."""
-    d = load_spread(spark, sf_dir, "documents")
+    d = docs if docs is not None else load_spread(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", D.word_shingles(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0)

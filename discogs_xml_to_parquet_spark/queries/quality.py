@@ -28,6 +28,72 @@ MIN_STOP_PPM = 10_000          # at least ~1% stopwords
 MIN_MWL_X100, MAX_MWL_X100 = 380, 520  # mean word length in [3.8, 5.2]
 
 
+# Shared fragments: the gopher-filter oracle AND the full-pipeline
+# capstone oracle both build on these, so the mirrors cannot drift.
+GOPHER_METRICS_CTE = f"""m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         (len(string_split(text, ' '))
+          - len(list_distinct(string_split(text, ' '))))
+           * 1000000 // len(string_split(text, ' ')) AS dup_ppm,
+         length(replace(text, ' ', '')) * 100
+           // len(string_split(text, ' ')) AS mwl_x100,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
+           * 1000000 // len(string_split(text, ' ')) AS stop_ppm
+  FROM documents
+)"""
+
+GOPHER_KEEP_PRED = (
+    f"(n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})"
+    f" AND dup_ppm <= {MAX_DUP_PPM}"
+    f" AND stop_ppm >= {MIN_STOP_PPM}"
+    f" AND mwl_x100 BETWEEN {MIN_MWL_X100} AND {MAX_MWL_X100}"
+)
+
+
+def gopher_metrics(d: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Spark mirror of GOPHER_METRICS_CTE: per-doc integer metrics.
+    `extra` columns pass through untouched (the capstone pipeline keeps
+    `text` so filtering stays a map-only pass -- no join back onto the
+    corpus)."""
+    t = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        *extra,
+        F.size(t).alias("n_words"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_letters"
+        ),
+        F.size(
+            F.filter(t, lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop"),
+    ).select(
+        "doc_id",
+        *extra,
+        "n_words",
+        F.expr("cast(n_words - n_distinct as bigint) * 1000000 div n_words").alias(
+            "dup_ppm"
+        ),
+        F.expr("cast(n_letters as bigint) * 100 div n_words").alias(
+            "mwl_x100"
+        ),
+        F.expr("cast(n_stop as bigint) * 1000000 div n_words").alias("stop_ppm"),
+    )
+
+
+def gopher_keep_col() -> F.Column:
+    """Spark mirror of GOPHER_KEEP_PRED over gopher_metrics columns."""
+    return (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & (F.col("dup_ppm") <= MAX_DUP_PPM)
+        & (F.col("stop_ppm") >= MIN_STOP_PPM)
+        & F.col("mwl_x100").between(MIN_MWL_X100, MAX_MWL_X100)
+    )
+
+
 @query(
     "q_quality_repetition",
     oracle="""
@@ -128,19 +194,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_quality_gopher_filter",
     oracle=f"""
-WITH m AS (
-  SELECT doc_id,
-         len(string_split(text, ' ')) AS n_words,
-         (len(string_split(text, ' '))
-          - len(list_distinct(string_split(text, ' '))))
-           * 1000000 // len(string_split(text, ' ')) AS dup_ppm,
-         length(replace(text, ' ', '')) * 100
-           // len(string_split(text, ' ')) AS mwl_x100,
-         len(list_filter(string_split(text, ' '),
-             x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
-           * 1000000 // len(string_split(text, ' ')) AS stop_ppm
-  FROM documents
-)
+WITH {GOPHER_METRICS_CTE}
 SELECT doc_id, CAST(n_words AS INT) AS n_words, dup_ppm,
        CAST(mwl_x100 AS BIGINT) AS mwl_x100, stop_ppm,
        concat_ws(',',
@@ -151,10 +205,7 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words, dup_ppm,
          CASE WHEN mwl_x100 < {MIN_MWL_X100} THEN 'short_words' END,
          CASE WHEN mwl_x100 > {MAX_MWL_X100} THEN 'long_words' END
        ) AS drop_reasons,
-       (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
-         AND dup_ppm <= {MAX_DUP_PPM}
-         AND stop_ppm >= {MIN_STOP_PPM}
-         AND mwl_x100 BETWEEN {MIN_MWL_X100} AND {MAX_MWL_X100} AS keep
+       {GOPHER_KEEP_PRED} AS keep
 FROM m
 ORDER BY doc_id
 """,
@@ -166,30 +217,7 @@ def q_quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions -- a map-only pass at any scale; the reasons string is
     what a curation pipeline logs per rejected doc for filter-rate
     monitoring."""
-    d = load_spread(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    m = d.select(
-        "doc_id",
-        F.size(t).alias("n_words"),
-        F.size(F.array_distinct(t)).alias("n_distinct"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
-            "n_letters"
-        ),
-        F.size(
-            F.filter(t, lambda x: F.array_contains(stop_arr, x))
-        ).alias("n_stop"),
-    ).select(
-        "doc_id",
-        "n_words",
-        F.expr("cast(n_words - n_distinct as bigint) * 1000000 div n_words").alias(
-            "dup_ppm"
-        ),
-        F.expr("cast(n_letters as bigint) * 100 div n_words").alias(
-            "mwl_x100"
-        ),
-        F.expr("cast(n_stop as bigint) * 1000000 div n_words").alias("stop_ppm"),
-    )
+    m = gopher_metrics(load_spread(spark, sf_dir, "documents"))
     fails = [
         (F.col("n_words") < MIN_WORDS, "too_short"),
         (F.col("n_words") > MAX_WORDS, "too_long"),
@@ -201,12 +229,7 @@ def q_quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reasons = F.concat_ws(
         ",", *[F.when(cond, F.lit(tag)) for cond, tag in fails]
     )
-    keep = (
-        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
-        & (F.col("dup_ppm") <= MAX_DUP_PPM)
-        & (F.col("stop_ppm") >= MIN_STOP_PPM)
-        & F.col("mwl_x100").between(MIN_MWL_X100, MAX_MWL_X100)
-    )
+    keep = gopher_keep_col()
     return m.select(
         "doc_id",
         "n_words",
