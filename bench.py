@@ -50,6 +50,10 @@ HEADLINE = [
     "q_decontaminate_ngram",
     "q_quality_gopher_filter",
     "q_kmeans_update",
+    # the flagship: the whole curation path (filter -> LSH dedup ->
+    # components -> shuffle -> pack) as one plan; the most expensive
+    # headline entry by design -- its cost is the engine's headline
+    "q_curation_pipeline",
 ]
 
 
