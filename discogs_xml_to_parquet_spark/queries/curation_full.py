@@ -23,6 +23,10 @@ from discogs_xml_to_parquet_spark.functions.sharding import (
     shuffle_key,
 )
 from discogs_xml_to_parquet_spark.operators import graph as G
+from discogs_xml_to_parquet_spark.queries._fragments import (
+    cc_ctes,
+    quality_score_expr,
+)
 from discogs_xml_to_parquet_spark.operators.text import (
     quality_score,
     token_stats,
@@ -35,8 +39,7 @@ from discogs_xml_to_parquet_spark.queries.packing import CAPACITY
 from discogs_xml_to_parquet_spark.queries.quality import (
     GOPHER_KEEP_PRED,
     GOPHER_METRICS_CTE,
-    gopher_keep_col,
-    gopher_metrics,
+    gopher_keep_filter,
 )
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load_spread
@@ -58,24 +61,11 @@ kept_docs AS (
   WHERE {GOPHER_KEEP_PRED}
 ),
 {_MINHASH_OVER_KEPT},
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM near_dups
-  UNION
-  SELECT id2, id1 FROM near_dups
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+{cc_ctes()},
 stats AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
-         (len(list_distinct(string_split(text, ' ')))
-            / len(string_split(text, ' '))
-          + least(len(string_split(text, ' ')) / 50.0, 1.0)) / 2
-           AS quality_score
+         {quality_score_expr("text")} AS quality_score
   FROM kept_docs
 ),
 labeled AS (
@@ -123,13 +113,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole thing as one DAG, so column pruning and the shared scan of
     documents are global, not per-stage."""
     d = load_spread(spark, sf_dir, "documents")
-    # text rides through the metrics projection so the quality filter
-    # is a pure map-only pass -- no join back onto the corpus
-    kept = (
-        gopher_metrics(d, extra=("text",))
-        .filter(gopher_keep_col())
-        .select("doc_id", "text")
-    )
+    # map-only, bind-once filter (no join back onto the corpus; one
+    # split per row even when Catalyst pushes it into the scan stage)
+    kept = gopher_keep_filter(d).select("doc_id", "text")
     pairs = minhash_near_dup_pairs(spark, sf_dir, docs=kept)
     comp = G.connected_components(
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))

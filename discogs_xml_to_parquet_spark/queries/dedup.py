@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.functions import vector as V
+from discogs_xml_to_parquet_spark.queries._fragments import (
+    cc_ctes,
+    quality_score_expr,
+)
 from discogs_xml_to_parquet_spark.operators import dedup as D
 from discogs_xml_to_parquet_spark.operators import graph as G
 from discogs_xml_to_parquet_spark.operators import similarity as S
@@ -181,18 +185,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_components",
-    oracle=_MINHASH_VERIFIED_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """,
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM near_dups
-  UNION
-  SELECT id2, id1 FROM near_dups
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+    oracle=_MINHASH_VERIFIED_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n" + cc_ctes() + """
 SELECT d.doc_id,
        LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component
 FROM documents d
@@ -597,24 +591,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_curation_keep_best",
-    oracle=_MINHASH_VERIFIED_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """,
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM near_dups
-  UNION
-  SELECT id2, id1 FROM near_dups
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+    oracle=_MINHASH_VERIFIED_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\n" + cc_ctes() + f""",
 labeled AS (
   SELECT d.doc_id,
          LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS component,
-         (len(list_distinct(string_split(d.text, ' ')))
-            / len(string_split(d.text, ' '))
-          + least(len(string_split(d.text, ' ')) / 50.0, 1.0)) / 2 AS quality_score
+         {quality_score_expr("d.text")} AS quality_score
   FROM documents d
   LEFT JOIN comp c ON d.doc_id = c.doc_id
 ),

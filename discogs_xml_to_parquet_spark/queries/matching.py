@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from discogs_xml_to_parquet_spark.queries._fragments import cc_ctes
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -205,18 +206,8 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_entity_resolution",
-    oracle="WITH RECURSIVE " + _BLOCKED_CTES + """,
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM matched
-  UNION
-  SELECT id2, id1 FROM matched
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-comp AS (SELECT a AS c_custkey, MIN(b) AS min_reach FROM reach GROUP BY a),
+    oracle="WITH RECURSIVE " + _BLOCKED_CTES + ",\n"
+    + cc_ctes(pairs="matched", node_alias="c_custkey") + """,
 labeled AS (
   SELECT c.c_custkey, c.c_name, c.c_acctbal,
          LEAST(c.c_custkey, COALESCE(m.min_reach, c.c_custkey)) AS entity_id

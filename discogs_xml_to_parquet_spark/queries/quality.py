@@ -52,16 +52,12 @@ GOPHER_KEEP_PRED = (
 )
 
 
-def gopher_metrics(d: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
-    """Spark mirror of GOPHER_METRICS_CTE: per-doc integer metrics.
-    `extra` columns pass through untouched (the capstone pipeline keeps
-    `text` so filtering stays a map-only pass -- no join back onto the
-    corpus)."""
+def gopher_metrics(d: DataFrame) -> DataFrame:
+    """Spark mirror of GOPHER_METRICS_CTE: per-doc integer metrics."""
     t = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     return d.select(
         "doc_id",
-        *extra,
         F.size(t).alias("n_words"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
@@ -72,7 +68,6 @@ def gopher_metrics(d: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         ).alias("n_stop"),
     ).select(
         "doc_id",
-        *extra,
         "n_words",
         F.expr("cast(n_words - n_distinct as bigint) * 1000000 div n_words").alias(
             "dup_ppm"
@@ -92,6 +87,38 @@ def gopher_keep_col() -> F.Column:
         & (F.col("stop_ppm") >= MIN_STOP_PPM)
         & F.col("mwl_x100").between(MIN_MWL_X100, MAX_MWL_X100)
     )
+
+
+def gopher_keep_filter(d: DataFrame) -> DataFrame:
+    """Map-only quality filter for pipeline composition: the token
+    array is bound ONCE per row (exists over a 1-element array -- the
+    lambda-binding trick), so the pushed-down scan-stage predicate
+    costs one split per row instead of the ~8 a naive 6-term filter
+    re-inlines. The ppm bounds are cross-multiplied instead of
+    integer-divided -- exactly equivalent for non-negative ints
+    (floor(x/b) <= k  iff  x < (k+1)*b;  floor(x/b) >= k  iff
+    x >= k*b), verified against GOPHER_KEEP_PRED by
+    test_keep_filter_equals_metrics_filter."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_letters = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("bigint")
+
+    def pred(t: F.Column) -> F.Column:
+        nw = F.size(t).cast("bigint")
+        nd = F.size(F.array_distinct(t)).cast("bigint")
+        n_stop = F.size(
+            F.filter(t, lambda x: F.array_contains(stop_arr, x))
+        ).cast("bigint")
+        return (
+            (nw >= MIN_WORDS) & (nw <= MAX_WORDS)
+            & ((nw - nd) * 1000000 < (MAX_DUP_PPM + 1) * nw)
+            & (n_stop * 1000000 >= MIN_STOP_PPM * nw)
+            & (n_letters * 100 >= MIN_MWL_X100 * nw)
+            & (n_letters * 100 < (MAX_MWL_X100 + 1) * nw)
+        )
+
+    return d.filter(F.exists(F.array(F.split(F.col("text"), " ")), pred))
 
 
 @query(

@@ -90,3 +90,28 @@ def test_kmeans_update_shape(spark):
     for c in clusters:
         dims = sorted(r["dim"] for r in rows if r["cluster_id"] == c)
         assert dims == list(range(64))
+
+
+def test_keep_filter_equals_metrics_filter(spark):
+    """gopher_keep_filter's cross-multiplied bind-once predicate must
+    select exactly the docs that GOPHER_KEEP_PRED / gopher_keep_col
+    select over the divided metrics (floor(x/b)<=k iff x<(k+1)b)."""
+    from discogs_xml_to_parquet_spark.queries.quality import (
+        gopher_keep_col,
+        gopher_keep_filter,
+        gopher_metrics,
+    )
+
+    d = load(spark, SF_ORACLE, "documents")
+    via_filter = {
+        r["doc_id"] for r in gopher_keep_filter(d).select("doc_id").collect()
+    }
+    via_metrics = {
+        r["doc_id"]
+        for r in gopher_metrics(d)
+        .filter(gopher_keep_col())
+        .select("doc_id")
+        .collect()
+    }
+    assert via_filter == via_metrics
+    assert via_filter  # non-vacuous

@@ -232,12 +232,18 @@ def test_stream_watermark_drops_late(spark, tmp_path):
 
 
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
-    """Kill a file-sink stream mid-source, restart it from the SAME
-    checkpoint over a grown source, and require the final output to be
-    duplicate-free and equal to the batch answer -- the
-    checkpoint+idempotent-file-sink contract that makes a 100 TB
-    streaming ingest restartable (memory sinks cannot recover
-    checkpoints; only file sinks exercise this path)."""
+    """Stop a file-sink stream MID-SOURCE (after its first committed
+    microbatch, with more input files still pending), restart it from
+    the SAME checkpoint over a further-grown source, and require the
+    final output to be duplicate-free and equal to the batch answer --
+    the checkpoint+transactional-file-sink contract that makes a
+    100 TB streaming ingest restartable. The first run uses a
+    continuous trigger with maxFilesPerTrigger=1 so stop() lands with
+    committed AND uncommitted source files; the restart must resume
+    from the committed offset without replaying output (the file
+    sink's _spark_metadata log makes replayed batches idempotent)."""
+    import time as _time
+
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -248,9 +254,10 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     first, second = events.randomSplit([0.5, 0.5], seed=7)
     first = first.cache()
     second = second.cache()
-    first.write.mode("overwrite").parquet(src)
+    # 8 source files -> 8 microbatches at maxFilesPerTrigger=1
+    first.repartition(8).write.mode("overwrite").parquet(src)
 
-    def start():
+    def start(trigger_kwargs):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1")
@@ -263,18 +270,28 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
-            .trigger(availableNow=True)
+            .trigger(**trigger_kwargs)
             .start()
         )
 
-    q1 = start()
-    q1.awaitTermination(120)
+    q1 = start({"processingTime": "0 seconds"})
+    # wait for at least one committed batch, then kill mid-source
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        _time.sleep(0.2)
+    assert q1.recentProgress, "stream never progressed"
+    q1.stop()
+    q1.awaitTermination(60)
+    n_after_kill = spark.read.parquet(out).count()
+    assert n_after_kill > 0, "no batch committed before the kill"
 
-    # grow the source, then restart from the same checkpoint: only the
-    # new files may be processed (offsets recovered, no reprocessing)
+    # grow the source, restart from the same checkpoint: committed
+    # offsets must not replay, pending + new files must all process
     second.write.mode("append").parquet(src)
-    q2 = start()
-    q2.awaitTermination(120)
+    q2 = start({"availableNow": True})
+    assert q2.awaitTermination(120), "restarted stream did not finish"
 
     got = spark.read.parquet(out)
     n_src = first.count() + second.count()
