@@ -297,3 +297,48 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     n_src = first.count() + second.count()
     assert got.count() == n_src, "duplicated or lost rows across restart"
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: enrich the event stream with the customer
+    dimension (the most common production streaming shape -- the static
+    side is re-read per microbatch and broadcast, no state store).
+    Results must equal the batch join of the same inputs."""
+    src = str(tmp_path / "events_ss")
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    customers = load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    expected = {
+        tuple(r)
+        for r in (
+            spark.read.parquet(src)
+            .join(customers, "user_id")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert expected
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .join(customers, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM stream_static").collect()
+    }
+    assert got == expected
