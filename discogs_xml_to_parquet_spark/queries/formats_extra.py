@@ -52,3 +52,55 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "q_source_csv_permissive",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM customer) AS n_good,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       (SELECT CAST(SUM(CAST(floor((c_acctbal) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+        FROM customer) AS good_acctbal
+""",
+)
+def q_source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERMISSIVE quarantine lane at the relational layer -- the
+    same error model the XML source implements against the reference's
+    9 panic variants (main.rs:32-55, FAILFAST) with a softer recovery
+    path: customer rows round-trip through CSV alongside 3 injected
+    malformed lines; the reader parses good rows, shunts bad lines
+    whole into the corrupt-record column, and the query audits both
+    lanes in one aggregate. The oracle states the invariant: every
+    original row survives as a good row, exactly the injected lines
+    are quarantined, and the good-lane aggregate is unchanged."""
+    import os
+
+    out = scratch_sink_dir("csv_permissive", sf_dir)
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    c.write.mode("overwrite").csv(out)
+    # inject malformed lines: bad type, truncated row, and garbage --
+    # each must fail the explicit schema and land in the corrupt lane
+    with open(os.path.join(out, "part-corrupt.csv"), "w") as fh:
+        fh.write("notanumber,Broken Customer,12.5\n")
+        fh.write("42,Truncated\n")
+        fh.write("garbage line without any commas at all,,,,,\n")
+    back = (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_acctbal double, "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+        .cache()  # Spark disallows corrupt-column-only pushdown scans
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias(
+            "n_corrupt"
+        ),
+        dsum(F.when(F.col("_corrupt").isNull(), F.col("c_acctbal"))
+             .otherwise(F.lit(0.0))).alias("good_acctbal"),
+    )
