@@ -197,3 +197,46 @@ def test_stratified_sample_is_single_pass(spark):
     assert "Join" not in plan
     # formatted explain prints each node twice (tree + detail section)
     assert plan.count("Scan parquet") == 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """When a dimension is too big to broadcast but carries a selective
+    filter, Spark must inject a runtime bloom filter on the fact side
+    (might_contain below the join) -- at 100 TB this is what keeps a
+    shuffle join from scanning fact rows that cannot match. Pinned
+    here with broadcast disabled to force the shuffle-join shape."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load(spark, SF_SMOKE, "lineitem")
+        o = load(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in plan_of(j).lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
