@@ -96,7 +96,11 @@ def main() -> None:
         write_synthetic_releases,
     )
 
-    n_rel = max(int(200_000 * float(sf)), 2_000)
+    # 2M rows/SF (not 200k): at the old size the 0.5s conversion was
+    # task-startup-dominated and under-reported throughput ~3x; at
+    # 200k rows the 8 streams run long enough to measure steady state
+    # (112k rows/s node-wide, ~14k rows/s per gzip stream at sf0.1)
+    n_rel = max(int(2_000_000 * float(sf)), 2_000)
     xml_dir = write_synthetic_releases(
         f"{tempfile.gettempdir()}/discogs_bench_{n_rel}", n_rel, n_files=8
     )
