@@ -80,11 +80,14 @@ def q_source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal"
     )
     c.write.mode("overwrite").csv(out)
-    # inject malformed lines: bad type, truncated row, and garbage --
-    # each must fail the explicit schema and land in the corrupt lane
+    # inject malformed lines -- each must fail FIELD TYPE CONVERSION,
+    # not just token count: Spark's CSV PERMISSIVE mode null-pads a
+    # record with fewer/more tokens than the schema rather than
+    # quarantining it, so a truncated-but-well-typed line would land in
+    # the good lane. Every line below has a field that cannot convert.
     with open(os.path.join(out, "part-corrupt.csv"), "w") as fh:
         fh.write("notanumber,Broken Customer,12.5\n")
-        fh.write("42,Truncated\n")
+        fh.write("42,Truncated,notadouble\n")
         fh.write("garbage line without any commas at all,,,,,\n")
     back = (
         spark.read.schema(

@@ -42,14 +42,15 @@ WITH keyed AS (
 ),
 packed AS (
   SELECT shard, doc_id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY skey, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM keyed
 )
 SELECT CAST(shard AS INT) AS shard,
        (cum_tokens - n_tokens) // {CAPACITY} AS seq_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS sum_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        MIN(doc_id) AS first_doc
 FROM packed
 GROUP BY shard, seq_id

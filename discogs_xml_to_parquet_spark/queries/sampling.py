@@ -74,10 +74,10 @@ SELECT source,
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                < {_strata_case_sql()}
        ) AS n_kept,
-       COALESCE(SUM(CAST(n_chars AS BIGINT)) FILTER (
+       CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) FILTER (
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                < {_strata_case_sql()}
-       ), 0) AS kept_chars
+       ), 0) AS BIGINT) AS kept_chars
 FROM documents
 GROUP BY source
 ORDER BY source

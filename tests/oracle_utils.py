@@ -65,6 +65,104 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# --- Oracle result-type lint (VERDICT r3 item 2) ---------------------
+#
+# The driver hashes values fetched through Arrow, where engine types
+# survive even when plain-Python fetch collapses them: DuckDB HUGEINT
+# (the result type of SUM(BIGINT)) arrives as decimal128(38,0) ->
+# Decimal cells, while Spark's bigint arrives as int -- identical
+# values, different hash. _norm_cell above is structurally blind to
+# that class (both sides fetch as Python int), so we lint at the TYPE
+# level instead: DESCRIBE the oracle in DuckDB (plans without
+# executing) and require every result column's DuckDB type to map
+# exactly onto the Spark dtype. This would have caught the r1
+# q_filter_project/q_map_funcs failures and the r3 q_sample_stratified
+# failure before the driver did.
+
+# Driver-hash type FAMILIES, calibrated against three rounds of
+# CORRECTNESS evidence. Queries that are driver-GREEN with Spark int
+# vs DuckDB BIGINT (q_window_rank_dense r2, q_text_stats r2,
+# q_ann_lsh_probe r3) prove integer widths collapse in the hash;
+# queries that FAILED with identical values (q_filter_project r1
+# Decimal-vs-double, q_sample_stratified r3 HUGEINT-vs-bigint) prove a
+# decimal-vs-native split does not. DuckDB JSON exports as VARCHAR in
+# Arrow (q_json_struct green r2), so it lives in the string family.
+# HUGEINT has NO family: it crosses Arrow as decimal128(38,0) and must
+# always be cast in the oracle.
+_DUCK_FAMILY = {
+    "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int",
+    "TINYINT": "int", "UBIGINT": "int", "UINTEGER": "int",
+    "USMALLINT": "int", "UTINYINT": "int",
+    "DOUBLE": "float", "FLOAT": "float", "REAL": "float",
+    "VARCHAR": "str", "JSON": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "BLOB": "bytes",
+}
+_SPARK_FAMILY = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+    "binary": "bytes",
+}
+
+
+def _family(typ: str, table: dict) -> str | None:
+    typ = typ.strip()
+    if typ.endswith("[]"):  # DuckDB list
+        inner = _family(typ[:-2], table)
+        return None if inner is None else f"list<{inner}>"
+    if typ.startswith("array<") and typ.endswith(">"):  # Spark array
+        inner = _family(typ[len("array<"):-1], table)
+        return None if inner is None else f"list<{inner}>"
+    if typ.upper().startswith("DECIMAL"):
+        # exact precision+scale must agree: Decimal cells hash by repr
+        return "decimal" + typ[len("decimal"):].replace(" ", "").lower()
+    return table.get(typ)
+
+
+def lint_oracle_types(spark, sf_dir: str, query_fn, oracle: str,
+                      name: str = "?") -> list[str]:
+    """Return a list of per-column type-mismatch descriptions (empty =
+    clean). Plans both sides without executing the full query: Spark
+    analyzes the DataFrame for its schema; DuckDB DESCRIBEs the
+    oracle."""
+    s_dtypes = dict(query_fn(spark, sf_dir).dtypes)
+    con = duckdb_conn(sf_dir)
+    try:
+        d_rows = con.execute(f"DESCRIBE {oracle}").fetchall()
+    finally:
+        con.close()
+    problems = []
+    for col, duck_type, *_ in d_rows:
+        spark_type = s_dtypes.get(col)
+        if spark_type is None:
+            continue  # column-name mismatch is compare()'s job
+        d_fam = _family(duck_type, _DUCK_FAMILY)
+        s_fam = _family(spark_type, _SPARK_FAMILY)
+        if d_fam is None:
+            problems.append(
+                f"{name}.{col}: DuckDB {duck_type} has no driver-safe "
+                f"hash family (spark={spark_type}) -- CAST it in the "
+                f"oracle"
+            )
+        elif s_fam is None:
+            problems.append(
+                f"{name}.{col}: Spark {spark_type} has no driver-safe "
+                f"hash family (duckdb={duck_type})"
+            )
+        elif d_fam != s_fam:
+            problems.append(
+                f"{name}.{col}: hash-family mismatch DuckDB "
+                f"{duck_type} ({d_fam}) vs Spark {spark_type} ({s_fam})"
+            )
+    return problems
+
+
 def compare(
     spark, sf_dir: str, query_fn, oracle: str, name: str = "?", allow_empty: bool = False
 ) -> None:

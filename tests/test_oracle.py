@@ -32,6 +32,26 @@ def test_query_matches_oracle(spark, name):
     )
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_result_types_driver_safe(spark, name):
+    """Type-level lint (VERDICT r3 item 2): the driver hashes values
+    fetched through Arrow, where DuckDB HUGEINT / DECIMAL survive as
+    Decimal cells even though plain-Python fetch collapses them to int
+    -- a failure class compare() above cannot see. DESCRIBE the oracle
+    and require every output column to share a hash family with the
+    Spark dtype."""
+    from tests.oracle_utils import lint_oracle_types
+
+    problems = lint_oracle_types(
+        spark,
+        SF_ORACLE,
+        registry.QUERIES[name],
+        registry.ORACLES[name],
+        name,
+    )
+    assert not problems, "\n".join(problems)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_query_runs(spark, name):
     df = registry.QUERIES[name](spark, SF_ORACLE)
