@@ -102,6 +102,101 @@ def _release_xml(i: int) -> str:
     return "".join(parts)
 
 
+def expected_flat_rows(n_releases: int = 150,
+                       start_id: int = 1001) -> list[tuple]:
+    """Ground-truth flattened rows (id, status, title, n_artists,
+    n_null_anv, n_genres, n_styles, n_labels, is_main_release,
+    master_id) for the edge fixture + synthetic corpus, computed
+    DIRECTLY from the residue-class generator rules above -- no XML
+    parsing, no Spark. This is the independent oracle side of the
+    conversion correctness check (VERDICT r3 item 5): if the engine's
+    XML->DataFrame path diverges from these rows on any branch, the
+    driver hash breaks."""
+    rows = [
+        # mirrors RELEASES_XML verbatim (anv=''-> null on artist 11;
+        # &amp; unescaped in title/genre/style; release 3 has no
+        # master_id -> both columns null)
+        (1, "Accepted", "First Album", 2, 1, 2, 1, 2, True, 555),
+        (2, "Draft", "Second", 0, 0, 0, 0, 0, False, 556),
+        (3, "Deleted", "Third", 0, 0, 1, 0, 0, None, None),
+    ]
+    for i in range(start_id, start_id + n_releases):
+        if i % 11 != 0:
+            n_art = 1 + i % 3
+            # odd artist index -> <anv></anv> -> empty -> null
+            n_null_anv = n_art // 2
+        else:
+            n_art, n_null_anv = 0, 0
+        has_taxonomy = 1 if i % 7 != 0 else 0
+        if i % 4 != 0:
+            master_id, is_main = i + 7, i % 2 == 0
+        else:
+            master_id, is_main = None, None
+        rows.append((
+            i, _STATUSES[i % 3], f"Release {i} & Friends",
+            n_art, n_null_anv, has_taxonomy, has_taxonomy, 1 + i % 2,
+            is_main, master_id,
+        ))
+    return rows
+
+
+# Per-artist ground truth for the edge fixture (releases 2 and 3 have
+# no artists): (release_id, title, artist_id, name, anv, join). The
+# artist struct keeps id as string (the reference projects it
+# verbatim, main.rs:670-756).
+EXPECTED_ARTIST_ROWS: list[tuple] = [
+    (1, "First Album", "10", "Alpha & Beta", "A&B", "feat."),
+    (1, "First Album", "11", "Gamma", None, None),
+]
+
+
+def _write_parquet_atomic(path: str, table) -> str:
+    """Single-file parquet write (pyarrow), atomic against concurrent
+    writers/readers via tmp+rename. Always rewrites (unlike the XML
+    fixtures) so a stale expected file from an older generator version
+    can never shadow the current ground truth; the write happens once
+    per process at import and the table is tiny."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def write_expected_flat_parquet(path: str) -> str:
+    """Write expected_flat_rows() as parquet for the DuckDB oracle's
+    read_parquet(); int64/bool/string schema (driver hash collapses
+    integer widths, so int64 matches Spark's int-sized size() counts)."""
+    import pyarrow as pa
+
+    cols = list(zip(*expected_flat_rows()))
+    names = ["id", "status", "title", "n_artists", "n_null_anv",
+             "n_genres", "n_styles", "n_labels", "is_main_release",
+             "master_id"]
+    types = [pa.int64(), pa.string(), pa.string(), pa.int64(),
+             pa.int64(), pa.int64(), pa.int64(), pa.int64(),
+             pa.bool_(), pa.int64()]
+    table = pa.table(
+        {n: pa.array(c, type=t) for n, c, t in zip(names, cols, types)}
+    )
+    return _write_parquet_atomic(path, table)
+
+
+def write_expected_artists_parquet(path: str) -> str:
+    """Write EXPECTED_ARTIST_ROWS as parquet for the explode oracle."""
+    import pyarrow as pa
+
+    cols = list(zip(*EXPECTED_ARTIST_ROWS))
+    names = ["release_id", "title", "artist_id", "name", "anv", "join"]
+    types = [pa.int64()] + [pa.string()] * 5
+    table = pa.table(
+        {n: pa.array(c, type=t) for n, c, t in zip(names, cols, types)}
+    )
+    return _write_parquet_atomic(path, table)
+
+
 def write_synthetic_releases(dir_path: str, n_releases: int,
                              n_files: int = 4, start_id: int = 1) -> str:
     """Deterministic n_releases-row Discogs-shaped corpus split over
