@@ -2,64 +2,78 @@
 
 Import order IS driver-check order (the registry dict preserves
 insertion order and the driver checks the first 50 registered queries
--- r01 and r02 both cut at exactly 50). Rotation policy: queries with
-no CORRECTNESS row anywhere go first, then this round's new modules,
-then the stable previously-green bulk.
+-- r01-r03 all cut at exactly 50). Rotation policy: queries with no
+CORRECTNESS row anywhere go first, then fixed/changed queries, then
+the module whose passing evidence is oldest.
 
-Round-3 window (the first 50): the 10 new queries (sampling x3,
-decontam, quality x2, kmeans x2, tfidf, bm25) + the 12 never-checked
-(ranges, pipeline, formats, q_ann_lsh_probe, discogs_conversion_stats,
-q_skew_salted_join) + 28 of the 30 checked only in r01 (similarity
-tail, conversion, joins, aggregates, nested, python_udfs, reshaping)
-= exactly 50. setops (r01-green) lands at positions 51-52 -- a
-deliberate trade: giving its two slots to q_kmeans_update and
-q_bm25_search leaves only cohorts/orc/packing with no row anywhere
-after round 3, the minimum possible. q_ann_bruteforce_topk (green in
-r02) is re-registered at the bottom of this file to free its
-similarity-module slot.
+Round-4 window (the first 50), closing the r3 verification debt:
+- positions 1-7: the never-checked queries (q_cohort_retention, the
+  formats_extra pair, matching incl. q_entity_resolution -- the module
+  also refreshes its three r2-green siblings, one of which
+  (q_fuzzy_blocked) gains the length+/-1 blocking pass this round);
+- 8-10: the conversion trio, newly hash-checked against
+  generator-derived expected parquet (was rows-only r1-r3);
+- 11-12: setops, whose only evidence was r1;
+- 13-15: sampling (q_sample_stratified's HUGEINT oracle fix from the
+  r3 verdict; its two r3-green siblings ride along -- module
+  granularity);
+- 16-29: dedup (r2-green, touched by the capstone rework), packing
+  (never checked), quality (r3-green, pulled in transitively by
+  curation_full anyway), curation_full (never checked, CC swapped to
+  the two-phase algorithm this round);
+- 30-50: the oldest r2-green evidence -- temporal, text_analysis,
+  windows, subqueries, semistructured, and relational's first query
+  (q1_pricing_summary; the module's remaining four land just past the
+  cut).
+Left at r2 evidence for round 5: relational tail, scalars, tpch_extra,
+streaming_queries, q_ann_bruteforce_topk. Everything r3-green rotates
+out entirely.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # new this round -- no row anywhere yet
+    # never driver-checked (no CORRECTNESS row in r1-r3)
+    cohorts,
+    formats_extra,
+    matching,
+    # rows-only until round 4's expected-parquet oracles
+    conversion,
+    # evidence stale since r1
+    setops,
+    # q_sample_stratified oracle fixed (HUGEINT -> BIGINT cast)
     sampling,
-    decontam,
+    # r2-green, reworked capstone dependencies, then the capstone
+    dedup,
+    packing,
     quality,
+    curation_full,
+    # oldest green evidence (r2)
+    temporal,
+    text_analysis,
+    windows,
+    subqueries,
+    semistructured,
+    relational,
+    # --- 50-query window cut lands inside relational ---
+    scalars,
+    tpch_extra,
+    streaming_queries,
+    # r3-green, rotated out of the window
+    decontam,
     clustering,
     scoring,
-    # never driver-checked
     ranges,
     pipeline,
     formats,
-    # checked only in round 1 (plus the never-checked strays inside)
     similarity,
-    conversion,
     joins,
     aggregates,
     nested,
     python_udfs,
     reshaping,
-    setops,
-    # new this round, beyond the 50-window (round-4 candidates)
-    cohorts,
-    formats_extra,
-    packing,
-    curation_full,
-    # stable green in round 2
-    windows,
-    subqueries,
-    temporal,
-    text_analysis,
-    tpch_extra,
-    streaming_queries,
-    relational,
-    semistructured,
-    scalars,
-    dedup,
-    matching,
 )
 from discogs_xml_to_parquet_spark.registry import query as _query
 
-# q_ann_bruteforce_topk demoted out of the round-3 window (green in
+# q_ann_bruteforce_topk demoted out of the windowed registry (green in
 # r02); implementation + oracle stay in queries/similarity.py.
 _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
     similarity.q_ann_bruteforce_topk
