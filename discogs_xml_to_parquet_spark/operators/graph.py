@@ -111,13 +111,19 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
 
     Returns (id, comp) = min node id of each component, identical to
     connected_components (equivalence is regression-tested)."""
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the input ONCE: nodes and e both derive from raw, and
+    # the caller's edge list may carry an arbitrarily expensive lineage
+    # (the curation capstone feeds the whole banded-LSH chain in here)
+    # -- without this checkpoint that upstream would evaluate twice
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     # node set from RAW edges, before the self-loop filter: a node whose
     # only edge is a self-loop must still appear in the output (as its
     # own component), matching connected_components
     nodes = raw.select(F.col("a").alias("id")).union(
         raw.select(F.col("b").alias("id"))
-    ).distinct().localCheckpoint()
+    ).distinct()
     # canonical undirected edge set, no self loops
     e = (
         raw.filter(F.col("a") != F.col("b"))
@@ -128,7 +134,37 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
         .localCheckpoint()
     )
 
+    def _is_star_forest(cur: DataFrame) -> bool:
+        # Fixpoint test, checked BEFORE each round: the canonical edge
+        # set is a correct answer iff (1) no node is both a parent (a)
+        # and a member (b) and (2) no member has two parents. The
+        # edges then form disjoint two-level stars; every stored edge
+        # has a < b, so each root is strictly below all its members
+        # and no other edge touches the star, i.e. the root IS the
+        # component minimum (the Kiveris et al. fixpoint shape), and
+        # since every round preserves connectivity this labels the
+        # ORIGINAL graph correctly too. Both violation scans union
+        # into one limit(1) job over checkpointed data -- vs. the
+        # count+exceptAll set-equality check this replaces, which
+        # also needed a whole extra (no-op) round just to observe
+        # that nothing changed. Condition (2) is not redundant:
+        # {(1,3),(2,3)} passes (1) alone but under-merges.
+        parent_and_member = (
+            cur.select("a")
+            .join(cur.select(F.col("b").alias("a")), "a", "left_semi")
+            .select(F.lit(1).alias("v"))
+        )
+        multi_parent = (
+            cur.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select(F.lit(1).alias("v"))
+        )
+        return parent_and_member.union(multi_parent).limit(1).count() == 0
+
     for _ in range(max_iter):
+        if _is_star_forest(e):
+            break
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # large-star: per node u, m = min(min neighbor, u); emit (v, m)
         # for neighbors v > u. min() combines map-side; the per-edge
@@ -165,21 +201,13 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
             .distinct()
             .localCheckpoint()
         )
-        # converged when every edge points at a root: edge sets equal.
-        # Both sides are distinct canonical sets, so equal counts plus
-        # one empty difference proves equality -- the count precheck
-        # (narrow job over checkpointed data) short-circuits the wide
-        # exceptAll for every non-final round
-        if new_e.count() == e.count() and \
-                new_e.exceptAll(e).limit(1).count() == 0:
-            e = new_e
-            break
         e = new_e
     else:
-        raise RuntimeError(
-            f"two-phase connected components did not converge in "
-            f"{max_iter} rounds"
-        )
+        if not _is_star_forest(e):
+            raise RuntimeError(
+                f"two-phase connected components did not converge in "
+                f"{max_iter} rounds"
+            )
     # at fixpoint every edge is (root, member); roots label themselves
     labels = e.select(F.col("b").alias("id"), F.col("a").alias("comp"))
     return (

@@ -5,8 +5,9 @@
 
 i.e. documents in, training-sequence manifest out -- the complete
 pretraining data path this engine exists to run, with every stage the
-scale-path variant (map-only gopher metrics, banded-LSH candidates,
-iterative connected components, shard-local pack windows). The DuckDB
+scale-path variant (map-only gopher metrics, exact-dup pre-collapse,
+banded-LSH candidates, two-phase large-star/small-star connected
+components, shard-local pack windows). The DuckDB
 oracle rebuilds the entire chain from the same shared fragments
 (GOPHER_METRICS_CTE/GOPHER_KEEP_PRED, minhash_verified_ctes,
 shard_sql), so no stage's mirror can drift from its standalone query.
@@ -55,13 +56,29 @@ _MINHASH_OVER_KEPT = minhash_verified_ctes("kept_docs").replace(
     "q_curation_pipeline",
     oracle=f"""
 WITH RECURSIVE {GOPHER_METRICS_CTE},
-kept_docs AS (
+all_kept AS (
   SELECT d.doc_id, d.text
   FROM documents d JOIN m USING (doc_id)
   WHERE {GOPHER_KEEP_PRED}
 ),
+exact_pairs AS (
+  SELECT id1, id2 FROM (
+    SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id1,
+           doc_id AS id2
+    FROM all_kept
+  ) WHERE id1 != id2
+),
+kept_docs AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+  FROM all_kept GROUP BY md5(text)
+),
 {_MINHASH_OVER_KEPT},
-{cc_ctes()},
+all_pairs AS (
+  SELECT id1, id2 FROM near_dups
+  UNION
+  SELECT id1, id2 FROM exact_pairs
+),
+{cc_ctes("all_pairs")},
 stats AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
@@ -105,23 +122,48 @@ ORDER BY shard, seq_id
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> packed-sequence manifest, one plan. Stage shapes:
-    gopher metrics and the keep predicate are map-only; near-dup pairs
-    come from the banded-LSH chain restricted to survivors of the
-    filter (the filter runs FIRST -- cheapest stage prunes before the
-    expensive signatures, the standard pipeline ordering); duplicate
-    groups collapse to their highest-quality member; survivors shard,
-    order, and pack exactly like q_pack_sequences. Catalyst sees the
-    whole thing as one DAG, so column pruning and the shared scan of
-    documents are global, not per-stage."""
+    gopher metrics and the keep predicate are map-only; exact
+    duplicates collapse via one hash-keyed agg before anything
+    expensive runs; near-dup pairs come from the banded-LSH chain
+    restricted to the distinct-text survivors of the filter (cheapest
+    stages prune before the signatures, the standard pipeline
+    ordering); duplicate groups collapse to their highest-quality
+    member; survivors shard, order, and pack exactly like
+    q_pack_sequences. Catalyst sees the whole thing as one DAG, so
+    column pruning and the shared scan of documents are global, not
+    per-stage."""
     d = load_spread(spark, sf_dir, "documents")
     # map-only, bind-once filter (no join back onto the corpus; one
     # split per row even when Catalyst pushes it into the scan stage)
     kept = gopher_keep_filter(d).select("doc_id", "text")
-    pairs = minhash_near_dup_pairs(spark, sf_dir, docs=kept)
-    comp = G.connected_components(
-        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    # pre-collapse exact duplicates BEFORE the signature stage (VERDICT
+    # r3 item 3): exact dedup is one cheap hash-keyed agg, and identical
+    # texts are precisely the rows that pile into one LSH band bucket
+    # (operators/dedup.py:23) -- removing them first kills the worst
+    # skew and shrinks the expensive minhash fold to distinct texts.
+    # The agg shuffles only (text_hash, doc_id) -- 40-byte rows, never
+    # the documents themselves.
+    hashed = kept.select("doc_id", F.md5("text").alias("text_hash"))
+    groups = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    exact_pairs = (
+        hashed.join(groups, "text_hash")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("id1"), F.col("doc_id").alias("id2"))
     )
-    stats = quality_score(token_stats(kept)).select(
+    collapsed = kept.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "semi"
+    )
+    near = minhash_near_dup_pairs(spark, sf_dir, docs=collapsed)
+    # near-dup pairs link canonical docs only; exact pairs link each
+    # removed copy to its canonical -- disjoint sets, plain union. The
+    # CC is the two-phase large-star/small-star algorithm: O(log^2 d)
+    # rounds instead of O(d), so chained near-dup components (template
+    # documents) stop dominating the capstone's wall-clock.
+    all_pairs = near.select("id1", "id2").union(exact_pairs)
+    comp = G.connected_components_two_phase(
+        all_pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    stats = quality_score(token_stats(collapsed)).select(
         "doc_id", "n_tokens", "quality_score"
     )
     labeled = stats.join(comp, stats["doc_id"] == comp["id"], "left").select(

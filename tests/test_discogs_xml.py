@@ -280,6 +280,10 @@ def test_two_phase_cc_matches_min_label(spark):
             (rng.randrange(40), rng.randrange(40)) for _ in range(30)
         ],
         "two_comps": [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)],
+        # shared member, disjoint parent/member sets: the state that a
+        # parent-and-member convergence check alone would wrongly call
+        # a fixpoint (node 3 has two parents; 1 and 2 must merge)
+        "shared_member": [(1, 3), (2, 3)],
     }
     for name, pairs in cases.items():
         pairs = [(a, b) for a, b in pairs if a != b]
