@@ -37,7 +37,14 @@ _SCALE = 1_000_000
 def scaled(col: Column | str) -> Column:
     """Per-row deterministic rounding of a double to a 1e-6-scaled
     BIGINT: floor(x * 1e6 + 0.5). Every op is correctly-rounded IEEE,
-    so Spark and DuckDB produce the same integer for the same double."""
+    so Spark and DuckDB produce the same integer for the same double.
+
+    Per-row magnitude bound (ADVICE r3): Spark's floor() lands on LONG
+    before the decimal(38,0) cast, so a single |x| > ~9.2e12 would wrap
+    in Spark (non-ANSI) while DuckDB's CAST(floor(...) AS BIGINT)
+    errors. The 38-digit headroom applies to the ACCUMULATOR only; rows
+    must fit a scaled BIGINT. All monetary/metric columns here are
+    |x| < 1e7, nowhere near the bound."""
     c = F.col(col) if isinstance(col, str) else col
     return F.floor(c * float(_SCALE) + F.lit(0.5))
 

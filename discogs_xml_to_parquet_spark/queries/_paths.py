@@ -7,19 +7,25 @@ ADVICE r2 flagged on the XML fixture: a second process overwriting the
 directory while this one's lazy read-back scan lists it yields
 FileNotFoundException or a partial read. Each call now gets a fresh
 mkdtemp directory (unique per process + call, so concurrent drivers and
-pytest workers never collide); stale siblings from earlier runs are
-best-effort reaped once they are an hour old.
+pytest workers never collide). The creating PID is embedded in the
+directory name; stale siblings are reaped only once their creator is
+dead (ADVICE r3: an age-only reaper could delete a >1h-old dir whose
+still-running creator re-evaluates a lazy read-back scan later). Dirs
+without a parseable PID (pre-r4 layout) get a 24h fuse instead.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 import time
 
 _PREFIX = "sparkgraft_sink_"
+_PID_RE = re.compile(rf"^{_PREFIX}p(\d+)_")
 _REAP_AGE_SEC = 3600
+_REAP_AGE_NO_PID_SEC = 24 * 3600
 
 
 def scratch_sink_dir(tag: str, sf_dir: str) -> str:
@@ -27,7 +33,19 @@ def scratch_sink_dir(tag: str, sf_dir: str) -> str:
     base = tempfile.gettempdir()
     _reap_stale(base)
     sf = os.path.basename(sf_dir.rstrip("/"))
-    return tempfile.mkdtemp(prefix=f"{_PREFIX}{tag}_{sf}_", dir=base)
+    return tempfile.mkdtemp(
+        prefix=f"{_PREFIX}p{os.getpid()}_{tag}_{sf}_", dir=base
+    )
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        pass  # e.g. EPERM: exists but not ours
+    return True
 
 
 def _reap_stale(base: str) -> None:
@@ -39,9 +57,13 @@ def _reap_stale(base: str) -> None:
     for name in entries:
         if not name.startswith(_PREFIX):
             continue
+        m = _PID_RE.match(name)
+        if m and _pid_alive(int(m.group(1))):
+            continue
+        age_limit = _REAP_AGE_SEC if m else _REAP_AGE_NO_PID_SEC
         path = os.path.join(base, name)
         try:
-            if now - os.path.getmtime(path) > _REAP_AGE_SEC:
+            if now - os.path.getmtime(path) > age_limit:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             continue

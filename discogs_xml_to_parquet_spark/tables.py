@@ -31,9 +31,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    nanos via the legacy conf and rebuild a timestamp_ntz:
+    """events.ts has shipped as both parquet TIMESTAMP(MICROS) (reads
+    natively as timestamp_ntz) and TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). For
+    the nanos generation: read raw nanos via the legacy conf and
+    rebuild a timestamp_ntz:
 
     - integer `div` (never `/`: double division of an 1.7e18 nanos value
       rounds in the last microseconds)
@@ -42,14 +44,18 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       detour through TimestampType and shift under a non-UTC session)
 
     Truncation ns->us matches DuckDB's TIMESTAMP_NS->TIMESTAMP cast,
-    keeping oracle comparisons exact.
+    keeping oracle comparisons exact. Both lanes land on the same
+    timestamp_ntz column type, so queries never see the difference.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts = F.expr(
-        "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
-        "make_interval(0, 0, 0, 0, 0, 0, CAST(ts DIV 1000 AS DECIMAL(26,6)) / 1000000)"
-    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ts = F.expr(
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, 0, 0, CAST(ts DIV 1000 AS DECIMAL(26,6)) / 1000000)"
+        )
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
     return raw.select(
         "event_id", ts.alias("ts"), "user_id", "event_type", "value", "props"
     )

@@ -109,3 +109,61 @@ def test_blocked_fuzzy_full_recall_when_uncapped(spark):
     }
     assert blocked == brute
     assert len(blocked) > 0
+
+
+def test_blocked_fuzzy_recall_on_length_changing_pairs(spark):
+    """The r3 verdict's gap: indel pairs whose lengths differ by 1-2
+    must be recalled by the suffix-band pass. Synthetic fixture of
+    insert/delete/mixed edits at varied positions (edits never touch
+    both the first and last band at once -- the documented residual of
+    two-pass positional blocking); blocked must equal all-pairs."""
+    from pyspark.sql import functions as F
+    from discogs_xml_to_parquet_spark.queries.matching import blocked_pairs_df
+
+    base = [
+        "Customer#000000017",
+        "Customer#000000940",
+        "Aldebaran Trading Co",
+        "Zanzibar Shipping Ltd",
+    ]
+    variants = []
+    for i, name in enumerate(base):
+        variants.append((100 * i, name))
+        variants.append((100 * i + 1, name[:5] + name[6:]))          # del, mid-left
+        variants.append((100 * i + 2, name[:10] + "X" + name[10:]))  # ins, middle
+        variants.append((100 * i + 3, name[:4] + name[6:]))          # del x2
+        variants.append((100 * i + 4, name[:8] + "QQ" + name[8:]))   # ins x2
+        # indel + substitution: delete mid, substitute a later char
+        variants.append((100 * i + 5, (name[:5] + name[6:])[:12] + "Z"
+                         + (name[:5] + name[6:])[13:]))
+    c = spark.createDataFrame(variants, "c_custkey INT, c_name STRING")
+    blocked = {
+        (r.id1, r.id2, r.edit_dist)
+        for r in blocked_pairs_df(c).collect()
+    }
+    a, b = c.alias("a"), c.alias("b")
+    brute = {
+        (r.id1, r.id2, r.edit_dist)
+        for r in a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .collect()
+    }
+    length_changing = {
+        (i1, i2) for i1, i2, _ in brute
+    } & {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+        )
+        .filter(F.length(F.col("a.c_name")) != F.length(F.col("b.c_name")))
+        .collect()
+    }
+    assert len(length_changing) >= 8, "fixture must exercise the indel lane"
+    assert blocked == brute

@@ -195,8 +195,11 @@ def test_stratified_sample_is_single_pass(spark):
     df = registry.QUERIES["q_sample_stratified"](spark, SF_SMOKE)
     plan = plan_of(df)
     assert "Join" not in plan
-    # formatted explain prints each node twice (tree + detail section)
-    assert plan.count("Scan parquet") == 2
+    # count scan NODES in the tree section only (before the first blank
+    # line) -- the detail section repeats each node, and how many times
+    # is a formatting detail that varies across Spark versions
+    tree = plan.split("\n\n")[0]
+    assert sum("Scan parquet" in ln for ln in tree.splitlines()) == 1
 
 
 def test_runtime_bloom_filter_injects_on_selective_join(spark):
