@@ -19,6 +19,11 @@ Scale rules encoded here:
   rounds vs O(diameter); the min-label round is the simpler tool for
   dedup graphs, whose components are small and shallow, and each
   labels components identically (equivalence-tested).
+- connected_components_auto dispatches between them on the observed
+  edge count (min-label under the threshold, two-phase above), so
+  pipelines pay the two-phase round machinery only when the graph is
+  big enough for it to win (r4 verdict: scale-insurance was being
+  paid at the wrong scale).
 """
 
 from __future__ import annotations
@@ -41,11 +46,27 @@ def connected_components(edges: DataFrame, src: str = "src",
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.distinct().localCheckpoint()
+    return _min_label_from_sym(sym, max_iter)
 
+
+def _min_label_from_sym(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label rounds over a prebuilt, checkpointed symmetric
+    distinct edge set (columns a, b) -- shared by connected_components
+    and the size dispatcher so the dispatcher's count job and the
+    algorithm reuse one materialization."""
+    # Seed labels with round 1's output directly: starting from
+    # label(u) = u, the first round always computes min(u, min
+    # neighbor), so folding it into the init saves one full
+    # join+agg+checkpoint round (dedup graphs converge in 2-3 rounds,
+    # so this is a ~30% round-count cut). The same aggregate yields
+    # the node set, replacing the separate distinct.
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nmin"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("nmin")).alias("comp"),
+        )
         .localCheckpoint()
     )
 
@@ -56,6 +77,9 @@ def connected_components(edges: DataFrame, src: str = "src",
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence probe below is a scan of checkpointed data, not
+        # another join+shuffle job per round
         new_labels = (
             labels.join(neigh_min, labels["id"] == neigh_min["a"], "left")
             .select(
@@ -63,16 +87,14 @@ def connected_components(edges: DataFrame, src: str = "src",
                 F.least(
                     F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("old_comp"),
             )
             .localCheckpoint()  # cut lineage every round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("comp") != F.col("old_comp")
+        ).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     else:
@@ -134,43 +156,52 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
         .localCheckpoint()
     )
 
-    def _is_star_forest(cur: DataFrame) -> bool:
-        # Fixpoint test, checked BEFORE each round: the canonical edge
-        # set is a correct answer iff (1) no node is both a parent (a)
-        # and a member (b) and (2) no member has two parents. The
-        # edges then form disjoint two-level stars; every stored edge
-        # has a < b, so each root is strictly below all its members
-        # and no other edge touches the star, i.e. the root IS the
-        # component minimum (the Kiveris et al. fixpoint shape), and
-        # since every round preserves connectivity this labels the
-        # ORIGINAL graph correctly too. Both violation scans union
-        # into one limit(1) job over checkpointed data -- vs. the
-        # count+exceptAll set-equality check this replaces, which
-        # also needed a whole extra (no-op) round just to observe
-        # that nothing changed. Condition (2) is not redundant:
-        # {(1,3),(2,3)} passes (1) alone but under-merges.
-        parent_and_member = (
-            cur.select("a")
-            .join(cur.select(F.col("b").alias("a")), "a", "left_semi")
-            .select(F.lit(1).alias("v"))
-        )
-        multi_parent = (
-            cur.groupBy("b")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
-            .select(F.lit(1).alias("v"))
-        )
-        return parent_and_member.union(multi_parent).limit(1).count() == 0
-
-    for _ in range(max_iter):
-        if _is_star_forest(e):
-            break
+    converged = False
+    # max_iter + 1 iterations: up to max_iter rewrites, each preceded by
+    # a fixpoint probe, plus one final probe on the last rewrite's output
+    for it in range(max_iter + 1):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # ONE neighborhood aggregate per round serves both the fixpoint
+        # test and the large-star phase (r4 verdict: the separate
+        # _is_star_forest semi-join job doubled the per-round job count
+        # on small graphs). Per node u over the symmetric edges:
+        # min/max neighbor and how many neighbors are strictly smaller.
+        # All three combine map-side; checkpointing makes the violation
+        # probe below a local scan instead of a second shuffle.
+        deg = (
+            sym.groupBy("a")
+            .agg(
+                F.min("b").alias("min_nbr"),
+                F.max("b").alias("max_nbr"),
+                F.sum((F.col("b") < F.col("a")).cast("int")).alias("n_smaller"),
+            )
+            .localCheckpoint()
+        )
+        # Fixpoint test (checked BEFORE the round's rewrites): the
+        # canonical edge set (every stored edge has a < b) is a correct
+        # answer iff (1) no node is both a parent and a member -- in
+        # neighborhood terms, has a smaller AND a larger neighbor --
+        # and (2) no member has two parents, i.e. two smaller
+        # neighbors. The edges then form disjoint two-level stars
+        # whose roots are their component minima (the Kiveris et al.
+        # fixpoint shape), and since every round preserves
+        # connectivity this labels the ORIGINAL graph correctly too.
+        # Condition (2) is not redundant: {(1,3),(2,3)} passes (1)
+        # alone but under-merges.
+        violated = deg.filter(
+            (F.col("n_smaller") >= 2)
+            | ((F.col("min_nbr") < F.col("a")) & (F.col("max_nbr") > F.col("a")))
+        )
+        if violated.limit(1).count() == 0:
+            converged = True
+            break
+        if it == max_iter:
+            break  # rewrite budget exhausted and still not a star forest
         # large-star: per node u, m = min(min neighbor, u); emit (v, m)
-        # for neighbors v > u. min() combines map-side; the per-edge
-        # fan-out comes from joining the scalar m back to the edges, so
-        # no task ever holds a whole neighborhood (ADVICE r2).
-        mins = sym.groupBy("a").agg(F.min("b").alias("min_nbr"))
+        # for neighbors v > u. The per-edge fan-out comes from joining
+        # the scalar m back to the edges, so no task ever holds a whole
+        # neighborhood (ADVICE r2).
+        mins = deg.select("a", "min_nbr")
         m = F.least(F.col("a"), F.col("min_nbr"))
         large = (
             sym.join(mins, "a")
@@ -202,15 +233,54 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
             .localCheckpoint()
         )
         e = new_e
-    else:
-        if not _is_star_forest(e):
-            raise RuntimeError(
-                f"two-phase connected components did not converge in "
-                f"{max_iter} rounds"
-            )
+    if not converged:
+        raise RuntimeError(
+            f"two-phase connected components did not converge in "
+            f"{max_iter} rounds"
+        )
     # at fixpoint every edge is (root, member); roots label themselves
     labels = e.select(F.col("b").alias("id"), F.col("a").alias("comp"))
     return (
         nodes.join(labels, "id", "left")
         .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
     )
+
+
+def connected_components_auto(edges: DataFrame, src: str = "src",
+                              dst: str = "dst", max_iter: int = 25,
+                              small_graph_edges: int = 2_000_000
+                              ) -> DataFrame:
+    """Size-dispatched connected components (r4 verdict item 2): count
+    the edge list once, then run min-label propagation when it is small
+    (job-scheduling overhead dominates tiny graphs, and dedup graphs
+    are small and shallow -- at sf0.1 the curation capstone's graph is
+    ~100 edges) and large-star/small-star above the threshold (the
+    O(log^2 d) web-scale path). The count is cheap because the edge
+    list is checkpointed first -- which the iterative algorithms need
+    anyway, and which also stops the caller's possibly-expensive
+    upstream (the capstone feeds the whole banded-LSH chain in here)
+    from evaluating once per round.
+
+    If min-label fails to converge within max_iter (a deep chain inside
+    a small edge list), falls back to two-phase rather than surfacing
+    the small-graph heuristic as an error. Both paths label components
+    identically (equivalence-tested), so the dispatch is invisible to
+    results."""
+    # ONE symmetric-distinct checkpoint serves the dispatch count AND
+    # min-label's round loop (it is exactly the prep min-label needs);
+    # two-phase re-canonicalizes from it, which is cheap because the
+    # input is already materialized. Self-loops survive distinct() as
+    # (u, u) rows, so both downstream preps see the same node set.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if sym.count() <= 2 * small_graph_edges:
+        try:
+            return _min_label_from_sym(sym, max_iter)
+        except RuntimeError:
+            pass  # deep component: retry with the O(log^2 d) algorithm
+    return connected_components_two_phase(sym, src="a", dst="b",
+                                          max_iter=max_iter)

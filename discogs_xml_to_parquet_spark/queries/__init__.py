@@ -2,79 +2,88 @@
 
 Import order IS driver-check order (the registry dict preserves
 insertion order and the driver checks the first 50 registered queries
--- r01-r03 all cut at exactly 50). Rotation policy: queries with no
+-- r01-r04 all cut at exactly 50). Rotation policy: queries with no
 CORRECTNESS row anywhere go first, then fixed/changed queries, then
 the module whose passing evidence is oldest.
 
-Round-4 window (the first 50), closing the r3 verification debt:
-- positions 1-7: the never-checked queries (q_cohort_retention, the
-  formats_extra pair, matching incl. q_entity_resolution -- the module
-  also refreshes its three r2-green siblings, one of which
-  (q_fuzzy_blocked) gains the length+/-1 blocking pass this round);
-- 8-10: the conversion trio, newly hash-checked against
-  generator-derived expected parquet (was rows-only r1-r3);
-- 11-12: setops, whose only evidence was r1;
-- 13-15: sampling (q_sample_stratified's HUGEINT oracle fix from the
-  r3 verdict; its two r3-green siblings ride along -- module
-  granularity);
-- 16-29: dedup (r2-green, touched by the capstone rework), packing
-  (never checked), quality (r3-green, pulled in transitively by
-  curation_full anyway), curation_full (never checked, CC swapped to
-  the two-phase algorithm this round);
-- 30-50: the oldest r2-green evidence -- temporal, text_analysis,
-  windows, subqueries, semistructured, and relational's first query
-  (q1_pricing_summary; the module's remaining four land just past the
-  cut).
-Left at r2 evidence for round 5: relational tail, scalars, tpch_extra,
-streaming_queries, q_ann_bruteforce_topk. Everything r3-green rotates
-out entirely.
+Round-5 window (the first 50):
+- 1-4: matching -- changed this round (pass-2 prefix-band lane closes
+  the trailing-indel recall hole from the r4 ADVICE; q_fuzzy_blocked
+  and q_entity_resolution results change);
+- 5-18: dedup, packing, quality, curation_full -- the capstone was
+  restructured this round (size-dispatched CC, canonical-map +
+  stats-folded checkpoints) and q_dedup_components rides on the
+  reworked min-label CC (seeded init), so the whole dependency group
+  re-checks; packing/quality are pulled in transitively by
+  curation_full anyway;
+- 19-34: the r2-stale debt the r4 verdict listed: relational
+  (q_filter_project, q_sort_limit_topk, q_sink_roundtrip), scalars
+  (string/date/math/json fns), tpch_extra (q3/q10/q14/q18 spread with
+  relational), streaming_queries (all 4 streams);
+- 35-39: similarity + the demoted q_ann_bruteforce_topk (r2-stale, the
+  last item on the verdict's list; its 4 lsh/ivf siblings refresh
+  their r3 evidence in the same pass);
+- 40-50: oldest remaining green evidence (r3): aggregates and
+  reshaping first -- their two sketch queries carry new bounds-checked
+  oracles this round (r4 verdict item 6) and must be driver-checked --
+  then joins (cut lands on its first query).
+Left for round 6: the joins tail, everything r4-green (conversion
+trio, setops, sampling, cohorts, formats_extra, temporal,
+text_analysis, windows, subqueries, semistructured, q1's module tail)
+and the r3-green remainder (nested, python_udfs, decontam, clustering,
+scoring, ranges, pipeline, formats).
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # never driver-checked (no CORRECTNESS row in r1-r3)
-    cohorts,
-    formats_extra,
+    # changed this round: trailing-indel recall fix
     matching,
-    # rows-only until round 4's expected-parquet oracles
-    conversion,
-    # evidence stale since r1
-    setops,
-    # q_sample_stratified oracle fixed (HUGEINT -> BIGINT cast)
-    sampling,
-    # r2-green, reworked capstone dependencies, then the capstone
+    # capstone dependency group, reworked CC + checkpoints this round
     dedup,
     packing,
     quality,
     curation_full,
-    # oldest green evidence (r2)
-    temporal,
-    text_analysis,
-    windows,
-    subqueries,
-    semistructured,
+    # the r2-stale debt (r4 verdict "what's missing" #1)
     relational,
-    # --- 50-query window cut lands inside relational ---
     scalars,
     tpch_extra,
     streaming_queries,
-    # r3-green, rotated out of the window
+    # r2-stale q_ann_bruteforce_topk's module (registered just below)
+    similarity,
+)
+from discogs_xml_to_parquet_spark.registry import query as _query
+
+# q_ann_bruteforce_topk is registered manually (demoted from the module
+# in r3); placing it here puts it inside the round-5 window.
+_query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
+    similarity.q_ann_bruteforce_topk
+)
+
+from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
+    # oldest remaining green evidence (r3); aggregates + reshaping
+    # first so the two sketch queries' new bounds-checked oracles
+    # (q_agg_approx_distinct, q_percentiles_approx) both land inside
+    # the window, ahead of the joins refresh
+    aggregates,
+    reshaping,
+    joins,
+    # --- 50-query window cut lands inside joins ---
+    nested,
+    python_udfs,
     decontam,
     clustering,
     scoring,
     ranges,
     pipeline,
     formats,
-    similarity,
-    joins,
-    aggregates,
-    nested,
-    python_udfs,
-    reshaping,
-)
-from discogs_xml_to_parquet_spark.registry import query as _query
-
-# q_ann_bruteforce_topk demoted out of the windowed registry (green in
-# r02); implementation + oracle stay in queries/similarity.py.
-_query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
-    similarity.q_ann_bruteforce_topk
+    # r4-green, rotated out of the window
+    cohorts,
+    formats_extra,
+    conversion,
+    setops,
+    sampling,
+    temporal,
+    text_analysis,
+    windows,
+    subqueries,
+    semistructured,
 )

@@ -6,8 +6,8 @@
 i.e. documents in, training-sequence manifest out -- the complete
 pretraining data path this engine exists to run, with every stage the
 scale-path variant (map-only gopher metrics, exact-dup pre-collapse,
-banded-LSH candidates, two-phase large-star/small-star connected
-components, shard-local pack windows). The DuckDB
+banded-LSH candidates, size-dispatched connected components,
+shard-local pack windows). The DuckDB
 oracle rebuilds the entire chain from the same shared fragments
 (GOPHER_METRICS_CTE/GOPHER_KEEP_PRED, minhash_verified_ctes,
 shard_sql), so no stage's mirror can drift from its standalone query.
@@ -145,27 +145,55 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the documents themselves.
     hashed = kept.select("doc_id", F.md5("text").alias("text_hash"))
     groups = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
-    exact_pairs = (
+    # Materialize the (doc_id, keep_id) canonical mapping once -- it is
+    # tiny (two ids per row, never the text) and is read twice below
+    # (exact pairs + the canonical-id restriction); without the
+    # checkpoint the corpus scan + hash agg + join re-evaluate when the
+    # CC edge list materializes.
+    mapped = (
         hashed.join(groups, "text_hash")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select(F.col("keep_id").alias("id1"), F.col("doc_id").alias("id2"))
+        .select("doc_id", "keep_id")
+        .localCheckpoint()
     )
-    collapsed = kept.join(
-        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "semi"
+    exact_pairs = mapped.filter(F.col("doc_id") != F.col("keep_id")).select(
+        F.col("keep_id").alias("id1"), F.col("doc_id").alias("id2")
     )
-    near = minhash_near_dup_pairs(spark, sf_dir, docs=collapsed)
+    # Materialize the post-exact-dedup corpus ONCE, with the map-only
+    # token/quality stat columns folded in so the survivor stage reads
+    # them for free: the collapsed frame feeds the minhash chain (whose
+    # shingle subtree appears three times in the DAG: signatures + both
+    # sides of the verify join), the CC edge build, and the survivor
+    # stats -- without a checkpoint the scan->filter->hash-agg->
+    # semi-join chain re-evaluates for each consumer (Spark reuses
+    # exchanges, not arbitrary subtrees). This is the standard
+    # materialization boundary of a production curation pipeline (the
+    # deduped corpus is a product of its own); at 100 TB the same
+    # boundary would be a parquet staging write instead of
+    # executor-local checkpoint blocks.
+    canonical = kept.join(
+        mapped.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
+        "doc_id",
+        "semi",
+    )
+    collapsed = (
+        quality_score(token_stats(canonical))
+        .select("doc_id", "text", "n_tokens", "quality_score")
+        .localCheckpoint()
+    )
+    near = minhash_near_dup_pairs(
+        spark, sf_dir, docs=collapsed.select("doc_id", "text")
+    )
     # near-dup pairs link canonical docs only; exact pairs link each
-    # removed copy to its canonical -- disjoint sets, plain union. The
-    # CC is the two-phase large-star/small-star algorithm: O(log^2 d)
-    # rounds instead of O(d), so chained near-dup components (template
-    # documents) stop dominating the capstone's wall-clock.
+    # removed copy to its canonical -- disjoint sets, plain union. CC is
+    # size-dispatched (operators/graph.py): min-label for the small
+    # shallow graphs dedup actually produces, two-phase large-star/
+    # small-star (O(log^2 d) rounds) once the edge list is big enough
+    # that round count, not per-round job overhead, dominates.
     all_pairs = near.select("id1", "id2").union(exact_pairs)
-    comp = G.connected_components_two_phase(
+    comp = G.connected_components_auto(
         all_pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     )
-    stats = quality_score(token_stats(collapsed)).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
+    stats = collapsed.select("doc_id", "n_tokens", "quality_score")
     labeled = stats.join(comp, stats["doc_id"] == comp["id"], "left").select(
         stats["doc_id"],
         "n_tokens",

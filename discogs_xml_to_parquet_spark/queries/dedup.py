@@ -154,6 +154,15 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
         .repartition("doc_id")
         .select("doc_id", D.band_keys(F.col("sig")).alias("bands"))
     )
+    # The verify sides recompute word_shingles rather than reuse a
+    # materialized shingle frame: shingling is a map-only projection
+    # (scales linearly, no shuffle), while checkpointing shingles
+    # stores a frame larger than the corpus -- measured at sf0.1 the
+    # recompute costs ~0.1-0.3 s vs a shingle checkpoint (round-5
+    # interleaved A/B/C experiment), and a candidate-restricted verify
+    # (semi-join the corpus on candidate ids first) was strictly
+    # slower still: the extra broadcast exchanges outweigh the saved
+    # map work at every SF where the candidate set is small.
     cand = D.lsh_candidate_pairs(sigs, "doc_id", "bands")
     s1 = sh.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))

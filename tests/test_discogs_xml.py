@@ -285,6 +285,10 @@ def test_two_phase_cc_matches_min_label(spark):
         # a fixpoint (node 3 has two parents; 1 and 2 must merge)
         "shared_member": [(1, 3), (2, 3)],
     }
+    from discogs_xml_to_parquet_spark.operators.graph import (
+        connected_components_auto,
+    )
+
     for name, pairs in cases.items():
         pairs = [(a, b) for a, b in pairs if a != b]
         edges = spark.createDataFrame(pairs, "src long, dst long")
@@ -297,6 +301,21 @@ def test_two_phase_cc_matches_min_label(spark):
         }
         assert two == base, f"{name}: {sorted(two)} != {sorted(base)}"
         assert len(two) > 0
+        # the size dispatcher must be invisible to results on BOTH of
+        # its paths: min-label (every fixture is under the default
+        # threshold) and the forced two-phase path (threshold 0)
+        auto_small = {
+            (r.id, r.comp)
+            for r in connected_components_auto(edges).collect()
+        }
+        auto_large = {
+            (r.id, r.comp)
+            for r in connected_components_auto(
+                edges, small_graph_edges=0
+            ).collect()
+        }
+        assert auto_small == base, f"{name} (auto/min-label path)"
+        assert auto_large == base, f"{name} (auto/two-phase path)"
 
 
 def test_two_phase_cc_keeps_self_loop_nodes(spark):
