@@ -313,10 +313,12 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # single declarative plan (no driver-side counts): two 1-row
-    # aggregates cross-joined
+    # aggregates cross-joined; broadcast-hinted so the planner picks
+    # BroadcastNestedLoopJoin deterministically (without the hint only
+    # AQE's runtime stats save it from a CartesianProduct)
     return (
         first_signup.agg(F.count(F.lit(1)).alias("n_signed_up"))
-        .crossJoin(converted.agg(F.count(F.lit(1)).alias("n_converted")))
+        .crossJoin(F.broadcast(converted.agg(F.count(F.lit(1)).alias("n_converted"))))
         .select(
             "n_signed_up",
             "n_converted",

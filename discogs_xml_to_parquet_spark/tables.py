@@ -49,13 +49,25 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(raw.dtypes)["ts"]
+    if ts_dtype == "bigint":
         ts = F.expr(
             "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
             "make_interval(0, 0, 0, 0, 0, 0, CAST(ts DIV 1000 AS DECIMAL(26,6)) / 1000000)"
         )
+    elif ts_dtype == "timestamp_ntz":
+        ts = F.col("ts")
     else:
-        ts = F.col("ts").cast("timestamp_ntz")
+        # refuse rather than cast: a UTC-adjusted TIMESTAMP(MICROS)
+        # would arrive as session-zoned 'timestamp', and casting it to
+        # timestamp_ntz shifts values under a non-UTC session -- the
+        # exact TimestampType detour the nanos lane above avoids
+        raise TypeError(
+            f"events.ts has dtype {ts_dtype!r}; expected TIMESTAMP_NS "
+            "(read as bigint via nanosAsLong) or timestamp_ntz. A "
+            "session-zoned 'timestamp' would silently shift under a "
+            "non-UTC session timezone."
+        )
     return raw.select(
         "event_id", ts.alias("ts"), "user_id", "event_type", "value", "props"
     )

@@ -243,3 +243,14 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_crossjoin_is_broadcast_nlj(spark):
+    """The funnel's two 1-row aggregates must cross-join via
+    BroadcastNestedLoopJoin, never CartesianProduct (r4 verdict item 5:
+    the hint makes the choice deterministic instead of leaving it to
+    AQE's runtime stats)."""
+    df = registry.QUERIES["q_funnel_conversion"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
