@@ -9,7 +9,8 @@ the module whose passing evidence is oldest.
 Round-5 window (the first 50):
 - 1-4: matching -- changed this round (pass-2 prefix-band lane closes
   the trailing-indel recall hole from the r4 ADVICE; q_fuzzy_blocked
-  and q_entity_resolution results change);
+  and q_entity_resolution results change, and q_funnel_conversion
+  gained a broadcast hint);
 - 5-18: dedup, packing, quality, curation_full -- the capstone was
   restructured this round (size-dispatched CC, canonical-map +
   stats-folded checkpoints) and q_dedup_components rides on the
@@ -23,19 +24,23 @@ Round-5 window (the first 50):
 - 35-39: similarity + the demoted q_ann_bruteforce_topk (r2-stale, the
   last item on the verdict's list; its 4 lsh/ivf siblings refresh
   their r3 evidence in the same pass);
-- 40-50: oldest remaining green evidence (r3): aggregates and
-  reshaping first -- their two sketch queries carry new bounds-checked
-  oracles this round (r4 verdict item 6) and must be driver-checked --
-  then joins (cut lands on its first query).
-Left for round 6: the joins tail, everything r4-green (conversion
-trio, setops, sampling, cohorts, formats_extra, temporal,
-text_analysis, windows, subqueries, semistructured, q1's module tail)
-and the r3-green remainder (nested, python_udfs, decontam, clustering,
-scoring, ranges, pipeline, formats).
+- 40-41: the two sketch queries (module queries/sketches.py, moved out
+  of aggregates/reshaping) so their NEW bounds-checked oracles (r4
+  verdict item 6) are driver-checked this round without dragging both
+  whole modules into the window;
+- 42-50: nine NEW queries (no CORRECTNESS row anywhere -> window per
+  the rotation policy): timeseries (sessionize / gapfill / cumulative
+  distinct), text_extra (chunking / capped co-occurrence / all-match
+  regex), stats_extra (exact moments / ntile bucketing /
+  deterministic mode).
+Left for round 6: everything r3-green (aggregates, reshaping, joins,
+nested, python_udfs, decontam, clustering, scoring, ranges, pipeline,
+formats -- all exactly two rounds old after r5, the staleness bound)
+and everything r4-green.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # changed this round: trailing-indel recall fix
+    # changed this round: trailing-indel recall fix + funnel broadcast
     matching,
     # capstone dependency group, reworked CC + checkpoints this round
     dedup,
@@ -59,14 +64,20 @@ _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
 )
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
-    # oldest remaining green evidence (r3); aggregates + reshaping
-    # first so the two sketch queries' new bounds-checked oracles
-    # (q_agg_approx_distinct, q_percentiles_approx) both land inside
-    # the window, ahead of the joins refresh
+    # the two sketch queries, moved to their own module this round so
+    # their NEW bounds-checked oracles (r4 verdict item 6) sit inside
+    # the window without dragging aggregates/reshaping in
+    sketches,
+    # NEW this round (no CORRECTNESS row anywhere -> first-class window
+    # members per the rotation policy)
+    timeseries,
+    text_extra,
+    stats_extra,
+    # --- 50-query window cut lands at the end of stats_extra ---
+    # r3-green, exactly two rounds old after round 5 (the bound)
     aggregates,
     reshaping,
     joins,
-    # --- 50-query window cut lands inside joins ---
     nested,
     python_udfs,
     decontam,

@@ -54,64 +54,6 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_agg_approx_distinct",
-    # Bounds-checked oracle (r4 verdict item 6): HLL++ estimates are
-    # engine-specific, so the raw sketch value can never hash-match --
-    # instead both sides emit exact cardinalities (a real value compare)
-    # plus a boolean 'estimate within +-3*rsd of exact'. The oracle's
-    # boolean is the same BETWEEN applied to the exact value (trivially
-    # TRUE); the Spark side's is computed from the live sketch, so the
-    # hashes match iff the sketch honours its advertised error bound.
-    oracle="""
-SELECT
-  l_returnflag,
-  COUNT(DISTINCT l_orderkey) AS n_orders_exact,
-  COUNT(DISTINCT l_partkey) AS n_parts_exact,
-  COUNT(DISTINCT l_orderkey)
-    BETWEEN COUNT(DISTINCT l_orderkey) * 0.94
-        AND COUNT(DISTINCT l_orderkey) * 1.06 AS orders_within_3rsd,
-  COUNT(DISTINCT l_partkey)
-    BETWEEN COUNT(DISTINCT l_partkey) * 0.94
-        AND COUNT(DISTINCT l_partkey) * 1.06 AS parts_within_3rsd,
-  COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-""",
-)
-def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the scale path for
-    cardinality -- constant memory, map-side mergeable, no Expand.
-
-    The countDistinct columns here exist for the correctness harness
-    only (they make the driver compare real values and give the bounds
-    check its reference); the sketch alone is the production plan. At
-    rsd=0.02 a 3-sigma band is +-6%; the estimate is deterministic for
-    a given input (fixed hash seed), verified in-band at sf0.001/0.01/
-    0.1 locally, so the boolean is stable, not flaky."""
-    li = load(spark, sf_dir, "lineitem")
-    approx_o = F.approx_count_distinct("l_orderkey", rsd=0.02)
-    approx_p = F.approx_count_distinct("l_partkey", rsd=0.02)
-    exact_o = F.countDistinct("l_orderkey")
-    exact_p = F.countDistinct("l_partkey")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            exact_o.alias("n_orders_exact"),
-            exact_p.alias("n_parts_exact"),
-            approx_o.between(exact_o * 0.94, exact_o * 1.06).alias(
-                "orders_within_3rsd"
-            ),
-            approx_p.between(exact_p * 0.94, exact_p * 1.06).alias(
-                "parts_within_3rsd"
-            ),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@query(
     "q_agg_rollup",
     oracle="""
 SELECT

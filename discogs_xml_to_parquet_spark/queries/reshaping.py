@@ -139,55 +139,3 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
-
-
-@query(
-    "q_percentiles_approx",
-    # Bounds-checked oracle (r4 verdict item 6): sketch estimates are
-    # engine-specific, so instead of raw values both sides emit a
-    # boolean 'estimate within the exact p+-0.005 rank band'. The
-    # oracle applies the band to its own exact percentile (trivially
-    # TRUE); Spark applies it to the live sketch, so the hashes match
-    # iff the sketch lands inside the band. 0.005 is 50x the sketch's
-    # 1/accuracy guarantee -- wide enough to be deterministic across
-    # SFs, tight enough to catch any real misestimate.
-    oracle="""
-SELECT
-  l_returnflag,
-  quantile_cont(l_extendedprice, 0.5)
-    BETWEEN quantile_cont(l_extendedprice, 0.495)
-        AND quantile_cont(l_extendedprice, 0.505) AS median_in_band,
-  quantile_cont(l_extendedprice, 0.95)
-    BETWEEN quantile_cont(l_extendedprice, 0.945)
-        AND quantile_cont(l_extendedprice, 0.955) AS p95_in_band,
-  COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-""",
-)
-def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (Greenwald-Khanna style summary): mergeable,
-    bounded-memory, no per-group sort -- the percentile to reach for at
-    100 TB. The exact F.percentile band edges exist for the harness
-    only (the production plan is the sketch alone); the sketch returns
-    an actual data element whose rank error is bounded by 1/accuracy =
-    1e-4, far inside the 0.005 band, so the boolean is stable."""
-    li = load(spark, sf_dir, "lineitem")
-    ap_med = F.approx_percentile("l_extendedprice", 0.5, 10000)
-    ap_p95 = F.approx_percentile("l_extendedprice", 0.95, 10000)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            ap_med.between(
-                F.percentile("l_extendedprice", 0.495),
-                F.percentile("l_extendedprice", 0.505),
-            ).alias("median_in_band"),
-            ap_p95.between(
-                F.percentile("l_extendedprice", 0.945),
-                F.percentile("l_extendedprice", 0.955),
-            ).alias("p95_in_band"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("l_returnflag")
-    )

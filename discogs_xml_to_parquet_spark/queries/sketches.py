@@ -1,0 +1,118 @@
+"""The two sketch-estimate queries (HLL++ cardinality, Greenwald-
+Khanna percentiles), in their own module so the registration window
+can include them without dragging their former home modules
+(aggregates, reshaping) in.
+
+Bounds-checked oracles (r4 verdict item 6): sketch estimates are
+engine-specific, so the raw values can never hash-match a DuckDB
+oracle. Instead both sides emit a boolean 'estimate within the
+advertised error band of exact'. The oracle applies the band to its
+own exact value (trivially TRUE); Spark applies it to the live
+sketch, so the driver hash matches iff the sketch honours its bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load
+
+
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+  COUNT(DISTINCT l_partkey) AS n_parts_exact,
+  COUNT(DISTINCT l_orderkey)
+    BETWEEN COUNT(DISTINCT l_orderkey) * 0.94
+        AND COUNT(DISTINCT l_orderkey) * 1.06 AS orders_within_3rsd,
+  COUNT(DISTINCT l_partkey)
+    BETWEEN COUNT(DISTINCT l_partkey) * 0.94
+        AND COUNT(DISTINCT l_partkey) * 1.06 AS parts_within_3rsd,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for
+    cardinality -- constant memory, map-side mergeable, no Expand.
+
+    The countDistinct columns here exist for the correctness harness
+    only (they make the driver compare real values and give the bounds
+    check its reference); the sketch alone is the production plan. At
+    rsd=0.02 a 3-sigma band is +-6%; the estimate is deterministic for
+    a given input (fixed hash seed), verified in-band at sf0.001/0.01/
+    0.1 locally, so the boolean is stable, not flaky."""
+    li = load(spark, sf_dir, "lineitem")
+    approx_o = F.approx_count_distinct("l_orderkey", rsd=0.02)
+    approx_p = F.approx_count_distinct("l_partkey", rsd=0.02)
+    exact_o = F.countDistinct("l_orderkey")
+    exact_p = F.countDistinct("l_partkey")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact_o.alias("n_orders_exact"),
+            exact_p.alias("n_parts_exact"),
+            approx_o.between(exact_o * 0.94, exact_o * 1.06).alias(
+                "orders_within_3rsd"
+            ),
+            approx_p.between(exact_p * 0.94, exact_p * 1.06).alias(
+                "parts_within_3rsd"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_percentiles_approx",
+    # 0.005 is 50x the sketch's 1/accuracy rank-error guarantee -- wide
+    # enough to be deterministic across SFs, tight enough to catch any
+    # real misestimate.
+    oracle="""
+SELECT
+  l_returnflag,
+  quantile_cont(l_extendedprice, 0.5)
+    BETWEEN quantile_cont(l_extendedprice, 0.495)
+        AND quantile_cont(l_extendedprice, 0.505) AS median_in_band,
+  quantile_cont(l_extendedprice, 0.95)
+    BETWEEN quantile_cont(l_extendedprice, 0.945)
+        AND quantile_cont(l_extendedprice, 0.955) AS p95_in_band,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna style summary): mergeable,
+    bounded-memory, no per-group sort -- the percentile to reach for at
+    100 TB. The exact F.percentile band edges exist for the harness
+    only (the production plan is the sketch alone); the sketch returns
+    an actual data element whose rank error is bounded by 1/accuracy =
+    1e-4, far inside the 0.005 band, so the boolean is stable."""
+    li = load(spark, sf_dir, "lineitem")
+    ap_med = F.approx_percentile("l_extendedprice", 0.5, 10000)
+    ap_p95 = F.approx_percentile("l_extendedprice", 0.95, 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            ap_med.between(
+                F.percentile("l_extendedprice", 0.495),
+                F.percentile("l_extendedprice", 0.505),
+            ).alias("median_in_band"),
+            ap_p95.between(
+                F.percentile("l_extendedprice", 0.945),
+                F.percentile("l_extendedprice", 0.955),
+            ).alias("p95_in_band"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

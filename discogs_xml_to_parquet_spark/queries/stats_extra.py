@@ -1,0 +1,210 @@
+"""Statistical aggregates beyond sum/avg/percentile: exact-arithmetic
+correlation / covariance / stddev / skewness, windowed quantile
+bucketing (ntile), and deterministic mode.
+
+The moments query is the interesting one for cross-engine exactness:
+builtin corr()/skewness() are streaming double accumulations whose
+result depends on partial-aggregation order, so Spark and DuckDB would
+differ in the last bits. Instead every raw moment (sum x, sum x^2,
+sum x*y, sum x^3) is accumulated EXACTLY over 100-scaled integers
+(the fixed-point trick of functions/exact.py, wider products in
+decimal(38,0) / HUGEINT), and the final statistic is computed from
+those exact sums with an IDENTICAL double expression tree on both
+sides -- every op (mul, sub, div, sqrt) is correctly-rounded IEEE, so
+bit-identical inputs give bit-identical statistics in any engine.
+pow() is avoided on purpose (not correctly-rounded): m2^1.5 is spelled
+m2 * sqrt(m2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load
+
+# Shared final-expression snippets: the same SQL text runs in Spark
+# (selectExpr) and DuckDB (outer SELECT), guaranteeing the identical
+# IEEE operation tree that makes the doubles hash-equal.
+_ND = "CAST(n_rows AS DOUBLE)"
+_CORR = (
+    f"({_ND}*CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)) / "
+    f"(sqrt({_ND}*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))"
+    f" * sqrt({_ND}*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)))"
+)
+_COVAR = (
+    f"({_ND}*CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)) / "
+    f"({_ND}*{_ND}) / 10000.0"
+)
+_STDDEV = (
+    f"sqrt({_ND}*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))"
+    f" / {_ND} / 100.0"
+)
+_M2 = (
+    f"(({_ND}*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))"
+    f" / ({_ND}*{_ND}))"
+)
+_M3 = (
+    f"(({_ND}*{_ND}*CAST(sppp AS DOUBLE)"
+    f" - 3.0*{_ND}*CAST(sp AS DOUBLE)*CAST(spp AS DOUBLE)"
+    f" + 2.0*CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))"
+    f" / ({_ND}*{_ND}*{_ND}))"
+)
+_SKEW = f"{_M3} / ({_M2} * sqrt({_M2}))"
+
+
+@query(
+    "q_stats_moments",
+    oracle=f"""
+WITH scaled AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS HUGEINT) AS q100,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) AS p100
+  FROM lineitem
+), sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         SUM(q100) AS sq, SUM(p100) AS sp,
+         SUM(q100 * q100) AS sqq, SUM(p100 * p100) AS spp,
+         SUM(q100 * p100) AS sqp,
+         SUM(p100 * p100 * p100) AS sppp
+  FROM scaled GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       {_CORR} AS corr_qty_price,
+       {_COVAR} AS covar_pop_qty_price,
+       {_STDDEV} AS stddev_pop_price,
+       {_SKEW} AS skew_price
+FROM sums
+ORDER BY l_returnflag
+""",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlation, population covariance/stddev, and
+    skewness from exact fixed-point raw moments: one map-side-
+    combining groupBy accumulates six integer sums (the 100-scaled
+    values and their pairwise/cubed products in decimal(38,0) -- no
+    overflow below ~1e31 row-value mass), then the statistics are pure
+    per-group arithmetic on the tiny aggregate table. ONE shuffle of
+    K groups x 7 numbers regardless of data size; the expression
+    strings are shared verbatim with the oracle so the double math is
+    bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    q100 = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast(d38)
+    p100 = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(d38)
+    scaled = li.select(
+        "l_returnflag", q100.alias("q100"), p100.alias("p100")
+    )
+    sums = scaled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("q100").alias("sq"),
+        F.sum("p100").alias("sp"),
+        F.sum(F.col("q100") * F.col("q100")).alias("sqq"),
+        F.sum(F.col("p100") * F.col("p100")).alias("spp"),
+        F.sum(F.col("q100") * F.col("p100")).alias("sqp"),
+        F.sum(F.col("p100") * F.col("p100") * F.col("p100")).alias("sppp"),
+    )
+    return sums.selectExpr(
+        "l_returnflag",
+        "n_rows",
+        f"{_CORR} AS corr_qty_price",
+        f"{_COVAR} AS covar_pop_qty_price",
+        f"{_STDDEV} AS stddev_pop_price",
+        f"{_SKEW} AS skew_price",
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_ntile_bucketing",
+    oracle="""
+WITH bucketed AS (
+  SELECT l_returnflag, l_extendedprice,
+         NTILE(4) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS quartile
+  FROM lineitem
+)
+SELECT l_returnflag, quartile,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000 AS sum_price
+FROM bucketed
+GROUP BY l_returnflag, quartile
+ORDER BY l_returnflag, quartile
+""",
+)
+def q_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature-bucketing via ntile(4) per return flag -- the
+    discretization step of feature pipelines. The window partitions by
+    group (per-partition sort, not a global one); ties are broken by
+    the unique (orderkey, linenumber) so bucket membership is
+    deterministic in both engines. min/max of doubles are order-
+    insensitive; the sum goes through the exact fixed-point lane. At
+    scale, per-group sorts parallelize across groups; for a single
+    giant group the approx-percentile cut-point + width_bucket
+    composition (q_percentiles_approx) is the stand-in."""
+    from discogs_xml_to_parquet_spark.functions.exact import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag", "l_extendedprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "quartile")
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+WITH counted AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY n DESC, l_quantity) AS rn
+  FROM counted
+)
+SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+FROM ranked WHERE rn = 1
+ORDER BY l_returnflag
+""",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: builtin mode() leaves ties
+    engine-defined, so this is the two-phase formulation -- count per
+    (group, value) with map-side combine, then a rank-1 pick with an
+    explicit count-desc/value-asc tie-break. The window runs over the
+    distinct-value table (bounded by cardinality, not data size), and
+    WindowGroupLimit prunes it to the per-group leader before any full
+    sort materializes."""
+    li = load(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
