@@ -122,31 +122,36 @@ def q_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense (hour x event_type) spine comes from exploding a 1-row
     min/max aggregate into a sequence -- generated distributed, never
     on the driver -- then broadcast-joined against the sparse cells.
-    The event table is touched exactly twice (span agg + cell agg),
-    both map-side-combining; the spine is dimension-sized at any data
-    scale (hours x types), so the left join broadcasts."""
+    Every pass over the event table is a map-side-combining aggregate
+    over a column-pruned scan; the spine is dimension-sized at any
+    data scale (hours x types), so the left join broadcasts."""
     from discogs_xml_to_parquet_spark.functions.exact import dsum
 
     e = load(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
-    spine = (
-        e.agg(
-            F.min(hour).alias("lo"),
-            F.max(hour).alias("hi"),
-        )
-        .select(
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour")
-        )
-        .crossJoin(F.broadcast(e.select("event_type").distinct()))
-    )
     cells = (
         e.groupBy(hour.alias("hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value").alias("sum_value"),
         )
+    )
+    # span and type dimension both derive from the CELLS aggregate;
+    # Catalyst collapses and column-prunes each branch, so the three
+    # physical scans read disjoint column subsets (ts / event_type /
+    # all three) -- cheaper on a columnar source than one fat scan
+    # plus a shared exchange
+    spine = (
+        cells.agg(
+            F.min("hour").alias("lo"),
+            F.max("hour").alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+        .crossJoin(F.broadcast(cells.select("event_type").distinct()))
     )
     return (
         spine.join(F.broadcast(cells), ["hour", "event_type"], "left")

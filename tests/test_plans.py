@@ -254,3 +254,46 @@ def test_funnel_crossjoin_is_broadcast_nlj(spark):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_exchange_before_output_sort(spark):
+    """Sessionization must reuse ONE user_id exchange for the lag
+    window, the running-sum window, and the per-session rollup -- a
+    second data-sized shuffle would double the operator's cost at
+    scale. Only the final presentation orderBy may add an exchange."""
+    df = registry.QUERIES["q_sessionize_events"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2  # user_id shuffle + output sort
+
+
+def test_gapfill_joins_broadcast(spark):
+    """The gapfill spine join must broadcast (spine and cells are
+    dimension-sized: hours x types); a shuffle join against the dense
+    spine would be backwards at scale."""
+    df = registry.QUERIES["q_gapfill_timeseries"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_caps_before_pair_join(spark):
+    """The pair self-join must see WindowGroupLimit-pruned (top-K per
+    doc) inputs and never a cartesian/theta join -- the cap bounds the
+    quadratic blow-up BEFORE the shuffle, which is the whole point."""
+    df = registry.QUERIES["q_token_cooccurrence"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # heap top-K, no global sort
+
+
+def test_stats_moments_is_one_shuffle(spark):
+    """The exact-moments query must be a single two-phase aggregate:
+    partial HashAggregate -> one exchange -> final, then pure per-group
+    arithmetic. Any extra data-sized exchange means the raw moments
+    were not folded into one groupBy."""
+    df = registry.QUERIES["q_stats_moments"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2  # group shuffle + output sort
