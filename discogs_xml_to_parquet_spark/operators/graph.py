@@ -59,7 +59,12 @@ def _min_label_from_sym(sym: DataFrame, max_iter: int) -> DataFrame:
     # neighbor), so folding it into the init saves one full
     # join+agg+checkpoint round (dedup graphs converge in 2-3 rounds,
     # so this is a ~30% round-count cut). The same aggregate yields
-    # the node set, replacing the separate distinct.
+    # the node set, replacing the separate distinct. NOT checkpointed:
+    # the seed is one groupBy over the already-checkpointed edge set,
+    # and round 1 reads it twice (join probe + label carry) through a
+    # REUSED exchange -- skipping the eager materialization saves one
+    # scheduled job per call, which on job-overhead-dominated tiny
+    # graphs is a measurable slice of the whole fixpoint.
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("nmin"))
@@ -67,7 +72,6 @@ def _min_label_from_sym(sym: DataFrame, max_iter: int) -> DataFrame:
             F.col("a").alias("id"),
             F.least(F.col("a"), F.col("nmin")).alias("comp"),
         )
-        .localCheckpoint()
     )
 
     changed = -1  # max_iter <= 0 must hit the non-convergence raise
