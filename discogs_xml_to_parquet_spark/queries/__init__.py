@@ -74,6 +74,13 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
     text_extra,
     stats_extra,
     # --- 50-query window cut lands at the end of stats_extra ---
+    # NEW late additions (positions 51-54): locally oracle-tested this
+    # round, first in line for the round-6 window per the rotation
+    # policy (no CORRECTNESS row anywhere)
+    windows_extra,
+    scd,
+    graph_iter,
+    # (q_source_text_roundtrip rides in formats_extra below)
     # r3-green, exactly two rounds old after round 5 (the bound)
     aggregates,
     reshaping,

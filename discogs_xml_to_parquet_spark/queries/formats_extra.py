@@ -107,3 +107,41 @@ def q_source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.when(F.col("_corrupt").isNull(), F.col("c_acctbal"))
              .otherwise(F.lit(0.0))).alias("good_acctbal"),
     )
+
+
+@query(
+    "q_source_text_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(length(replace(replace(text, chr(10), ' '), chr(13), ' ')))
+            AS BIGINT) AS total_chars,
+       MIN(md5(replace(replace(text, chr(10), ' '), chr(13), ' ')))
+         AS min_line_md5,
+       MAX(md5(replace(replace(text, chr(10), ' '), chr(13), ' ')))
+         AS max_line_md5
+FROM documents
+""",
+)
+def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text -> line-oriented text files -> spark.read.text ->
+    aggregate. The text source is the raw-corpus workhorse (one line =
+    one record, no schema); newlines are scrubbed before writing since
+    the format cannot carry embedded record separators -- the oracle
+    applies the identical scrub to the source table, so the md5
+    fingerprints prove the round trip is byte-lossless. Counting and
+    hashing are map-only over however many splits the files yield."""
+    out = scratch_sink_dir("text_roundtrip", sf_dir)
+    d = load(spark, sf_dir, "documents")
+    scrubbed = d.select(
+        F.regexp_replace(
+            F.regexp_replace("text", "\n", " "), "\r", " "
+        ).alias("value")
+    )
+    scrubbed.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.md5("value")).alias("min_line_md5"),
+        F.max(F.md5("value")).alias("max_line_md5"),
+    )
