@@ -59,6 +59,12 @@ HEADLINE = [
     # components -> shuffle -> pack) as one plan; the most expensive
     # headline entry by design -- its cost is the engine's headline
     "q_curation_pipeline",
+    # round-5 family additions: event-stream sessionization, exact
+    # fixed-point statistics, and iterative graph (3-round PageRank,
+    # the join+agg-per-round shape whose cost is round-dominated)
+    "q_sessionize_events",
+    "q_stats_moments",
+    "q_pagerank_bipartite",
 ]
 
 

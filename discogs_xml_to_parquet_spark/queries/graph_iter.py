@@ -33,14 +33,15 @@ _TOP = 20
 
 
 def _pagerank_oracle() -> str:
+    # nodes are BIGINT-encoded (order -> 2k, part -> 2k+1): integer
+    # join/shuffle keys are far cheaper than strings at every scale;
+    # the human-readable label is reconstructed on the final top-K only
     ctes = [
         """edges AS (
-  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
-                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
   FROM lineitem
   UNION
-  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
-                  'o' || CAST(l_orderkey AS VARCHAR)
+  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2
   FROM lineitem
 )""",
         "outdeg AS (SELECT src AS node, COUNT(*) AS odeg "
@@ -71,7 +72,9 @@ def _pagerank_oracle() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
-SELECT node, r AS rank_scaled
+SELECT CASE WHEN node % 2 = 0 THEN 'o' || CAST(node // 2 AS VARCHAR)
+            ELSE 'p' || CAST(node // 2 AS VARCHAR) END AS node,
+       r AS rank_scaled
 FROM r{_ITERS}
 ORDER BY rank_scaled DESC, node
 LIMIT {_TOP}
@@ -89,22 +92,35 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never an adjacency collect, never a driver loop). The final top-K
     is a heap."""
     li = load(spark, sf_dir, "lineitem")
-    o_node = F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
-    p_node = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    o_node = F.col("l_orderkey") * 2
+    p_node = F.col("l_partkey") * 2 + 1
     edges = (
         li.select(o_node.alias("src"), p_node.alias("dst"))
         .union(li.select(p_node.alias("src"), o_node.alias("dst")))
         .distinct()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("odeg"))
+        .localCheckpoint()
+    )
     nn = outdeg.agg(F.count(F.lit(1)).alias("n"))
     ranks = outdeg.crossJoin(F.broadcast(nn)).selectExpr(
         "src AS node", f"CAST({_SCALE} div n AS BIGINT) AS r"
     )
-    ewd = edges.join(
-        outdeg.withColumnRenamed("src", "node"),
-        edges["src"] == F.col("node"),
-    ).select("src", "dst", "odeg")
+    # materialize degree-annotated edges ONCE: every iteration's join
+    # reads this frame, and without the checkpoint each round would
+    # re-run the scan+union+distinct chain (the per-round lineage also
+    # compounds -- the same reason the CC loop checkpoints). At 100 TB
+    # this boundary is a parquet staging write.
+    ewd = (
+        edges.join(
+            outdeg.withColumnRenamed("src", "node"),
+            edges["src"] == F.col("node"),
+        )
+        .select("src", "dst", "odeg")
+        .localCheckpoint()
+    )
     for _ in range(_ITERS):
         contrib = (
             ewd.join(ranks, ewd["src"] == ranks["node"])
@@ -121,8 +137,14 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + (85 * COALESCE(s, 0)) div 100 AS BIGINT) AS r",
             )
         )
-    return (
+    top = (
         ranks.select("node", F.col("r").alias("rank_scaled"))
+        .selectExpr(
+            "CASE WHEN node % 2 = 0 THEN 'o' || CAST(node div 2 AS STRING)"
+            " ELSE 'p' || CAST(node div 2 AS STRING) END AS node",
+            "rank_scaled",
+        )
         .orderBy(F.desc("rank_scaled"), "node")
         .limit(_TOP)
     )
+    return top
