@@ -166,6 +166,16 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+def containment(a: Column, b: Column) -> Column:
+    """Containment similarity |A n B| / min(|A|, |B|): near 1.0 when
+    the smaller shingle set is (almost) a subset of the larger --
+    catches a short document embedded in a longer one, where Jaccard
+    stays low because the size difference dilutes the union. Integer
+    sizes, one division -- deterministic double."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / F.least(F.size(a), F.size(b))
+
+
 # --- simhash ------------------------------------------------------------
 
 

@@ -667,3 +667,78 @@ def q_curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+WITH {_SH_CTE},
+bounded AS (SELECT * FROM sh WHERE doc_id < 1000),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM bounded),
+kept AS (
+  SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM ex)
+  WHERE df <= 100
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id1, id2,
+         len(list_intersect(s1.shingles, s2.shingles))
+           / least(len(s1.shingles), len(s2.shingles)) AS containment_sim,
+         len(list_intersect(s1.shingles, s2.shingles))
+           / (len(s1.shingles) + len(s2.shingles)
+              - len(list_intersect(s1.shingles, s2.shingles))) AS jaccard_sim
+  FROM cand
+  JOIN bounded s1 ON cand.id1 = s1.doc_id
+  JOIN bounded s2 ON cand.id2 = s2.doc_id
+)
+SELECT id1, id2, containment_sim, jaccard_sim FROM verified
+WHERE containment_sim >= 0.8
+ORDER BY id1, id2
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: |A n B| / min(|A|, |B|) over word
+    shingles -- the sub-document duplication detector. A short doc
+    pasted inside a longer one scores ~1.0 here while symmetric
+    Jaccard stays low (the union dilutes it), which is why substring-
+    level dedup pipelines (Lee et al.-style) key on containment, not
+    Jaccard. Same candidate discipline as q_dedup_ngram_jaccard:
+    DF-capped shared-shingle blocking (no all-pairs), then exact
+    verification on the candidate set only; both scores are emitted so
+    the asymmetry is visible in the result."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = d.select(
+        "doc_id", D.word_shingles(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    w_df = Window.partitionBy("s")
+    kept = ex.withColumn("df", F.count(F.lit(1)).over(w_df)).filter(
+        F.col("df") <= 100
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            D.containment(F.col("sh1"), F.col("sh2")).alias("containment_sim"),
+            D.jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard_sim"),
+        )
+        .filter(F.col("containment_sim") >= 0.8)
+        .orderBy("id1", "id2")
+    )

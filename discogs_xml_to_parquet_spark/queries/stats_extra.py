@@ -208,3 +208,67 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_H_LO = 900.0      # histogram range: l_extendedprice spans ~[900, 105k]
+_H_HI = 105000.0
+_H_NB = 20
+_H_W = (_H_HI - _H_LO) / _H_NB
+
+
+@query(
+    "q_histogram_fixed",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(least(greatest(floor((l_extendedprice - {_H_LO}) / {_H_W}),
+                             0), {_H_NB - 1}) AS INT) AS bucket,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT bucket,
+       CAST({_H_LO} + bucket * {_H_W} AS DOUBLE) AS bucket_lo,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the feature-engineering / profiling
+    staple): bucket index is floor((x - lo) / w) clamped to the range,
+    all single correctly-rounded IEEE ops, so assignment is identical
+    in both engines. One map-side-combining groupBy of at most
+    {_H_NB} cells regardless of data size -- the cheapest possible
+    distribution profile, vs the sorted variants (ntile, percentile)
+    that pay a per-group sort."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = (
+        F.least(
+            F.greatest(
+                F.floor((F.col("l_extendedprice") - _H_LO) / _H_W),
+                F.lit(0),
+            ),
+            F.lit(_H_NB - 1),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        li.select(bucket, "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.lit(_H_LO) + F.col("bucket") * _H_W).alias("bucket_lo"),
+            "n_rows",
+            "min_price",
+            "max_price",
+        )
+        .orderBy("bucket")
+    )
