@@ -28,15 +28,18 @@ Round-5 window (the first 50):
   of aggregates/reshaping) so their NEW bounds-checked oracles (r4
   verdict item 6) are driver-checked this round without dragging both
   whole modules into the window;
-- 42-50: nine NEW queries (no CORRECTNESS row anywhere -> window per
-  the rotation policy): timeseries (sessionize / gapfill / cumulative
+- 42-50: NEW queries (no CORRECTNESS row anywhere -> window per the
+  rotation policy): timeseries (sessionize / gapfill / cumulative
   distinct), text_extra (chunking / capped co-occurrence / all-match
-  regex), stats_extra (exact moments / ntile bucketing /
-  deterministic mode).
-Left for round 6: everything r3-green (aggregates, reshaping, joins,
-nested, python_udfs, decontam, clustering, scoring, ranges, pipeline,
-formats -- all exactly two rounds old after r5, the staleness bound)
-and everything r4-green.
+  regex), stats_extra's moments + ntile (the cut lands after
+  q_ntile_bucketing; q_dedup_containment rides in the dedup block
+  above).
+Left for round 6, leaders first (new, locally green, no driver row):
+q_mode_per_group, q_histogram_fixed, windows_extra, scd, graph_iter,
+q_source_text_roundtrip; then everything r3-green (aggregates,
+reshaping, joins, nested, python_udfs, decontam, clustering, scoring,
+ranges, pipeline, formats -- all exactly two rounds old after r5, the
+staleness bound) and everything r4-green.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
