@@ -36,6 +36,8 @@ Round-5 window (the first 50):
   above).
 Left for round 6, leaders first (new, locally green, no driver row):
 q_mode_per_group, q_histogram_fixed, windows_extra, scd, graph_iter,
+curation_extra (chunk dedup / budget select / SemDeDup),
+analytics_extra (triangles / pareto / equi-depth / session_window),
 q_source_text_roundtrip; then everything r3-green (aggregates,
 reshaping, joins, nested, python_udfs, decontam, clustering, scoring,
 ranges, pipeline, formats -- all exactly two rounds old after r5, the
