@@ -297,3 +297,82 @@ def test_stats_moments_is_one_shuffle(spark):
     plan = plan_of(df)
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 2  # group shuffle + output sort
+
+
+def test_semantic_dedup_pair_join_is_equi(spark):
+    """SemDeDup's within-cluster pair join must be an EQUI join on
+    cluster_id (SortMergeJoin/ShuffledHashJoin with a join key), with
+    the centroid assignment side broadcast -- an unkeyed theta join
+    would be the corpus-wide quadratic SemDeDup exists to avoid."""
+    df = registry.QUERIES["q_dedup_semantic"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "Join" in plan
+    # the centroids cross-join is the ONLY nested-loop, and it is
+    # broadcast with a 8-row side; the cluster pair join is keyed
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_chunk_dedup_has_no_self_join(spark):
+    """First-occurrence chunk dedup must be a window-min over the
+    chunk-text partition (one exchange), never a groupBy+self-join
+    back onto the chunk stream -- at 100 TB the chunk table IS the
+    corpus and re-joining it doubles the largest shuffle."""
+    df = registry.QUERIES["q_dedup_chunks"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    # chunk-text window + doc_id reassembly + totals join + output
+    # sort; the totals join is doc-count-sized, not chunk-sized
+    assert "CartesianProduct" not in plan
+    assert "Window" in tree
+
+
+def test_budget_select_broadcasts_budget(spark):
+    """The 1-row budget aggregate must reach the filter via a
+    broadcast nested-loop join, never a shuffle or cartesian."""
+    df = registry.QUERIES["q_budget_select"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_broadcasts_degrees(spark):
+    """Orientation needs the degree of both endpoints: the degree
+    table (one row per distinct node, dimension-sized) must broadcast
+    onto the edge list, and the wedge-close must be a left-semi join,
+    not a row-materializing inner join."""
+    df = registry.QUERIES["q_triangle_count"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_window_is_domain_sized(spark):
+    """The cumulative window must run over the DISTINCT-value table
+    (post-aggregate), so the plan is: two-phase hash aggregate on
+    price, then the window, then the 10-cell bucket aggregate -- the
+    full-data global sort the naive formulation pays must not appear
+    before the first aggregate."""
+    df = registry.QUERIES["q_histogram_equidepth"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    # every parquet scan's DIRECT consumer is the partial HashAggregate
+    # (tree prints top-down, so the consumer is the preceding line)
+    lines = tree.splitlines()
+    scan_lines = [i for i, l in enumerate(lines) if "Scan parquet" in l]
+    assert scan_lines
+    for i in scan_lines:
+        assert "HashAggregate" in lines[i - 1]
+
+
+def test_session_window_builtin_is_native(spark):
+    """The builtin-lane sessionizer must plan Spark's native session-
+    window aggregation (UpdatingSessionsIterator under codegen --
+    visible as the session_window struct in the aggregate), with ONE
+    user_id-keyed exchange before it."""
+    df = registry.QUERIES["q_session_window_builtin"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "session_window" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2  # session shuffle + output sort
