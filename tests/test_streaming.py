@@ -342,3 +342,48 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM stream_static").collect()
     }
     assert got == expected
+
+
+def test_session_stream_matches_batch(spark, tmp_path):
+    """Batch-equivalence for SESSION windows: the same session_agg
+    expression runs state-store-backed under readStream + watermark
+    and sort-based in batch, and must emit the identical session set
+    (this is the claim behind q_session_window_builtin being 'the
+    streaming-capable lane')."""
+    from discogs_xml_to_parquet_spark.streaming.events import session_agg
+
+    src = str(tmp_path / "events_session_src")
+    events = load(spark, SF_SMOKE, "events")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    expected = {tuple(r) for r in session_agg(batch).collect()}
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        session_agg(stream)
+        .writeStream.format("memory")
+        .queryName("session_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM session_stream_test").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
