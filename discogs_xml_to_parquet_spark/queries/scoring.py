@@ -207,3 +207,73 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).orderBy("rank")
+
+
+_IDX_CAP = 16  # posting-list cap per token
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                t -> length(t) >= 4)) AS token
+  FROM documents
+), capped AS (
+  SELECT token, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM tok
+)
+SELECT token,
+       (SELECT COUNT(*) FROM tok t WHERE t.token = capped.token) AS df,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ' ')
+         AS postings
+FROM capped
+WHERE rn <= {_IDX_CAP}
+GROUP BY token
+ORDER BY token
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the retrieval-side product of the
+    TF-IDF/BM25 family): token -> document frequency + a capped,
+    doc_id-ordered posting list. The cap is applied with a
+    WindowGroupLimit-prunable row_number BEFORE any list is built, so
+    the per-token state is bounded at {_IDX_CAP} entries no matter how
+    hot the token -- the full df still comes from the uncapped
+    two-phase count. Postings surface as a joined string so the
+    output is flat-hashable; at scale the same frame writes as an
+    array column partitioned by token prefix."""
+    d = load_spread(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"),
+                    lambda t: F.length(t) >= 4,
+                )
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    capped = tok.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _IDX_CAP
+    )
+    postings = capped.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            " ",
+        ).alias("postings")
+    )
+    return (
+        df.join(postings, "token")
+        .select("token", "df", "postings")
+        .orderBy("token")
+    )
