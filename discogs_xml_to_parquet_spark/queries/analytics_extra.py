@@ -172,7 +172,7 @@ WITH pc AS (
                          THEN 1 ELSE 0 END)) AS bucket
   FROM cum, tot
 )
-SELECT CAST(bucket AS INT) AS bucket, SUM(n) AS n_rows,
+SELECT CAST(bucket AS INT) AS bucket, CAST(SUM(n) AS BIGINT) AS n_rows,
        COUNT(*) AS n_distinct, MIN(price) AS min_price,
        MAX(price) AS max_price
 FROM bucketed GROUP BY bucket

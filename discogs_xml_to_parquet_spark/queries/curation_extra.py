@@ -159,8 +159,9 @@ WITH stats AS (
   SELECT SUM(n_tokens) // {_BUDGET_DIV} AS b FROM stats
 ), ordered AS (
   SELECT doc_id, n_tokens, quality_ppm,
-         SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
   FROM stats
 )
 SELECT doc_id, quality_ppm, n_tokens, cum_tokens
