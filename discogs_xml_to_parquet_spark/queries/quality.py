@@ -266,3 +266,4 @@ def q_quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("drop_reasons"),
         keep.alias("keep"),
     ).orderBy("doc_id")
+

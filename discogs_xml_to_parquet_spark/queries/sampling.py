@@ -235,3 +235,74 @@ def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# Train/validation/test split boundaries: first 4 hex chars of
+# md5(doc_id) partition [0000, ffff] into ~80% / ~10% / ~10%. Hex-string
+# comparison == integer comparison for fixed-width lowercase hex, so the
+# same boundaries drive both engines (same mechanism as STRATA above).
+SPLITS: list[tuple[str, str]] = [
+    ("train", "cccc"),  # [0000, cccc) ~ 80.0%
+    ("valid", "e666"),  # [cccc, e666) ~ 10.0%
+]
+_TEST = "test"          # [e666, ffff] ~ the remainder
+
+
+def _split_case_sql() -> str:
+    whens = "\n".join(
+        f"    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{hi}'"
+        f" THEN '{name}'"
+        for name, hi in SPLITS
+    )
+    return f"CASE\n{whens}\n    ELSE '{_TEST}'\n  END"
+
+
+def _split_case_col() -> F.Column:
+    col = F.lit(_TEST)
+    for name, hi in reversed(SPLITS):
+        col = F.when(
+            F.substring(_doc_hash(), 1, 4) < hi, F.lit(name)
+        ).otherwise(col)
+    return col
+
+
+@query(
+    "q_train_test_split",
+    oracle=f"""
+SELECT {_split_case_sql()} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY split
+ORDER BY split
+""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic three-way corpus split (80/10/10 by md5-prefix
+    range): membership is a pure function of the key, so the split is
+    stable under re-runs, retries, appends, and repartitioning -- the
+    property rand()-based splits lack and an ML pipeline needs (a doc
+    can never migrate between train and test across runs). The audit
+    aggregate verifies each split sees every language and source
+    (stratification-by-hash gives proportional representation without
+    a per-stratum pass). One map-only projection + a 3-group
+    aggregate: scan-bound at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            _split_case_col().alias("split"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "lang",
+            "source",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
