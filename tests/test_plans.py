@@ -376,3 +376,56 @@ def test_session_window_builtin_is_native(spark):
     assert "session_window" in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 2  # session shuffle + output sort
+
+
+def test_cdc_apply_is_single_key_shuffle(spark):
+    """Changelog compaction must shuffle the log exactly once (hash by
+    the key) -- rank and per-key depth come from the SAME window
+    partition, so no second exchange may appear besides the tiny
+    output sort."""
+    df = registry.QUERIES["q_cdc_apply"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2  # user_id shuffle + output sort
+    assert "Window" in plan
+
+
+def test_bloom_decontam_broadcasts_bit_table(spark):
+    """The bloom set-bit table (bounded by m regardless of eval-corpus
+    size) must broadcast; the training side must never shuffle into a
+    sort-merge join against it."""
+    df = registry.QUERIES["q_decontaminate_bloom"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_is_map_only_fold(spark):
+    """The Morton fold must stay in codegen (JVM higher-order
+    aggregate, no Python eval) and the only exchange is the 64-group
+    final aggregate."""
+    df = registry.QUERIES["q_zorder_layout"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan  # no Python in the hot path
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2  # bucket agg + output sort
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_quality_classifier_has_no_python_and_no_shuffle(spark):
+    """The hashed-linear scorer is ONE map-only HOF fold per row: no
+    Python evaluation, and no exchange before the output sort."""
+    df = registry.QUERIES["q_quality_classifier"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    # load_spread's repartition + the final sort; nothing else may
+    # shuffle (scoring itself is pipelined into the scan stage)
+    assert tree.count("Exchange") <= 2
+
+
+def test_train_test_split_is_two_phase(spark):
+    """The split audit must aggregate partial+final so the shuffle
+    carries 3 split rows (x distinct-count expansion), not documents."""
+    df = registry.QUERIES["q_train_test_split"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
