@@ -94,10 +94,16 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o_node = F.col("l_orderkey") * 2
     p_node = F.col("l_partkey") * 2 + 1
+    # materialize the deduped edge list ONCE: both outdeg and the
+    # degree-annotated join below consume it, and without this boundary
+    # each consumer re-runs the scan+union+distinct chain (measured
+    # ~20% of the query at sf0.1). At 100 TB this is the edge-list
+    # staging write every production PageRank starts from.
     edges = (
         li.select(o_node.alias("src"), p_node.alias("dst"))
         .union(li.select(p_node.alias("src"), o_node.alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     outdeg = (
         edges.groupBy("src")
@@ -108,11 +114,9 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = outdeg.crossJoin(F.broadcast(nn)).selectExpr(
         "src AS node", f"CAST({_SCALE} div n AS BIGINT) AS r"
     )
-    # materialize degree-annotated edges ONCE: every iteration's join
-    # reads this frame, and without the checkpoint each round would
-    # re-run the scan+union+distinct chain (the per-round lineage also
-    # compounds -- the same reason the CC loop checkpoints). At 100 TB
-    # this boundary is a parquet staging write.
+    # materialize degree-annotated edges too: every iteration's join
+    # reads this frame (the per-round lineage would otherwise compound
+    # -- the same reason the CC loop checkpoints).
     ewd = (
         edges.join(
             outdeg.withColumnRenamed("src", "node"),
