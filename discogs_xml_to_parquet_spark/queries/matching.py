@@ -108,7 +108,6 @@ def blocked_pairs_df(c: DataFrame) -> DataFrame:
             F.col("a.c_name").alias("name1"),
             F.col("b.c_name").alias("name2"),
         )
-        .distinct()
     )
     # pass 2: suffix bands (band_no 0-5) + prefix bands (band_no 6-11),
     # emitted under each target length the record could pair at (its
@@ -168,8 +167,11 @@ def blocked_pairs_df(c: DataFrame) -> DataFrame:
             F.col("a.c_name").alias("name1"),
             F.col("b.c_name").alias("name2"),
         )
-        .distinct()
     )
+    # ONE distinct over the unioned raw candidates: per-pass distincts
+    # would each pay a full pair shuffle only for the union's distinct
+    # to shuffle the survivors again -- same result (the oracle's
+    # UNION dedups globally), one exchange instead of three.
     return (
         cand.unionByName(cand2)
         .distinct()
