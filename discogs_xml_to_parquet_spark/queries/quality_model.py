@@ -91,3 +91,85 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("score_ppm"),
         (score >= 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- Rare-bigram rarity proxy -----------------------------------------
+#
+# A KenLM-style perplexity filter scores each doc against a corpus
+# n-gram LM; its engine-shaped core is "how unusual are this doc's
+# n-grams relative to the corpus". The float log-prob sum is engine-
+# dependent, so this query keeps the LM integer: a word bigram is RARE
+# when its corpus frequency <= _RARE_MAX, and the doc score is the
+# ppm fraction of its bigrams that are rare (high = likely gibberish
+# or boilerplate-free novel text; low = templated).
+_RARE_MAX = 2
+
+
+@query(
+    "q_quality_rare_bigrams",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) s
+  WHERE len(ts) >= 2
+), freq AS (
+  SELECT bigram, COUNT(*) AS bf FROM bg GROUP BY bigram
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       COUNT(*) FILTER (WHERE f.bf <= {_RARE_MAX}) AS n_rare,
+       COUNT(*) FILTER (WHERE f.bf <= {_RARE_MAX})
+         * 1000000 // COUNT(*) AS rare_ppm
+FROM bg b JOIN freq f USING (bigram)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def q_quality_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-bigram fraction per document: corpus bigram frequencies
+    (one vocabulary-sized, map-side-combined shuffle), joined back to
+    the per-doc bigram stream, aggregated to an integer ppm score.
+    The join key is the bigram string, so at 100 TB both sides shuffle
+    on vocabulary terms, never documents; a production variant
+    broadcasts the (bounded) rare-set instead, exactly like the
+    decontamination lane. All counts integer -- hash-exact."""
+    d = load_spread(spark, sf_dir, "documents")
+    bg = (
+        d.select(
+            "doc_id",
+            F.filter(F.split("text", r"\s+"), lambda t: t != "").alias(
+                "ts"
+            ),
+        )
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                    F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                )
+            ).alias("bigram"),
+        )
+    )
+    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("bf"))
+    rare = F.when(F.col("bf") <= _RARE_MAX, 1)
+    return (
+        bg.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(rare).alias("n_rare"),
+            F.expr(
+                f"count(CASE WHEN bf <= {_RARE_MAX} THEN 1 END)"
+                " * 1000000 div count(1)"
+            ).alias("rare_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -306,3 +306,50 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_RESERVOIR_K = 5
+
+
+@query(
+    "q_reservoir_per_group",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_RESERVOIR_K}
+ORDER BY source, rk
+""",
+)
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample (k={_RESERVOIR_K} docs
+    per source) -- the per-domain inspection sample every curation run
+    publishes. Rank within each group by md5(key): uniform like a
+    reservoir, but stable under re-runs and append-only growth (a doc
+    already in the sample leaves only if a lower-hashing doc arrives --
+    the deterministic analogue of reservoir replacement). One hash
+    shuffle on the group key; the rank filter plans a WindowGroupLimit,
+    so each shuffle partition retains ~k rows per group instead of the
+    whole group -- the property that makes this safe when one source
+    holds half the corpus."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .orderBy("source", "rk")
+    )

@@ -429,3 +429,28 @@ def test_train_test_split_is_two_phase(spark):
     df = registry.QUERIES["q_train_test_split"](spark, SF_SMOKE)
     plan = plan_of(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """The per-group rank filter must push a WindowGroupLimit below the
+    exchange: a source holding half the corpus must not materialize its
+    whole group to keep 5 rows."""
+    df = registry.QUERIES["q_reservoir_per_group"](spark, SF_SMOKE)
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_bpe_pair_counts_collapses_to_vocabulary_first(spark):
+    """The corpus-sized shuffle is the word-frequency aggregate (two-
+    phase); pair explosion runs over the distinct-word table only, and
+    the final top-K is a heap, not a global sort."""
+    df = registry.QUERIES["q_bpe_pair_counts"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 4  # words partial+final, pairs partial+final
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rare_bigrams_stays_jvm_side(spark):
+    """Bigram derivation and the frequency join must stay in codegen --
+    no Python evaluation anywhere in the plan."""
+    df = registry.QUERIES["q_quality_rare_bigrams"](spark, SF_SMOKE)
+    assert "EvalPython" not in plan_of(df)
