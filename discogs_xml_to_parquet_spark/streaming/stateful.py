@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -92,5 +93,70 @@ def running_user_totals(events: DataFrame,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=timeout,
+        )
+    )
+
+
+# --- CDC latest-state (streaming twin of queries/cdc.q_cdc_apply) -----
+
+CDC_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("last_op", StringType()),
+    StructField("last_value", DoubleType()),
+    StructField("last_ts_micros", LongType()),
+    StructField("n_ops", LongType()),
+])
+
+CDC_STATE_SCHEMA = StructType([
+    StructField("ts_micros", LongType()),
+    StructField("event_id", LongType()),
+    StructField("last_op", StringType()),
+    StructField("last_value", DoubleType()),
+    StructField("n_ops", LongType()),
+])
+
+
+def _update_latest(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Fold a microbatch of changelog rows into per-key latest state.
+    The winner within and across batches is max (ts, event_id) -- the
+    same total order q_cdc_apply ranks by, so replaying any batch
+    arrangement of the same changelog converges to the identical
+    state (the exactly-once-after-reorder property CDC apply needs)."""
+    ts_us, eid, op, val, n = (
+        state.get if state.exists else (-1, -1, None, None, 0)
+    )
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        us = (pdf["ts"].astype("int64") // 1000)  # ns -> us
+        top = pdf.assign(_us=us).sort_values(
+            ["_us", "event_id"]).iloc[-1]
+        if (int(top["_us"]), int(top["event_id"])) > (ts_us, eid):
+            ts_us, eid = int(top["_us"]), int(top["event_id"])
+            op, val = str(top["event_type"]), float(top["value"])
+    state.update((ts_us, eid, op, val, n))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "last_op": [op], "last_value": [val],
+        "last_ts_micros": [ts_us], "n_ops": [n],
+    })
+
+
+def latest_keyed_state(changelog: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: one state row per key holding the
+    latest (ts, event_id)-ordered operation and the changelog depth.
+    Emits the refreshed state for every key touched by the microbatch
+    (update mode). Input: a streaming frame with (user_id, ts,
+    event_id, event_type, value). Delete semantics are downstream's
+    call (filter last_op), matching the batch lane."""
+    return (
+        changelog.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_latest,
+            outputStructType=CDC_OUTPUT_SCHEMA,
+            stateStructType=CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
