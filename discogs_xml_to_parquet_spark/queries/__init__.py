@@ -38,8 +38,9 @@ Left for round 6, leaders first (new, locally green, no driver row):
 q_mode_per_group, q_histogram_fixed, windows_extra, scd, graph_iter,
 curation_extra (chunk dedup / budget select / SemDeDup),
 analytics_extra (triangles / pareto / equi-depth / session_window),
-cdc, layout, quality_model, q_decontaminate_bloom,
-q_train_test_split, q_source_text_roundtrip; then everything r3-green (aggregates,
+cdc, layout, quality_model (classifier + rare bigrams), vocab,
+q_decontaminate_bloom, q_train_test_split, q_reservoir_per_group,
+q_source_text_roundtrip; then everything r3-green (aggregates,
 reshaping, joins, nested, python_udfs, decontam, clustering, scoring,
 ranges, pipeline, formats -- all exactly two rounds old after r5, the
 staleness bound) and everything r4-green.
