@@ -65,6 +65,13 @@ HEADLINE = [
     "q_sessionize_events",
     "q_stats_moments",
     "q_pagerank_bipartite",
+    # round-5 late families: CDC changelog compaction (one key shuffle),
+    # the BPE tokenizer-training count step (corpus collapsed to the
+    # word-frequency domain), and int8 embedding quantization (map-only
+    # HOF rewrite pass)
+    "q_cdc_apply",
+    "q_bpe_pair_counts",
+    "q_embedding_quantize",
 ]
 
 

@@ -171,3 +171,70 @@ def q_feature_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --- int8 embedding quantization --------------------------------------
+#
+# Identical expression text in Spark (selectExpr) and DuckDB: inputs
+# are f32 (exact when widened to double), and every double op appears
+# in the same order in both engines, so the integer codes match
+# bit-for-bit. floor(x + 0.5) rather than round(): DuckDB rounds
+# half-away-from-zero, Spark HALF_UP -- floor is the one both share.
+_Q_CODE = (
+    "CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q_embedding_quantize",
+    oracle=f"""
+WITH rng AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, mn, mx,
+         list_transform(embedding, v -> {_Q_CODE}) AS codes
+  FROM rng WHERE mx > mn
+)
+SELECT vec_id,
+       CAST(len(codes) AS INT) AS n_dims,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+       CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_lo,
+       CAST(len(list_filter(codes, c -> c = 255)) AS BIGINT) AS n_hi
+FROM coded
+ORDER BY vec_id
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (asymmetric min/max) quantization audit -- the
+    compression step every large-scale ANN index and KV-cache-style
+    embedding store applies before serving. Each vector's [min, max]
+    range maps to codes 0..255 via floor((v-mn)*255/(mx-mn)+0.5); the
+    query emits the code checksum and the saturation counts (n_lo/n_hi
+    = how many dims pinned to the range ends -- the outlier diagnostic
+    that motivates per-channel or clipped quantization). Entirely
+    map-only JVM higher-order functions over the embedding array; at
+    100 TB this is a scan-bound rewrite pass whose output parquet is
+    1/4 the size. Constant vectors (mx == mn) are excluded in both
+    engines (no defined scale)."""
+    e = load(spark, sf_dir, "embeddings")
+    rng = e.selectExpr(
+        "vec_id",
+        "embedding",
+        "CAST(array_min(embedding) AS DOUBLE) AS mn",
+        "CAST(array_max(embedding) AS DOUBLE) AS mx",
+    ).filter("mx > mn")
+    coded = rng.selectExpr(
+        "vec_id", f"transform(embedding, v -> {_Q_CODE}) AS codes"
+    )
+    return coded.selectExpr(
+        "vec_id",
+        "CAST(size(codes) AS INT) AS n_dims",
+        "CAST(aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        " AS BIGINT) AS q_sum",
+        "CAST(size(filter(codes, c -> c = 0)) AS BIGINT) AS n_lo",
+        "CAST(size(filter(codes, c -> c = 255)) AS BIGINT) AS n_hi",
+    ).orderBy("vec_id")
