@@ -81,3 +81,81 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events
+), tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type NOT IN ('purchase', 'error')
+                  THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts
+  FROM ev
+), attributed AS (
+  SELECT t.user_id, t.event_id,
+         strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         COALESCE(s.event_type, 'none') AS channel
+  FROM tagged t
+  LEFT JOIN ev s
+    ON s.user_id = t.user_id AND s.ts = t.touch_ts
+   AND s.event_type NOT IN ('purchase', 'error')
+   AND s.event_id = (SELECT MAX(s2.event_id) FROM ev s2
+                     WHERE s2.user_id = t.user_id AND s2.ts = t.touch_ts
+                       AND s2.event_type NOT IN ('purchase', 'error'))
+  WHERE t.event_type = 'purchase'
+)
+SELECT user_id, event_id, purchase_ts, channel
+FROM attributed
+ORDER BY user_id, event_id
+""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the
+    user's most recent PRECEDING non-purchase, non-error event (its
+    event_type plays the marketing channel), 'none' when the purchase
+    opens the history. ONE window pass over the user timeline carries
+    both the last-touch timestamp and channel (a conditional max over
+    a (ts, event_id, type)-encoded struct -- no self-join back onto
+    the event log, which is what makes this linear at 100 TB where
+    the oracle's correlated rebuild would not be). Deterministic under
+    same-timestamp touches via the event_id tiebreak inside the
+    struct ordering."""
+    ev = load(spark, sf_dir, "events")
+    is_touch = ~F.col("event_type").isin("purchase", "error")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # encode (ts, event_id, channel) so ONE max() carries the payload;
+    # struct ordering is lexicographic, so max = latest touch with the
+    # highest event_id on ties -- mirroring the oracle's MAX(event_id)
+    # subselect
+    touch = F.max(
+        F.when(
+            is_touch,
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("c"),
+            ),
+        )
+    ).over(w)
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.coalesce(F.col("touch.c"), F.lit("none")).alias("channel"),
+        )
+        .orderBy("user_id", "event_id")
+    )

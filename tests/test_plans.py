@@ -454,3 +454,25 @@ def test_rare_bigrams_stays_jvm_side(spark):
     no Python evaluation anywhere in the plan."""
     df = registry.QUERIES["q_quality_rare_bigrams"](spark, SF_SMOKE)
     assert "EvalPython" not in plan_of(df)
+
+
+def test_attribution_has_no_self_join(spark):
+    """Last-touch attribution must be ONE window pass over the event
+    log -- the struct-encoded conditional max replaces the oracle's
+    correlated self-join, so no join operator may appear at all."""
+    df = registry.QUERIES["q_attribution_last_touch"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert "Window" in plan
+
+
+def test_profile_is_one_scan(spark):
+    """The multi-column profile must read the table ONCE (one expand +
+    two-phase aggregate), not once per column like the oracle's UNION
+    ALL spelling."""
+    df = registry.QUERIES["q_profile_columns"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" in plan  # the multi-distinct grouping-id expansion
