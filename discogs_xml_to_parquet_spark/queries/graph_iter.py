@@ -99,31 +99,30 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each consumer re-runs the scan+union+distinct chain (measured
     # ~20% of the query at sf0.1). At 100 TB this is the edge-list
     # staging write every production PageRank starts from.
-    edges = (
-        li.select(o_node.alias("src"), p_node.alias("dst"))
-        .union(li.select(p_node.alias("src"), o_node.alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    # ONE materialized frame serves the whole computation: the deduped
+    # edge list annotated with each src's out-degree via a window over
+    # the src partition -- no separate degree aggregate, no degree
+    # join, one checkpoint instead of three (distinct shuffle + window
+    # shuffle, then every consumer reads the materialized blocks). At
+    # 100 TB this is the degree-annotated edge-list staging write every
+    # production PageRank starts from.
+    from pyspark.sql import Window
+
+    edges = li.select(o_node.alias("src"), p_node.alias("dst")).union(
+        li.select(p_node.alias("src"), o_node.alias("dst"))
     )
-    outdeg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("odeg"))
-        .localCheckpoint()
-    )
-    nn = outdeg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = outdeg.crossJoin(F.broadcast(nn)).selectExpr(
-        "src AS node", f"CAST({_SCALE} div n AS BIGINT) AS r"
-    )
-    # materialize degree-annotated edges too: every iteration's join
-    # reads this frame (the per-round lineage would otherwise compound
-    # -- the same reason the CC loop checkpoints).
     ewd = (
-        edges.join(
-            outdeg.withColumnRenamed("src", "node"),
-            edges["src"] == F.col("node"),
+        edges.distinct()
+        .withColumn(
+            "odeg",
+            F.count(F.lit(1)).over(Window.partitionBy("src")),
         )
-        .select("src", "dst", "odeg")
         .localCheckpoint()
+    )
+    nodes = ewd.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).selectExpr(
+        "node", f"CAST({_SCALE} div n AS BIGINT) AS r"
     )
     for _ in range(_ITERS):
         contrib = (
@@ -155,3 +154,103 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP)
     )
     return top
+
+
+# --- Label propagation communities ------------------------------------
+
+_LPA_ITERS = 2
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        """e AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT l_partkey * 2 + 1, l_suppkey * 2
+  FROM lineitem
+)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)",
+    ]
+    for k in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"""l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT e.src AS node, l.lbl,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rk
+    FROM e JOIN l{k - 1} l ON e.dst = l.node
+    GROUP BY e.src, l.lbl
+  ) WHERE rk = 1
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT lbl AS community, COUNT(*) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM l{_LPA_ITERS}
+GROUP BY lbl
+ORDER BY n_nodes DESC, community
+LIMIT 20
+"""
+    )
+
+
+@query("q_label_propagation", oracle=_lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the supplier<->part co-supply graph,
+    {_LPA_ITERS} unrolled rounds. Each round every node adopts its
+    neighbors' PLURALITY label -- max count, smallest label on ties,
+    which replaces LPA's usual random tie-break with a deterministic
+    one so both engines converge identically. Per round: one edge-vs-
+    labels equi-join, one (node, label) count aggregate, one
+    WindowGroupLimit-able rank filter -- the same join+agg round shape
+    as PageRank, with the argmax replacing the sum. Output: the 20
+    largest communities with node-range audit columns."""
+    li = load(spark, sf_dir, "lineitem")
+    s_node = F.col("l_suppkey") * 2
+    p_node = F.col("l_partkey") * 2 + 1
+    edges = (
+        li.select(s_node.alias("src"), p_node.alias("dst"))
+        .union(li.select(p_node.alias("src"), s_node.alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    from pyspark.sql import Window
+
+    for it in range(_LPA_ITERS):
+        counted = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(edges["src"].alias("n2"), "lbl")
+            .groupBy("n2", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("n2").orderBy(F.desc("cnt"), "lbl")
+        labels = (
+            counted.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("n2").alias("node"), "lbl")
+        )
+        # checkpoint between rounds (lineage would compound); the LAST
+        # round stays declarative so the terminal plan exposes the
+        # round shape (WindowGroupLimit rank cap) to the plan gate and
+        # pipelines into the community aggregate without an extra
+        # materialization
+        if it < _LPA_ITERS - 1:
+            labels = labels.localCheckpoint()
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )

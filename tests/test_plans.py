@@ -476,3 +476,16 @@ def test_profile_is_one_scan(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
     assert "Expand" in plan  # the multi-distinct grouping-id expansion
+
+
+def test_label_propagation_rounds_checkpoint_and_group_limit(spark):
+    """Each LPA round's plurality argmax must plan a WindowGroupLimit
+    (the shuffle carries ~1 candidate label per node, not the whole
+    (node, label) count table), and rounds read the checkpointed edge
+    list (scan appears as an ExistingRDD, not a repeated parquet
+    scan+distinct chain)."""
+    df = registry.QUERIES["q_label_propagation"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Scan ExistingRDD" in tree
