@@ -159,3 +159,85 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c
+  FROM events
+), seg AS (
+  SELECT user_id, v_c,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
+                  - ts) AS dur_us
+  FROM ev
+), agg AS (
+  SELECT user_id,
+         CAST(SUM(v_c * dur_us) AS HUGEINT) AS wsum,
+         CAST(SUM(dur_us) AS BIGINT) AS tot_us,
+         COUNT(*) AS n_segments
+  FROM seg WHERE dur_us IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_segments AS BIGINT) AS n_segments,
+       tot_us,
+       CAST(wsum // tot_us AS BIGINT) AS twa_cents
+FROM agg
+ORDER BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TWAP/metrics-rollup primitive): each
+    observation's value holds until the key's next event, so the
+    average weights value by segment duration, not sample count --
+    irregular sampling stops biasing the mean. One window pass derives
+    segment durations (LEAD over the user timeline, last segment open
+    -> excluded identically in both engines), then a per-key aggregate
+    of exact integer (cents x microseconds) products -- sums stay
+    order-independent (decimal accumulator; DuckDB HUGEINT), and the
+    final integer division truncates the same way in both engines.
+    One shuffle on the key; scan-bound at 100 TB."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff on the timestamp_ntz pair directly: no cast to
+    # session-zoned timestamp (tables.py documents that detour shifting
+    # values under non-UTC sessions)
+    seg = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "v_c",
+            F.expr(
+                "timestampdiff(MICROSECOND, ts, next_ts)"
+            ).alias("dur_us"),
+        )
+        .filter(F.col("dur_us").isNotNull())
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                (F.col("v_c") * F.col("dur_us")).cast("decimal(38,0)")
+            ).alias("wsum"),
+            F.sum("dur_us").cast("bigint").alias("tot_us"),
+        )
+        .select(
+            "user_id",
+            "n_segments",
+            "tot_us",
+            F.expr("CAST(wsum div tot_us AS BIGINT)").alias("twa_cents"),
+        )
+        .orderBy("user_id")
+    )

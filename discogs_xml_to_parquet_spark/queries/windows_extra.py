@@ -58,3 +58,68 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("s_acctbal", 1, 0.0).over(w).alias("prev_bal"),
         F.lead("s_acctbal", 1, -1.0).over(w).alias("next_bal"),
     ).orderBy("s_nationkey", "s_suppkey")
+
+
+@query(
+    "q_ratio_to_report",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+           AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT nation, region,
+       CAST(rev_c AS BIGINT) AS rev_c,
+       CAST(CAST(rev_c AS BIGINT) * 1000000
+            // CAST(SUM(CAST(rev_c AS HUGEINT))
+                    OVER (PARTITION BY region) AS BIGINT)
+            AS BIGINT) AS share_ppm
+FROM rev
+ORDER BY region, nation
+""",
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue
+    (the percent-of-total window shape every BI layer emits). Revenue
+    aggregates to exact cents per (nation, region) -- the star join
+    broadcasts all three dimensions, so the fact table shuffles once
+    on the group key -- then ONE unbounded window over the ~25-row
+    aggregate computes the region totals; shares are integer ppm with
+    truncating division in both engines. The window runs over group
+    rows, never fact rows: at 100 TB the expensive pass is the
+    aggregate, and the share step is free."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("r_name").alias("region"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+                .cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    wr = Window.partitionBy("region")
+    return rev.select(
+        "nation",
+        "region",
+        F.col("rev_c").cast("bigint").alias("rev_c"),
+        F.expr(
+            "rev_c * 1000000 div CAST(SUM(CAST(rev_c AS DECIMAL(38,0)))"
+            " OVER (PARTITION BY region) AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("region", "nation")
