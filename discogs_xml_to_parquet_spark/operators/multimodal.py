@@ -150,3 +150,81 @@ def sample_frames(df: DataFrame, frame_size: int = 256,
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+# --- REAL audio lane: int16 PCM pack + numpy decode -------------------
+#
+# Unlike the image path (decoder library absent -> stubbed), raw PCM
+# needs only numpy: frombuffer('<i2') IS the decode. The two stages
+# below are genuine binary round-trip work -- stage 1 synthesizes and
+# byte-packs a waveform, stage 2 decodes the bytes back and reduces
+# them -- so the multimodal plumbing is exercised with a real codec,
+# not a stand-in.
+
+PCM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("pcm", T.BinaryType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("max_abs", T.IntegerType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("n_loud", T.IntegerType()),
+])
+
+_PCM_MULT = 9973   # sample generator: deterministic pure function of
+_PCM_STEP = 31     # (doc_id, sample index) so an oracle can rebuild
+_LOUD = 16384      # |sample| threshold for the activity counter
+
+
+def synth_pcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stage 1 (ingest): synthesize a little-endian int16 PCM payload
+    per row -- 64 + doc_id % 64 samples, s_i = ((doc_id*9973 + i*31)
+    % 65536) - 32768 -- and BYTE-PACK it (numpy astype('<i2')
+    .tobytes()). The payload column leaving this stage is opaque
+    binary, exactly like a parquet table of real audio clips."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pcm, nbytes = [], []
+            for d in pdf[id_col]:
+                n = 64 + int(d) % 64
+                i = np.arange(n, dtype=np.int64)
+                s = (int(d) * _PCM_MULT + i * _PCM_STEP) % 65536 - 32768
+                b = s.astype("<i2").tobytes()
+                pcm.append(b)
+                nbytes.append(len(b))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "pcm": pcm, "n_bytes": nbytes}
+            )
+
+    return df.select(id_col).mapInPandas(run, PCM_SCHEMA)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Stage 2 (decode + reduce): np.frombuffer('<i2') decodes each
+    payload -- the real PCM codec -- then integer reductions produce
+    sample count, total |amplitude|, peak, energy (sum of squares) and
+    the loud-sample count. All-integer outputs make the stage
+    cross-engine checkable."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for d, b in zip(pdf["doc_id"], pdf["pcm"]):
+                s = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                out["doc_id"].append(int(d))
+                out["n_samples"].append(len(s))
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["max_abs"].append(int(np.abs(s).max()))
+                out["energy"].append(int((s * s).sum()))
+                out["n_loud"].append(int((np.abs(s) > _LOUD).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "pcm").mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -95,6 +95,7 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
     quality_model,
     vocab,
     profiling,
+    multimodal_audio,
     # (q_source_text_roundtrip rides in formats_extra below)
     # r3-green, exactly two rounds old after round 5 (the bound)
     aggregates,
