@@ -144,6 +144,19 @@ def main() -> None:
     convert(spark, xml_dir, out)
     conv_sec = round(time.perf_counter() - t0, 3)
 
+    # scale-out lane: the SAME corpus split into 32 gzip files. Gzip is
+    # unsplittable (1 task per file), so file count IS the conversion's
+    # parallelism knob -- this measures the engine's scale-out story
+    # against the 8-file lane above (the reference is locked to 1
+    # thread total; main.rs:436-473).
+    xml_dir32 = write_synthetic_releases(
+        f"{tempfile.gettempdir()}/discogs_bench_{n_rel}_f32", n_rel,
+        n_files=32,
+    )
+    t0 = time.perf_counter()
+    convert(spark, xml_dir32, out)
+    conv32_sec = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "headline_query_wall_sec",
         "value": total,
@@ -156,6 +169,12 @@ def main() -> None:
             "rows": n_rel,
             "sec": conv_sec,
             "rows_per_sec": round(n_rel / conv_sec),
+        },
+        "conversion_scaleout": {
+            "files": 32,
+            "rows": n_rel,
+            "sec": conv32_sec,
+            "rows_per_sec": round(n_rel / conv32_sec),
         },
     }))
     spark.stop()

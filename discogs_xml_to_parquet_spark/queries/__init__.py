@@ -38,7 +38,9 @@ Left for round 6, leaders first (new, locally green, no driver row):
 q_mode_per_group, q_histogram_fixed, windows_extra, scd, graph_iter,
 curation_extra (chunk dedup / budget select / SemDeDup),
 analytics_extra (triangles / pareto / equi-depth / session_window),
-cdc, layout, quality_model (classifier + rare bigrams), vocab,
+cdc (compaction / attribution / TWAP), layout, quality_model
+(classifier + rare bigrams), vocab, profiling, multimodal_audio,
+q_label_propagation, q_embedding_quantize, q_ratio_to_report,
 q_decontaminate_bloom, q_train_test_split, q_reservoir_per_group,
 q_source_text_roundtrip; then everything r3-green (aggregates,
 reshaping, joins, nested, python_udfs, decontam, clustering, scoring,
