@@ -53,31 +53,39 @@ ORDER BY user_id
 """,
 )
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-state materialization: rank each key's operations newest
-    first (ROW_NUMBER over ts DESC, event_id DESC -- the event_id
-    tiebreak makes same-timestamp ordering deterministic), keep rank 1,
-    and drop keys whose final operation is a delete. n_ops (the per-key
-    changelog depth) falls out of the same window partition, so the
-    whole compaction is one shuffle + one in-partition sort. The value
-    column passes through unaggregated (no float summation), and the
-    timestamp is formatted to a string per the registry determinism
-    rules."""
+    """Latest-state materialization as a TWO-PHASE AGGREGATE, not a
+    window: max over the (ts, event_id, op, value) struct picks each
+    key's newest operation (lexicographic struct order == the oracle's
+    ROW_NUMBER order -- event_id is unique, so the trailing fields
+    never decide), and the changelog depth rides in the same agg. The
+    aggregate is associative, so Spark partial-aggregates map-side: a
+    hot key collapses to one row per map task BEFORE the shuffle,
+    where the equivalent rank-window formulation (the oracle's
+    spelling) must sort the hot key's entire history in one reduce
+    partition -- the difference between skew-proof and skew-bound at
+    100 TB. Keys whose final op is a delete are dropped; value passes
+    through unaggregated; the timestamp is formatted to a string per
+    the registry determinism rules."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    wp = Window.partitionBy("user_id")
+    last = F.max(
+        F.struct(
+            F.col("ts").alias("t"),
+            F.col("event_id").alias("e"),
+            F.col("event_type").alias("op"),
+            F.col("value").alias("v"),
+        )
+    ).alias("last")
     return (
         ev.select("user_id", "ts", "event_id", "event_type", "value")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_ops", F.count(F.lit(1)).over(wp))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != _DELETE))
+        .groupBy("user_id")
+        .agg(last, F.count(F.lit(1)).cast("bigint").alias("n_ops"))
+        .filter(F.col("last.op") != _DELETE)
         .select(
             "user_id",
-            F.col("event_type").alias("last_op"),
-            F.col("value").alias("last_value"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
-            F.col("n_ops").cast("bigint").alias("n_ops"),
+            F.col("last.op").alias("last_op"),
+            F.col("last.v").alias("last_value"),
+            F.date_format("last.t", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_ops",
         )
         .orderBy("user_id")
     )

@@ -378,16 +378,21 @@ def test_session_window_builtin_is_native(spark):
     assert tree.count("Exchange") <= 2  # session shuffle + output sort
 
 
-def test_cdc_apply_is_single_key_shuffle(spark):
-    """Changelog compaction must shuffle the log exactly once (hash by
-    the key) -- rank and per-key depth come from the SAME window
-    partition, so no second exchange may appear besides the tiny
-    output sort."""
+def test_cdc_apply_is_two_phase_aggregate_not_window(spark):
+    """Changelog compaction must plan partial+final HashAggregate (the
+    max-struct formulation: a hot key collapses map-side before the
+    shuffle) -- never a rank window, which would sort the hot key's
+    whole history in one reduce partition."""
     df = registry.QUERIES["q_cdc_apply"](spark, SF_SMOKE)
     plan = plan_of(df)
     tree = plan.split("\n\n")[0]
+    # struct-valued agg buffers aren't hash-aggregable, so Spark plans
+    # SortAggregate -- the partial+final split (one below the exchange,
+    # one above) is what matters: the map-side combine collapses hot
+    # keys before the shuffle
+    assert tree.count("SortAggregate") + tree.count("HashAggregate") >= 2
+    assert "Window" not in tree
     assert tree.count("Exchange") <= 2  # user_id shuffle + output sort
-    assert "Window" in plan
 
 
 def test_bloom_decontam_broadcasts_bit_table(spark):
