@@ -238,3 +238,140 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(size(filter(codes, c -> c = 0)) AS BIGINT) AS n_lo",
         "CAST(size(filter(codes, c -> c = 255)) AS BIGINT) AS n_hi",
     ).orderBy("vec_id")
+
+
+# --- exact interpolated percentiles (percentile_cont) -----------------
+#
+# Shared interpolation text: inputs are exact (integer ranks, parquet
+# doubles passed through), and the expression tree is identical in
+# both engines, so the interpolated double matches bit-for-bit. The
+# fraction (n-1)*P % 100 / 100.0 is computed from integers the same
+# way on both sides -- NOT via each engine's percentile_cont builtin,
+# whose internal op order is unspecified.
+_INTERP = (
+    "v_lo + (v_hi - v_lo) * (CAST(frac_pct AS DOUBLE) / 100.0)"
+)
+
+
+def _pcont_parts(counts: DataFrame, group: str, pct: int,
+                 tag: str) -> DataFrame:
+    """Exact percentile_cont({pct}/100) per group from a (group, v,
+    cnt) domain table: 0-based position h = (n-1)*pct/100 splits into
+    lo = h div 1 and an integer percent fraction; the two order
+    statistics at ranks lo+1 and lo+2 (capped at n) come from the
+    cumulative-count window over DISTINCT values -- never a data
+    sort. Returns (group, {tag}_v_lo, {tag}_v_hi, {tag}_frac)."""
+    w = (
+        Window.partitionBy(group)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    tot = counts.groupBy(group).agg(F.sum("cnt").alias("n_g"))
+    c = cum.join(F.broadcast(tot), group)
+    h_num = (F.col("n_g") - 1) * pct            # position in 1/100 units
+    k1 = F.expr(f"(n_g - 1) * {pct} div 100") + 1
+    k2 = F.least(k1 + 1, F.col("n_g"))
+    lo = (
+        c.filter(F.col("cum") >= k1)
+        .groupBy(group)
+        .agg(F.min("v").alias(f"{tag}_v_lo"))
+    )
+    hi = (
+        c.filter(F.col("cum") >= k2)
+        .groupBy(group)
+        .agg(F.min("v").alias(f"{tag}_v_hi"))
+    )
+    frac = tot.select(
+        group, (h_num % 100).alias(f"{tag}_frac")
+    )
+    return lo.join(hi, group).join(frac, group)
+
+
+def _pcont_sql(pct: int, tag: str) -> str:
+    """DuckDB mirror of _pcont_parts over the shared pc/cum/tot CTEs."""
+    return f"""
+{tag}_lo AS (
+  SELECT l_returnflag, MIN(v) AS {tag}_v_lo
+  FROM cum WHERE cum >= (n_g - 1) * {pct} // 100 + 1
+  GROUP BY l_returnflag
+),
+{tag}_hi AS (
+  SELECT l_returnflag, MIN(v) AS {tag}_v_hi
+  FROM cum WHERE cum >= least((n_g - 1) * {pct} // 100 + 2, n_g)
+  GROUP BY l_returnflag
+),
+{tag}_f AS (
+  SELECT l_returnflag, (n_g - 1) * {pct} % 100 AS {tag}_frac FROM tot
+)"""
+
+
+@query(
+    "q_percentile_cont_exact",
+    oracle=f"""
+WITH pc AS (
+  SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), tot AS (
+  SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n_g
+  FROM pc GROUP BY l_returnflag
+), cum AS (
+  SELECT pc.l_returnflag, v,
+         SUM(cnt) OVER (PARTITION BY pc.l_returnflag ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         n_g
+  FROM pc JOIN tot USING (l_returnflag)
+),{_pcont_sql(50, "p50")},{_pcont_sql(95, "p95")}
+SELECT t.l_returnflag, t.n_g,
+       {_INTERP.replace("v_lo", "p50_v_lo").replace("v_hi", "p50_v_hi")
+               .replace("frac_pct", "p50_frac")} AS p50_price,
+       {_INTERP.replace("v_lo", "p95_v_lo").replace("v_hi", "p95_v_hi")
+               .replace("frac_pct", "p95_frac")} AS p95_price
+FROM tot t
+JOIN p50_lo USING (l_returnflag) JOIN p50_hi USING (l_returnflag)
+JOIN p50_f USING (l_returnflag)
+JOIN p95_lo USING (l_returnflag) JOIN p95_hi USING (l_returnflag)
+JOIN p95_f USING (l_returnflag)
+ORDER BY t.l_returnflag
+""",
+)
+def q_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the percentile_cont semantics)
+    per return flag -- linear interpolation between the two bracketing
+    order statistics at h = (n-1)*p. Both order statistics come from a
+    cumulative-count window over the (group, DISTINCT value) domain
+    table -- the same no-data-sort shape as q_stats_mad -- and the
+    interpolation runs in ONE shared expression text over integer
+    ranks and pass-through parquet doubles, so the result doubles are
+    bit-identical across engines (each engine's percentile_cont
+    builtin would not be). 3-row joins broadcast; the only corpus-
+    sized work is the first (flag, price) aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag"), F.col("l_extendedprice").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    p50 = _pcont_parts(counts, "l_returnflag", 50, "p50")
+    p95 = _pcont_parts(counts, "l_returnflag", 95, "p95")
+    out = (
+        tot.join(F.broadcast(p50), "l_returnflag")
+        .join(F.broadcast(p95), "l_returnflag")
+    )
+    e50 = (
+        _INTERP.replace("v_lo", "p50_v_lo")
+        .replace("v_hi", "p50_v_hi")
+        .replace("frac_pct", "p50_frac")
+    )
+    e95 = (
+        _INTERP.replace("v_lo", "p95_v_lo")
+        .replace("v_hi", "p95_v_hi")
+        .replace("frac_pct", "p95_frac")
+    )
+    return out.selectExpr(
+        "l_returnflag",
+        "n_g",
+        f"{e50} AS p50_price",
+        f"{e95} AS p95_price",
+    ).orderBy("l_returnflag")
