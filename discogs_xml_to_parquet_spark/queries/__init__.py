@@ -2,90 +2,59 @@
 
 Import order IS driver-check order (the registry dict preserves
 insertion order and the driver checks the first 50 registered queries
--- r01-r04 all cut at exactly 50). Rotation policy: queries with no
+-- r01-r05 all cut at exactly 50). Rotation policy: queries with no
 CORRECTNESS row anywhere go first, then fixed/changed queries, then
 the module whose passing evidence is oldest.
 
-Round-5 window (the first 50):
-- 1-4: matching -- changed this round (pass-2 prefix-band lane closes
-  the trailing-indel recall hole from the r4 ADVICE; q_fuzzy_blocked
-  and q_entity_resolution results change, and q_funnel_conversion
-  gained a broadcast hint);
-- 5-18: dedup, packing, quality, curation_full -- the capstone was
-  restructured this round (size-dispatched CC, canonical-map +
-  stats-folded checkpoints) and q_dedup_components rides on the
-  reworked min-label CC (seeded init), so the whole dependency group
-  re-checks; packing/quality are pulled in transitively by
-  curation_full anyway;
-- 19-34: the r2-stale debt the r4 verdict listed: relational
-  (q_filter_project, q_sort_limit_topk, q_sink_roundtrip), scalars
-  (string/date/math/json fns), tpch_extra (q3/q10/q14/q18 spread with
-  relational), streaming_queries (all 4 streams);
-- 35-39: similarity + the demoted q_ann_bruteforce_topk (r2-stale, the
-  last item on the verdict's list; its 4 lsh/ivf siblings refresh
-  their r3 evidence in the same pass);
-- 40-41: the two sketch queries (module queries/sketches.py, moved out
-  of aggregates/reshaping) so their NEW bounds-checked oracles (r4
-  verdict item 6) are driver-checked this round without dragging both
-  whole modules into the window;
-- 42-50: NEW queries (no CORRECTNESS row anywhere -> window per the
-  rotation policy): timeseries (sessionize / gapfill / cumulative
-  distinct), text_extra (chunking / capped co-occurrence / all-match
-  regex), stats_extra's moments + ntile (the cut lands after
-  q_ntile_bucketing; q_dedup_containment rides in the dedup block
-  above).
-Left for round 6, leaders first (new, locally green, no driver row):
-q_mode_per_group, q_histogram_fixed, windows_extra, scd, graph_iter,
-curation_extra (chunk dedup / budget select / SemDeDup),
-analytics_extra (triangles / pareto / equi-depth / session_window),
-cdc (compaction / attribution / TWAP), layout, quality_model
-(classifier + rare bigrams), vocab, profiling, multimodal_audio,
-q_label_propagation, q_embedding_quantize, q_ratio_to_report,
-q_decontaminate_bloom, q_train_test_split, q_reservoir_per_group,
-q_source_text_roundtrip; then everything r3-green (aggregates,
-reshaping, joins, nested, python_udfs, decontam, clustering, scoring,
-ranges, pipeline, formats -- all exactly two rounds old after r5, the
-staleness bound) and everything r4-green.
+Round-6 window (the first 50) -- executes the rotation planned in r5
+(VERDICT r5 "next round" item 1): ALL 32 queries that have never had a
+driver CORRECTNESS row, plus 18 refresh slots:
+
+- 1-4: stats_extra -- q_mode_per_group and q_histogram_fixed are NEW
+  (no row anywhere); q_stats_moments CHANGED this round (per-row
+  bigint-lane rewrite closing the r5 [1.5 s, 28 s] bench spread) so
+  its re-check is load-bearing, and q_ntile_bucketing rides along;
+- 5-18: the six zero-evidence families the r5 verdict called out:
+  windows_extra (q_window_distribution, q_ratio_to_report -- the
+  ratio oracle CHANGED this round, ADVICE r5 overflow widening), scd
+  (q_scd2_merge), graph_iter (q_pagerank_bipartite,
+  q_label_propagation), curation_extra (q_dedup_chunks,
+  q_budget_select, q_dedup_semantic), analytics_extra
+  (q_triangle_count, q_pareto_frontier, q_histogram_equidepth,
+  q_session_window_builtin), features (q_stats_mad,
+  q_feature_normalize);
+- 19-30: the rest of the NEW block: features cont. (
+  q_embedding_quantize, q_percentile_cont_exact), cdc (q_cdc_apply,
+  q_attribution_last_touch -- oracle tiebreak CHANGED this round,
+  ADVICE r5 -- q_time_weighted_avg), layout (q_zorder_layout),
+  quality_model (q_quality_classifier, q_quality_rare_bigrams),
+  vocab (q_bpe_pair_counts), profiling (q_profile_columns),
+  multimodal_audio (q_multimodal_audio_energy);
+- 31-42: modules whose NEW member drags r3/r4 refreshes in with it:
+  decontam (q_decontaminate_bloom NEW + q_decontaminate_ngram r3),
+  scoring (q_inverted_index NEW + tfidf/bm25 r3), formats_extra
+  (q_source_text_roundtrip NEW + orc/csv-permissive r4), sampling
+  (q_train_test_split + q_reservoir_per_group NEW + stratified/
+  weighted/shuffle r4);
+- 43-50: r3-stale refresh picks filling the window exactly:
+  clustering (kmeans assign/update r3), aggregates (distinct/rollup/
+  cube/grouping-sets r3 -- rollup also had the only nominal r5 bench
+  regression, so its re-check is timely), formats (csv/json
+  round-trips r3).
+
+After this window every one of the 149 registered queries has driver
+evidence. Left for round 7, leaders first: the remaining r3-green
+modules (reshaping, joins, nested, python_udfs, pipeline, ranges --
+four rounds old by r7), then the conversion trio (r4; VERDICT r5 item
+6 asks for its re-check in r7 so the namesake surface never exceeds
+three rounds unverified), then the other r4-green modules, then
+everything r5/r6-green.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # changed this round: trailing-indel recall fix + funnel broadcast
-    matching,
-    # capstone dependency group, reworked CC + checkpoints this round
-    dedup,
-    packing,
-    quality,
-    curation_full,
-    # the r2-stale debt (r4 verdict "what's missing" #1)
-    relational,
-    scalars,
-    tpch_extra,
-    streaming_queries,
-    # r2-stale q_ann_bruteforce_topk's module (registered just below)
-    similarity,
-)
-from discogs_xml_to_parquet_spark.registry import query as _query
-
-# q_ann_bruteforce_topk is registered manually (demoted from the module
-# in r3); placing it here puts it inside the round-5 window.
-_query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
-    similarity.q_ann_bruteforce_topk
-)
-
-from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
-    # the two sketch queries, moved to their own module this round so
-    # their NEW bounds-checked oracles (r4 verdict item 6) sit inside
-    # the window without dragging aggregates/reshaping in
-    sketches,
-    # NEW this round (no CORRECTNESS row anywhere -> first-class window
-    # members per the rotation policy)
-    timeseries,
-    text_extra,
+    # 1-4: NEW members + the bigint-lane moments rewrite (re-check)
     stats_extra,
-    # --- 50-query window cut lands at the end of stats_extra ---
-    # NEW late additions (positions 51-54): locally oracle-tested this
-    # round, first in line for the round-6 window per the rotation
-    # policy (no CORRECTNESS row anywhere)
+    # 5-30: the 32 never-driver-checked queries (six whole families)
     windows_extra,
     scd,
     graph_iter,
@@ -98,28 +67,55 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
     vocab,
     profiling,
     multimodal_audio,
-    # (q_source_text_roundtrip rides in formats_extra below)
-    # r3-green, exactly two rounds old after round 5 (the bound)
+    # 31-42: NEW members riding with their module's r3/r4 refreshes
+    decontam,
+    scoring,
+    formats_extra,
+    sampling,
+    # 43-50: r3-stale refresh picks (window cut lands after formats)
+    clustering,
     aggregates,
+    formats,
+    # --- 50-query window cut ---
+    # r3-green leftovers: first in line for round 7
     reshaping,
     joins,
     nested,
     python_udfs,
-    decontam,
-    clustering,
-    scoring,
-    ranges,
     pipeline,
-    formats,
-    # r4-green, rotated out of the window
-    cohorts,
-    formats_extra,
+    ranges,
+    # conversion trio (r4): scheduled for the r7 window per VERDICT r5
     conversion,
+    # r4-green
+    cohorts,
     setops,
-    sampling,
     temporal,
     text_analysis,
     windows,
     subqueries,
     semistructured,
+    # r5-green (freshest evidence, rotated out of the window)
+    matching,
+    dedup,
+    packing,
+    quality,
+    curation_full,
+    relational,
+    scalars,
+    tpch_extra,
+    streaming_queries,
+    similarity,
+)
+from discogs_xml_to_parquet_spark.registry import query as _query
+
+# q_ann_bruteforce_topk is registered manually (demoted from the
+# similarity module in r3); r5-green, so it sits outside the window.
+_query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
+    similarity.q_ann_bruteforce_topk
+)
+
+from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
+    timeseries,
+    text_extra,
+    sketches,
 )

@@ -113,9 +113,11 @@ WITH ev AS (
   LEFT JOIN ev s
     ON s.user_id = t.user_id AND s.ts = t.touch_ts
    AND s.event_type NOT IN ('purchase', 'error')
+   AND (s.ts, s.event_id) < (t.ts, t.event_id)
    AND s.event_id = (SELECT MAX(s2.event_id) FROM ev s2
                      WHERE s2.user_id = t.user_id AND s2.ts = t.touch_ts
-                       AND s2.event_type NOT IN ('purchase', 'error'))
+                       AND s2.event_type NOT IN ('purchase', 'error')
+                       AND (s2.ts, s2.event_id) < (t.ts, t.event_id))
   WHERE t.event_type = 'purchase'
 )
 SELECT user_id, event_id, purchase_ts, channel

@@ -83,28 +83,56 @@ ORDER BY l_returnflag
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group correlation, population covariance/stddev, and
     skewness from exact fixed-point raw moments: one map-side-
-    combining groupBy accumulates six integer sums (the 100-scaled
-    values and their pairwise/cubed products in decimal(38,0) -- no
-    overflow below ~1e31 row-value mass), then the statistics are pure
+    combining groupBy accumulates the integer sums (100-scaled values
+    and their pairwise/cubed products), then the statistics are pure
     per-group arithmetic on the tiny aggregate table. ONE shuffle of
-    K groups x 7 numbers regardless of data size; the expression
+    K groups x 8 numbers regardless of data size; the expression
     strings are shared verbatim with the oracle so the double math is
-    bit-identical."""
+    bit-identical.
+
+    Arithmetic layout (the r5 variance fix): per-ROW products stay in
+    BIGINT inside whole-stage codegen -- p100 <= ~1.1e7 so p100^2 fits,
+    and p100^3 (needs 71 bits) is split into two bigint lanes via
+    pp = hi*1e7 + lo, ppp = hi*p100*1e7 + lo*p100, each lane <= 1.3e14
+    per row. Only the commutative SUM crosses into decimal(38,0) (no
+    overflow below ~1e31 row-value mass, i.e. far past 100 TB). The
+    previous spelling multiplied decimal(38,0)xdecimal(38,0) per row,
+    a BigDecimal-allocating path whose C2 JIT warm-up produced the
+    r5 bench spread [1.5 s, 28 s]; bigint products are codegen'd
+    long math from the first run (measured [34 s, 1.3 s] -> steady
+    ~1.3 s)."""
     li = load(spark, sf_dir, "lineitem")
     d38 = "decimal(38,0)"
-    q100 = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast(d38)
-    p100 = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(d38)
+    q100 = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+    p100 = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
     scaled = li.select(
         "l_returnflag", q100.alias("q100"), p100.alias("p100")
     )
-    sums = scaled.groupBy("l_returnflag").agg(
+    prods = scaled.select(
+        "l_returnflag",
+        "q100",
+        "p100",
+        (F.col("q100") * F.col("q100")).alias("qq"),
+        (F.col("p100") * F.col("p100")).alias("pp"),
+        (F.col("q100") * F.col("p100")).alias("qp"),
+    ).selectExpr(
+        "*",
+        # p100^3 in two bigint lanes (see docstring)
+        "(pp div 10000000) * p100 AS ppp_hi",
+        "(pp % 10000000) * p100 AS ppp_lo",
+    )
+    sums = prods.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("q100").alias("sq"),
-        F.sum("p100").alias("sp"),
-        F.sum(F.col("q100") * F.col("q100")).alias("sqq"),
-        F.sum(F.col("p100") * F.col("p100")).alias("spp"),
-        F.sum(F.col("q100") * F.col("p100")).alias("sqp"),
-        F.sum(F.col("p100") * F.col("p100") * F.col("p100")).alias("sppp"),
+        F.sum(F.col("q100").cast(d38)).alias("sq"),
+        F.sum(F.col("p100").cast(d38)).alias("sp"),
+        F.sum(F.col("qq").cast(d38)).alias("sqq"),
+        F.sum(F.col("pp").cast(d38)).alias("spp"),
+        F.sum(F.col("qp").cast(d38)).alias("sqp"),
+        F.sum(F.col("ppp_hi").cast(d38)).alias("s3hi"),
+        F.sum(F.col("ppp_lo").cast(d38)).alias("s3lo"),
+    ).withColumn(
+        "sppp",
+        F.expr("CAST(s3hi * 10000000 + s3lo AS DECIMAL(38,0))"),
     )
     return sums.selectExpr(
         "l_returnflag",

@@ -75,9 +75,9 @@ WITH rev AS (
 )
 SELECT nation, region,
        CAST(rev_c AS BIGINT) AS rev_c,
-       CAST(CAST(rev_c AS BIGINT) * 1000000
-            // CAST(SUM(CAST(rev_c AS HUGEINT))
-                    OVER (PARTITION BY region) AS BIGINT)
+       CAST(CAST(rev_c AS HUGEINT) * 1000000
+            // SUM(CAST(rev_c AS HUGEINT))
+                    OVER (PARTITION BY region)
             AS BIGINT) AS share_ppm
 FROM rev
 ORDER BY region, nation
@@ -118,8 +118,14 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "region",
         F.col("rev_c").cast("bigint").alias("rev_c"),
+        # widen to decimal BEFORE multiplying: per-region revenue in
+        # cents reaches ~9e12 around SF10, so the bigint product
+        # rev_c * 1e6 would brush int64 max (DuckDB errors, non-ANSI
+        # Spark wraps silently) -- decimal(38,0) keeps both engines
+        # exact at any SF; `div` on decimals yields the bigint quotient
         F.expr(
-            "rev_c * 1000000 div CAST(SUM(CAST(rev_c AS DECIMAL(38,0)))"
+            "CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000"
+            " div SUM(CAST(rev_c AS DECIMAL(38,0)))"
             " OVER (PARTITION BY region) AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("region", "nation")

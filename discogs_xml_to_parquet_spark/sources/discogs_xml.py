@@ -15,9 +15,9 @@ This module re-expresses it Spark-first, twice:
    same single-stream-per-file behavior the reference has, times N
    files).
 
-2. ``read_releases_strict``: a pure-PySpark fallback parser
-   (``binaryFiles`` + stdlib ``xml.etree.iterparse`` streaming over the
-   gzip stream) that reproduces the reference's *exact* rejection
+2. ``read_releases_strict``: a pure-PySpark fallback parser (a path
+   RDD + incremental pyarrow.fs streams + stdlib ``xml.etree.iterparse``
+   over the gzip stream) that reproduces the reference's *exact* rejection
    semantics, which the native source is too lenient for:
    unknown child element of <release> (main.rs:549-554), unknown
    attribute on <release> (main.rs:496-500), malformed
@@ -320,16 +320,44 @@ def _parse_release_elem(elem) -> tuple:
             is_main_release, master_id)
 
 
-def _parse_stream(data: bytes) -> Iterator[tuple]:
-    """Stream-parse one gzipped (or plain) releases document; O(1 release)
-    memory via iterparse + element eviction, like the reference's reused
-    event buffer (main.rs:73-77)."""
+class _PrefixedRaw(io.RawIOBase):
+    """Raw stream that replays an already-peeked prefix, then reads from
+    the underlying (pyarrow NativeFile or any .read()-able) handle --
+    lets us sniff the gzip magic without requiring a seekable stream
+    (HDFS/S3 input streams are not)."""
+
+    def __init__(self, head: bytes, f) -> None:
+        self._head = head
+        self._f = f
+
+    def readable(self) -> bool:  # pragma: no cover - io protocol
+        return True
+
+    def readinto(self, b) -> int:
+        if self._head:
+            n = min(len(b), len(self._head))
+            b[:n] = self._head[:n]
+            self._head = self._head[n:]
+            return n
+        chunk = self._f.read(len(b))
+        n = len(chunk)
+        b[:n] = chunk
+        return n
+
+
+def _iter_release_rows(stream) -> Iterator[tuple]:
+    """Stream-parse one releases document from a binary file object;
+    O(1 release) memory via iterparse + element eviction, like the
+    reference's reused event buffer (main.rs:73-77). Gzip is detected
+    by magic bytes, not extension, matching the reference's
+    magic-number sniff (main.rs:63-71)."""
     import xml.etree.ElementTree as ET
 
-    stream: io.IOBase = io.BytesIO(data)
-    if data[:2] == b"\x1f\x8b":
-        stream = gzip.GzipFile(fileobj=stream)
-    ctx = ET.iterparse(stream, events=("start", "end"))
+    head = stream.read(2)
+    buffered = io.BufferedReader(_PrefixedRaw(head, stream))
+    if head[:2] == b"\x1f\x8b":
+        buffered = gzip.GzipFile(fileobj=buffered)  # type: ignore[assignment]
+    ctx = ET.iterparse(buffered, events=("start", "end"))
     _, root = next(ctx)  # root <releases> (main.rs:442)
     if root.tag != "releases":
         raise ValueError(f"expected root <releases>, got <{root.tag}>")
@@ -339,16 +367,68 @@ def _parse_stream(data: bytes) -> Iterator[tuple]:
             root.clear()  # evict parsed subtree: keeps memory flat
 
 
+def _parse_stream(data: bytes) -> Iterator[tuple]:
+    """Bytes-input wrapper over `_iter_release_rows` (property tests and
+    small fixtures feed raw bytes)."""
+    return _iter_release_rows(io.BytesIO(data))
+
+
+def _parse_file_stream(path: str) -> Iterator[tuple]:
+    """Executor-side: open `path` as an INCREMENTAL stream via
+    pyarrow.fs (file://, hdfs://, s3:// all resolve) and stream-parse.
+    Never materializes the file: memory is O(io buffer + 1 release)
+    even for a multi-GB .xml.gz."""
+    from pyarrow import fs as pafs
+
+    filesystem, p = pafs.FileSystem.from_uri(path)
+    with filesystem.open_input_stream(p) as stream:
+        yield from _iter_release_rows(stream)
+
+
+def _list_input_files(path: str) -> list[str]:
+    """Driver-side listing (metadata-only) for the strict lane: a file,
+    a directory, or a local glob pattern. Remote URIs list via
+    pyarrow.fs; glob patterns are supported for local paths (the only
+    place the tests/CLI use them)."""
+    import os
+
+    if "*" in path or "?" in path or "[" in path:
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                "glob patterns in the strict lane are local-only; "
+                "pass a directory for remote filesystems"
+            )
+        import glob as _glob
+
+        return sorted(_glob.glob(path.removeprefix("file://")))
+    from pyarrow import fs as pafs
+
+    filesystem, p = pafs.FileSystem.from_uri(path)
+    info = filesystem.get_file_info(p)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(p, recursive=False)
+        return sorted(
+            f.path for f in filesystem.get_file_info(sel)
+            if f.type == pafs.FileType.File
+        )
+    return [path]
+
+
 def read_releases_strict(spark: SparkSession, path: str) -> DataFrame:
     """Strict path: reference-exact rejection semantics, pure PySpark.
 
-    ``binaryFiles`` gives one partition per file -- the same
-    per-file parallelism gzip permits the native path. Used for
-    conformance testing and as the fallback when the XML source is
-    unavailable.
+    File paths (not file bytes) are distributed -- one task per file,
+    the same per-file parallelism gzip permits the native path -- and
+    each task opens its file as an incremental pyarrow.fs stream feeding
+    iterparse, so executor memory stays O(1 release) regardless of file
+    size (binaryFiles, the previous spelling, materialized the whole
+    gzipped file as one byte array per task: an OOM at multi-GB dumps).
+    Used for conformance testing and as the fallback when the XML
+    source is unavailable.
     """
-    files = spark.sparkContext.binaryFiles(path)
-    rows = files.flatMap(lambda kv: _parse_stream(kv[1]))
+    paths = _list_input_files(path)
+    rdd = spark.sparkContext.parallelize(paths, max(len(paths), 1))
+    rows = rdd.flatMap(_parse_file_stream)
     return spark.createDataFrame(rows, OUTPUT_SCHEMA)
 
 
