@@ -96,7 +96,12 @@ def main() -> None:
     for name in names:
         force(name)
 
-    N_RUNS = 3
+    # 5 interleaved passes: the r6 sf0.1 run showed single-PASS host
+    # stalls (VM steal / GC) inflating 3 unrelated queries 10-20x in
+    # the same pass; a median of 5 needs two bad passes to move, where
+    # a median of 3 moves on one. Spread still reports min/max so the
+    # stalls stay visible.
+    N_RUNS = 5
     runs: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(N_RUNS):
         for name in names:
@@ -142,21 +147,26 @@ def main() -> None:
     convert(spark, warm_dir, out)
 
     def timed_convert(src: str) -> tuple[float, float]:
-        """(cold_sec, warm_sec): each lane runs TWICE and the second
-        run is the reported number. In a fresh container the corpus is
-        generated moments before the first conversion, so run 1 pays
-        the page-cache fill + dirty-page writeback of a just-written
-        1M-row corpus -- the r5 driver bench caught exactly that (the
-        32-file lane measured 17.7k rows/s cold vs 200k+ warm,
-        VERDICT r5 'what's wrong' #1). The warm number is the
-        steady-state engine throughput; the cold one is kept in the
-        JSON for drift visibility."""
+        """(cold_sec, warm_sec): each lane runs once cold (unreported
+        number kept for drift visibility), then THREE more times with
+        the MEDIAN reported. Two failure modes this guards: (1) in a
+        fresh container the corpus is generated moments before the
+        first conversion, so the cold run pays the page-cache fill +
+        writeback of a just-written 1M-row corpus -- the r5 driver
+        bench caught exactly that (32-file lane at 17.7k rows/s cold
+        vs ~150k warm, VERDICT r5 'what's wrong' #1); (2) the shared
+        test box shows multi-second host stalls (loadavg ~5 from
+        other tenants), so a single warm run can still land 4x slow --
+        a median of 3 can't."""
         t0 = time.perf_counter()
         convert(spark, src, out)
         cold = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        convert(spark, src, out)
-        return cold, round(time.perf_counter() - t0, 3)
+        warms = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            convert(spark, src, out)
+            warms.append(time.perf_counter() - t0)
+        return cold, round(sorted(warms)[1], 3)
 
     conv_cold, conv_sec = timed_convert(xml_dir)
 
@@ -186,9 +196,12 @@ def main() -> None:
     lt_timings: dict[str, float] = {}
     for name in longtail:
         force(name)  # warm: plan + codegen
-        t0 = time.perf_counter()
-        force(name)
-        lt_timings[name] = round(time.perf_counter() - t0, 3)
+        lt_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(name)
+            lt_runs.append(time.perf_counter() - t0)
+        lt_timings[name] = round(sorted(lt_runs)[1], 3)  # median of 3
 
     print(json.dumps({
         "metric": "headline_query_wall_sec",
