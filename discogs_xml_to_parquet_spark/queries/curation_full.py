@@ -144,20 +144,24 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The agg shuffles only (text_hash, doc_id) -- 40-byte rows, never
     # the documents themselves.
     hashed = kept.select("doc_id", F.md5("text").alias("text_hash"))
-    groups = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
-    # Materialize the (doc_id, keep_id) canonical mapping once -- it is
-    # tiny (two ids per row, never the text) and is read twice below
-    # (exact pairs + the canonical-id restriction); without the
-    # checkpoint the corpus scan + hash agg + join re-evaluate when the
-    # CC edge list materializes.
-    mapped = (
-        hashed.join(groups, "text_hash")
-        .select("doc_id", "keep_id")
-        .localCheckpoint()
+    keep_ids = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id")
     )
-    exact_pairs = mapped.filter(F.col("doc_id") != F.col("keep_id")).select(
-        F.col("keep_id").alias("id1"), F.col("doc_id").alias("id2")
-    )
+    # NOTE (r6 capstone shave): the oracle unions (keep_id, dup_id)
+    # exact-duplicate edges into the CC input; the Spark plan provably
+    # does not need them, so it skips building them -- saving the
+    # (doc_id, keep_id) map join, its checkpoint, and the edge union.
+    # Why results are identical: near-dup pairs are computed over
+    # CANONICAL docs only (the collapsed frame below), so an exact-dup
+    # node appears in no near edge -- in the CC graph it is a leaf
+    # hanging off its canonical, and leaves bridge nothing (component
+    # PARTITION of canonical nodes is unchanged) and never relabel
+    # (the canonical is the min doc_id of its exact group, so the leaf
+    # is never a component min). Keep-best can't pick a dup either:
+    # identical text means identical (quality, n_tokens), and the
+    # tie-break is min doc_id, which the canonical wins by
+    # construction. Equivalence is pinned by the unchanged oracle
+    # (which still spells out the union) hashing equal.
     # Materialize the post-exact-dedup corpus ONCE, with the map-only
     # token/quality stat columns folded in so the survivor stage reads
     # them for free: the collapsed frame feeds the minhash chain (whose
@@ -170,11 +174,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduped corpus is a product of its own); at 100 TB the same
     # boundary would be a parquet staging write instead of
     # executor-local checkpoint blocks.
-    canonical = kept.join(
-        mapped.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
-        "doc_id",
-        "semi",
-    )
+    canonical = kept.join(keep_ids.select("doc_id"), "doc_id", "semi")
     collapsed = (
         quality_score(token_stats(canonical))
         .select("doc_id", "text", "n_tokens", "quality_score")
@@ -183,15 +183,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = minhash_near_dup_pairs(
         spark, sf_dir, docs=collapsed.select("doc_id", "text")
     )
-    # near-dup pairs link canonical docs only; exact pairs link each
-    # removed copy to its canonical -- disjoint sets, plain union. CC is
-    # size-dispatched (operators/graph.py): min-label for the small
-    # shallow graphs dedup actually produces, two-phase large-star/
-    # small-star (O(log^2 d) rounds) once the edge list is big enough
-    # that round count, not per-round job overhead, dominates.
-    all_pairs = near.select("id1", "id2").union(exact_pairs)
+    # CC over the near-dup pairs only (exact-dup leaves provably
+    # change nothing -- see the note above). CC is size-dispatched
+    # (operators/graph.py): min-label for the small shallow graphs
+    # dedup actually produces, two-phase large-star/small-star
+    # (O(log^2 d) rounds) once the edge list is big enough that round
+    # count, not per-round job overhead, dominates.
     comp = G.connected_components_auto(
-        all_pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        near.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     )
     stats = collapsed.select("doc_id", "n_tokens", "quality_score")
     labeled = stats.join(comp, stats["doc_id"] == comp["id"], "left").select(

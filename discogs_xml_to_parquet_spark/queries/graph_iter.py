@@ -119,18 +119,33 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    nodes = ewd.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).selectExpr(
-        "node", f"CAST({_SCALE} div n AS BIGINT) AS r"
-    )
-    for _ in range(_ITERS):
-        contrib = (
-            ewd.join(ranks, ewd["src"] == ranks["node"])
-            .selectExpr("dst", "r div odeg AS part")
-            .groupBy("dst")
-            .agg(F.sum("part").alias("s"))
-        )
+    nn = ewd.agg(F.count_distinct("src").alias("n"))
+    ranks = None
+    for it in range(_ITERS):
+        if it == 0:
+            # Round 1 fused: the initial rank vector is UNIFORM
+            # (SCALE div n for every node), so the edge⋈ranks join is
+            # a constant propagation -- contribute (SCALE div n) div
+            # odeg straight off the edge list. This drops round 1's
+            # join AND the nodes.distinct() + rank-vector build (two
+            # shuffles); identical integer arithmetic to the unfused
+            # spelling, pinned by the unchanged oracle (whose r0 CTE
+            # still materializes the uniform vector).
+            contrib = (
+                ewd.crossJoin(F.broadcast(nn))
+                .selectExpr(
+                    "dst", f"({_SCALE} div n) div odeg AS part"
+                )
+                .groupBy("dst")
+                .agg(F.sum("part").alias("s"))
+            )
+        else:
+            contrib = (
+                ewd.join(ranks, ewd["src"] == ranks["node"])
+                .selectExpr("dst", "r div odeg AS part")
+                .groupBy("dst")
+                .agg(F.sum("part").alias("s"))
+            )
         # The edge list is symmetric (both directions inserted), so
         # every node appears as a dst and contrib already covers the
         # full node set -- the oracle's rebuild-against-outdeg LEFT
