@@ -240,18 +240,31 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     for it in range(_LPA_ITERS):
-        counted = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .select(edges["src"].alias("n2"), "lbl")
-            .groupBy("n2", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        w = Window.partitionBy("n2").orderBy(F.desc("cnt"), "lbl")
-        labels = (
-            counted.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(F.col("n2").alias("node"), "lbl")
-        )
+        if it == 0:
+            # Round 1 fused: the initial labels ARE the node ids, so
+            # every neighbor label is distinct (all counts 1) and the
+            # plurality argmax with its (count desc, lbl asc)
+            # tie-break degenerates to min(neighbor id) -- one
+            # map-side-combining aggregate replaces the round's
+            # join + count + rank window. Identical output to the
+            # unfused spelling; the oracle's l1 CTE still spells the
+            # general round, pinning equivalence.
+            labels = edges.groupBy(F.col("src").alias("node")).agg(
+                F.min("dst").alias("lbl")
+            )
+        else:
+            counted = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .select(edges["src"].alias("n2"), "lbl")
+                .groupBy("n2", "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            w = Window.partitionBy("n2").orderBy(F.desc("cnt"), "lbl")
+            labels = (
+                counted.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select(F.col("n2").alias("node"), "lbl")
+            )
         # checkpoint between rounds (lineage would compound); the LAST
         # round stays declarative so the terminal plan exposes the
         # round shape (WindowGroupLimit rank cap) to the plan gate and
