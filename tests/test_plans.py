@@ -483,6 +483,25 @@ def test_profile_is_one_scan(spark):
     assert "Expand" in plan  # the multi-distinct grouping-id expansion
 
 
+def test_pagerank_round1_is_join_free(spark):
+    """The fused PageRank plans exactly ITERS-1 shuffle joins: round 1
+    propagates the uniform rank as a constant off the edge list
+    (broadcast of the 1-row node count only), so an extra
+    SortMergeJoin/ShuffledHashJoin means the rank-vector build crept
+    back in (it costs a distinct + a join at every scale)."""
+    from discogs_xml_to_parquet_spark.queries.graph_iter import _ITERS
+
+    df = registry.QUERIES["q_pagerank_bipartite"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    equi_joins = (
+        tree.count("SortMergeJoin")
+        + tree.count("ShuffledHashJoin")
+        + tree.count("BroadcastHashJoin")
+    )
+    assert equi_joins == _ITERS - 1  # rounds 2..N; round 1 is join-free
+
+
 def test_label_propagation_rounds_checkpoint_and_group_limit(spark):
     """Each LPA round's plurality argmax must plan a WindowGroupLimit
     (the shuffle carries ~1 candidate label per node, not the whole
