@@ -76,90 +76,95 @@ def blocked_pairs_df(c: DataFrame) -> DataFrame:
     positional blocking -- with prefix bands now actually in the
     length-changing lane, the guarantee holds for trailing edits too.
 
-    Both passes drop degenerate buckets via the DF cap, union, then
-    verify with levenshtein <= 2. Returns (id1, id2, name1, name2,
-    edit_dist), unordered."""
+    Both passes drop degenerate buckets via the DF cap, then verify
+    with levenshtein <= 2. Returns (id1, id2, name1, name2,
+    edit_dist), unordered.
+
+    EXECUTION (r6): both passes run in ONE exploded frame, ONE
+    df-cap window, and ONE self-join -- the three band families get
+    DISJOINT band_no ranges (0-5 suffix, 6-11 prefix/indel lane,
+    12-17 prefix/equal-length lane), so no bucket can mix families,
+    bucket df statistics are row-for-row those of the two-pass
+    spelling, and a residual band_no-range predicate on the join
+    applies each family's length rule. Candidate set therefore
+    IDENTICAL to the two-pass spelling (the oracle still spells the
+    two-pass UNION and hash-matches); exchanges drop from two
+    window sorts + two pair shuffles to one of each -- fewer fixed
+    stage latencies here, one co-partitioned shuffle instead of two
+    at 100 TB."""
     c = c.select("c_custkey", "c_name")
-    ex = c.select(
-        "c_custkey",
-        "c_name",
-        F.length("c_name").alias("ln"),
-        # posexplode_outer: avoids the inferred size()>0 filter being
-        # pushed into the scan (see q_dedup_simhash_banded); the literal
-        # 6-element array is never empty
-        F.posexplode_outer(
-            F.array(*[F.substring("c_name", b * 3 + 1, 3) for b in range(6)])
-        ).alias("band_no", "band_val"),
-    )
-    w = Window.partitionBy("ln", "band_no", "band_val")
-    kept = ex.withColumn("df", F.count(F.lit(1)).over(w)).filter(F.col("df") <= 200)
-    a, b = kept.alias("a"), kept.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.ln") == F.col("b.ln"))
-            & (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ln = F.length("c_name")
+    # band families under disjoint band_no ranges (order inside the
+    # array defines band_no):
+    #   0-5   suffix-aligned, length-guarded (indel lane)
+    #   6-11  prefix-aligned, length-guarded (indel lane)
+    #   12-17 prefix-aligned, UNguarded plain substring -- the
+    #         equal-length lane keeps pass 1's exact bucket behavior,
+    #         including short/empty windows of short names (their
+    #         giant buckets die at the df cap, as before)
+    suffix_bands = [
+        F.when(
+            ln >= 3 * (j + 1),
+            F.substr(
+                F.col("c_name"), ln - F.lit(3 * (j + 1) - 1), F.lit(3)
+            ),
         )
-        .select(
-            F.col("a.c_custkey").alias("id1"),
-            F.col("b.c_custkey").alias("id2"),
-            F.col("a.c_name").alias("name1"),
-            F.col("b.c_name").alias("name2"),
-        )
-    )
-    # pass 2: suffix bands (band_no 0-5) + prefix bands (band_no 6-11),
-    # emitted under each target length the record could pair at (its
-    # own, +1, +2); bands whose 3-char window is not fully inside the
-    # string are null and dropped.
-    sfx = (
+        for j in range(6)
+    ]
+    prefix_indel_bands = [
+        F.when(ln >= 3 * (j + 1), F.substring("c_name", j * 3 + 1, 3))
+        for j in range(6)
+    ]
+    prefix_equal_bands = [
+        F.substring("c_name", b * 3 + 1, 3) for b in range(6)
+    ]
+    # posexplode_outer: avoids the inferred size()>0 filter being
+    # pushed into the scan (see q_dedup_simhash_banded); the literal
+    # 18-element array is never empty
+    ex = (
         c.select(
             "c_custkey",
             "c_name",
-            F.length("c_name").alias("ln"),
+            ln.alias("ln"),
             F.posexplode_outer(
                 F.array(
-                    *[
-                        F.when(
-                            F.length("c_name") >= 3 * (j + 1),
-                            F.substr(
-                                F.col("c_name"),
-                                F.length("c_name") - F.lit(3 * (j + 1) - 1),
-                                F.lit(3),
-                            ),
-                        )
-                        for j in range(6)
-                    ],
-                    *[
-                        F.when(
-                            F.length("c_name") >= 3 * (j + 1),
-                            F.substring("c_name", j * 3 + 1, 3),
-                        )
-                        for j in range(6)
-                    ],
+                    *suffix_bands, *prefix_indel_bands, *prefix_equal_bands
                 )
             ).alias("band_no", "band_val"),
         )
         .filter(F.col("band_val").isNotNull())
-        .withColumn("dl", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        # indel-lane rows pair at target lengths {ln, ln+1, ln+2};
+        # equal-length-lane rows only at their own length
+        .withColumn(
+            "dl",
+            F.explode(
+                F.when(F.col("band_no") >= 12, F.array(F.lit(0))).otherwise(
+                    F.array(F.lit(0), F.lit(1), F.lit(2))
+                )
+            ),
+        )
         .withColumn("mx_ln", F.col("ln") + F.col("dl"))
     )
-    w2 = Window.partitionBy("mx_ln", "band_no", "band_val")
-    kept2 = sfx.withColumn("df", F.count(F.lit(1)).over(w2)).filter(
+    w = Window.partitionBy("mx_ln", "band_no", "band_val")
+    kept = ex.withColumn("df", F.count(F.lit(1)).over(w)).filter(
         F.col("df") <= 200
     )
-    a2, b2 = kept2.alias("a"), kept2.alias("b")
+    a, b = kept.alias("a"), kept.alias("b")
     ln_gap = F.abs(F.col("a.ln") - F.col("b.ln"))
-    cand2 = (
-        a2.join(
-            b2,
+    cand = (
+        a.join(
+            b,
             (F.col("a.mx_ln") == F.col("b.mx_ln"))
             & (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (ln_gap >= 1)
-            & (ln_gap <= 2),
+            # equal-length lane: equal mx_ln at dl=0 both sides already
+            # implies equal ln; indel lanes: gap 1-2 (pass 1 owns
+            # equal lengths)
+            & (
+                (F.col("a.band_no") >= 12)
+                | ((ln_gap >= 1) & (ln_gap <= 2))
+            ),
         )
         .select(
             F.col("a.c_custkey").alias("id1"),
@@ -168,13 +173,10 @@ def blocked_pairs_df(c: DataFrame) -> DataFrame:
             F.col("b.c_name").alias("name2"),
         )
     )
-    # ONE distinct over the unioned raw candidates: per-pass distincts
-    # would each pay a full pair shuffle only for the union's distinct
-    # to shuffle the survivors again -- same result (the oracle's
-    # UNION dedups globally), one exchange instead of three.
+    # ONE distinct over the raw candidates (the oracle's UNION dedups
+    # globally): the dedup exchange carries candidate pairs once.
     return (
-        cand.unionByName(cand2)
-        .distinct()
+        cand.distinct()
         .withColumn("edit_dist", F.levenshtein(F.col("name1"), F.col("name2")))
         .filter(F.col("edit_dist") <= 2)
     )
