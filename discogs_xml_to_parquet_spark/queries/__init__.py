@@ -36,14 +36,30 @@ driver CORRECTNESS row, plus 18 refresh slots:
   (q_source_text_roundtrip NEW + orc/csv-permissive r4), sampling
   (q_train_test_split + q_reservoir_per_group NEW + stratified/
   weighted/shuffle r4);
-- 43-50: r3-stale refresh picks filling the window exactly:
-  clustering (kmeans assign/update r3), aggregates (distinct/rollup/
-  cube/grouping-sets r3 -- rollup also had the only nominal r5 bench
-  regression, so its re-check is timely), formats (csv/json
-  round-trips r3).
+- 45-48: matching -- q_fuzzy_blocked and q_entity_resolution CHANGED
+  this round (the two blocking passes fused into one window + one
+  self-join with disjoint band_no ranges; candidate set provably
+  identical, but changed queries outrank stale refreshes per the
+  policy), with q_fuzzy_levenshtein / q_funnel_conversion riding;
+- 49-50: the first two aggregates entries (q_agg_distinct,
+  q_agg_rollup r3 -- rollup also had the only nominal r5 bench
+  regression, so its re-check is timely; the cut lands mid-module,
+  cube/grouping-sets go to r7). clustering (kmeans assign/update r3)
+  rides at positions 10-11 via curation_extra's import dependency
+  (SemDeDup shares the kmeans fragments), so its refresh is in-window
+  too.
 
-After this window every one of the 149 registered queries has driver
-evidence. Left for round 7, leaders first: the remaining r3-green
+q_curation_pipeline also changed this round (exact-dup edges dropped
+from the CC input) but sits outside the window: pulling curation_full
+in would drag its import-dependency modules dedup/packing/quality (14
+r5-green queries) through the cut; its equivalence is pinned instead
+by tests/test_round_fusions.py plus a local sf0.01 driver-parity
+compare, and it re-checks with its dependency group in r7.
+
+After this window every never-checked query has driver evidence.
+Left for round 7, leaders first: curation_full + dedup/packing/
+quality (capstone changed in r6), aggregates' cube/grouping-sets and
+formats (displaced by the changed-query rule), the remaining r3-green
 modules (reshaping, joins, nested, python_udfs, pipeline, ranges --
 four rounds old by r7), then the conversion trio (r4; VERDICT r5 item
 6 asks for its re-check in r7 so the namesake surface never exceeds
@@ -72,11 +88,14 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     scoring,
     formats_extra,
     sampling,
-    # 43-50: r3-stale refresh picks (window cut lands after formats)
+    # 43-46: changed this round (blocking-pass fusion)
+    matching,
+    # 47-50: r3-stale refresh picks; the cut lands after aggregates'
+    # second entry (q_agg_rollup)
     clustering,
     aggregates,
+    # --- 50-query window cut (mid-aggregates) ---
     formats,
-    # --- 50-query window cut ---
     # r3-green leftovers: first in line for round 7
     reshaping,
     joins,
@@ -95,7 +114,6 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     subqueries,
     semistructured,
     # r5-green (freshest evidence, rotated out of the window)
-    matching,
     dedup,
     packing,
     quality,
