@@ -56,9 +56,12 @@ r5-green queries) through the cut; its equivalence is pinned instead
 by tests/test_round_fusions.py plus a local sf0.01 driver-parity
 compare, and it re-checks with its dependency group in r7.
 
-After this window every never-checked query has driver evidence.
-Left for round 7, leaders first: curation_full + dedup/packing/
-quality (capstone changed in r6), aggregates' cube/grouping-sets and
+After this window every query registered before round 6 has driver
+evidence. Left for round 7, leaders first: the two NEW r6 additions
+q5_local_supplier_volume / q6_forecast_revenue (tpch_extra; locally
+oracle-green at sf0.001+sf0.01, no driver row yet), curation_full +
+dedup/packing/quality (capstone changed in r6), aggregates'
+cube/grouping-sets and
 formats (displaced by the changed-query rule), the remaining r3-green
 modules (reshaping, joins, nested, python_udfs, pipeline, ranges --
 four rounds old by r7), then the conversion trio (r4; VERDICT r5 item

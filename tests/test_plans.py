@@ -483,6 +483,22 @@ def test_profile_is_one_scan(spark):
     assert "Expand" in plan  # the multi-distinct grouping-id expansion
 
 
+def test_q6_filters_all_push_to_scan(spark):
+    """Q6 is the canonical pushdown showcase: every predicate
+    (shipdate range, discount band, quantity cap) must reach the
+    parquet scan as PushedFilters, and the plan must contain no join
+    and exactly one aggregation exchange."""
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") == 1
+
+
 def test_pagerank_round1_is_join_free(spark):
     """The fused PageRank plans exactly ITERS-1 shuffle joins: round 1
     propagates the uniform rank as a constant off the edge list
