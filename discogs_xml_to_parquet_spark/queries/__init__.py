@@ -58,7 +58,8 @@ compare, and it re-checks with its dependency group in r7.
 
 After this window every query registered before round 6 has driver
 evidence. Left for round 7, leaders first: the two NEW r6 additions
-q5_local_supplier_volume / q6_forecast_revenue (tpch_extra; locally
+q5_local_supplier_volume / q6_forecast_revenue /
+q19_discounted_revenue (tpch_extra; locally
 oracle-green at sf0.001+sf0.01, no driver row yet), curation_full +
 dedup/packing/quality (capstone changed in r6), aggregates'
 cube/grouping-sets and

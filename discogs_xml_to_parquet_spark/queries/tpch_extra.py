@@ -217,3 +217,49 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a DISJUNCTIVE join predicate (OR of
+    brand/size/quantity conjunction triples) -- the classic optimizer
+    stress: Catalyst keeps the p_partkey = l_partkey equality as the
+    join key (the OR arms ride as a post-join filter with their
+    single-side conjuncts pushed to each scan), rather than
+    degenerating to a cross product. part broadcasts; single-row
+    global aggregate; n_rows pins the branch cardinality."""
+    li = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(load(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & q.between(qlo, qhi)
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            arm("Brand#1", 15, 1, 11)
+            | arm("Brand#2", 25, 10, 20)
+            | arm("Brand#3", 35, 20, 30)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

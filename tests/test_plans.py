@@ -499,6 +499,19 @@ def test_q6_filters_all_push_to_scan(spark):
     assert tree.count("Exchange") == 1
 
 
+def test_q19_disjunction_keeps_equi_join(spark):
+    """Q19's OR-of-conjunctions must not degrade the p_partkey
+    equality: the plan keeps a hash equi-join (broadcast here) with
+    the disjunction as a filter -- never a nested-loop/cartesian
+    product, which would be quadratic at scale."""
+    df = registry.QUERIES["q19_discounted_revenue"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
+    assert "NestedLoop" not in tree
+    assert "Cartesian" not in tree
+
+
 def test_pagerank_round1_is_join_free(spark):
     """The fused PageRank plans exactly ITERS-1 shuffle joins: round 1
     propagates the uniform rank as a constant off the edge list
