@@ -69,6 +69,14 @@ four rounds old by r7), then the conversion trio (r4; VERDICT r5 item
 6 asks for its re-check in r7 so the namesake surface never exceeds
 three rounds unverified), then the other r4-green modules, then
 everything r5/r6-green.
+
+The r7 leaders sum to EXACTLY one window: 3 (new tpch) + 15
+(curation_full + its import-dependency group dedup/packing/quality)
++ 2 (aggregates cube/grouping-sets) + 2 (formats) + 4 (reshaping)
++ 7 (joins) + 3 (nested) + 4 (python_udfs) + 4 (pipeline) + 3
+(ranges) + 3 (conversion) = 50 -- the round-7 reorder is just:
+move tpch_extra, curation_full-group, aggregates, formats, and the
+r3 modules to the front in that order.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
