@@ -70,13 +70,13 @@ four rounds old by r7), then the conversion trio (r4; VERDICT r5 item
 three rounds unverified), then the other r4-green modules, then
 everything r5/r6-green.
 
-The r7 leaders sum to EXACTLY one window: 3 (new tpch) + 15
-(curation_full + its import-dependency group dedup/packing/quality)
-+ 2 (aggregates cube/grouping-sets) + 2 (formats) + 4 (reshaping)
-+ 7 (joins) + 3 (nested) + 4 (python_udfs) + 4 (pipeline) + 3
-(ranges) + 3 (conversion) = 50 -- the round-7 reorder is just:
-move tpch_extra, curation_full-group, aggregates, formats, and the
-r3 modules to the front in that order.
+r7 slot math at module granularity: tpch_extra(6: 3 NEW + 3 r5
+riders) + curation_full group(15) + aggregates(4) + formats(2) +
+reshaping(4) + joins(7) + nested(3) + python_udfs(4) + pipeline(4)
++ ranges(3) + conversion(3) = 55 -- five over; the natural cut
+drops conversion's 3 plus 2 more to r8, OR ranges(3)+nested's tail;
+r7's builder should prefer keeping conversion IN (the VERDICT r5
+item-6 ask) and push pipeline or ranges instead.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
