@@ -181,11 +181,11 @@ def main() -> None:
     )
     conv32_cold, conv32_sec = timed_convert(xml_dir32)
 
-    # long-tail spot-check lane (VERDICT r5 item 7): the headline set
-    # is 30 of 149 registered queries; sample 5 of the other 119 with
-    # the round number as the seed (round = count of driver-recorded
-    # BENCH_r*.json + 1, so each round rotates deterministically) and
-    # time one run each (after one warm run) so perf regressions
+    # long-tail spot-check lane (VERDICT r5 item 7): sample 5 of the
+    # registered queries outside the headline set, seeded by the round
+    # number (round = count of driver-recorded BENCH_r*.json + 1, so
+    # each round rotates deterministically), and report the median of
+    # 3 timed runs each (after one warm run) so perf regressions
     # outside the headline set get caught within a few rounds.
     import random
 

@@ -263,3 +263,79 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "q21_suppliers_waiting",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+""",
+)
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the double-correlated EXISTS / NOT-EXISTS
+    anti-join over the same fact table (VERDICT r6 'missing' item 3) --
+    suppliers who were the SOLE returned-flag supplier on a finished
+    multi-supplier order. The testdata lineitem has no
+    commit/receiptdate, so 'kept the order waiting' is adapted to
+    l_returnflag = 'R' (same correlation structure, same per-row count
+    semantics: one count per qualifying l1 row).
+
+    Spark-first strategy: instead of two correlated re-scans of
+    lineitem (the literal EXISTS spelling -- a left-semi plus a
+    null-aware left-anti, each shuffling the full fact table), both
+    subqueries decorrelate into ONE per-order aggregate pass:
+
+        n_supp      = countDistinct(l_suppkey)              per order
+        n_late_supp = countDistinct(l_suppkey) where 'R'    per order
+
+    EXISTS(other supplier)            <=> n_supp > 1
+    NOT EXISTS(other late supplier)   <=> n_late_supp = 1   (l1 is late,
+    so the one late supplier IS l1's). The aggregate and the l1 side
+    both hash-partition on l_orderkey -- one fact-fact shuffle join
+    keyed on the order, supplier/nation broadcast. At 100 TB this is
+    the plan you want: lineitem is read twice but shuffled once per
+    side on the same key, and no null-aware anti-join materializes
+    (l_orderkey is non-null in both engines' semantics here)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+        )
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )

@@ -51,3 +51,138 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all_queries() -> None:
     """Import every query module so registration side effects run."""
     from discogs_xml_to_parquet_spark import queries as _q  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation policy as code (VERDICT r6 item 6).
+#
+# The round driver checks the FIRST `size` registered queries (import
+# order in queries/__init__.py). Which queries deserve those slots is a
+# policy over the CORRECTNESS_r*.json artifacts: never-checked first,
+# then changed-since-last-green, then oldest evidence. Until r6 that
+# policy lived as hand-maintained docstring prose whose slot math
+# drifted (commit 1c435de fixed one such drift); window() computes it,
+# and tests/test_window.py pins that the import order agrees with it.
+# ---------------------------------------------------------------------------
+
+
+def _latest_green_round(artifacts_dir: str) -> dict[str, int]:
+    """query name -> most recent round with a green driver row
+    (hash_match for oracle-backed queries, rows_match otherwise).
+    Queries absent from every artifact are absent from the dict."""
+    import glob
+    import json
+    import os
+    import re
+
+    latest: dict[str, int] = {}
+    for fp in glob.glob(os.path.join(artifacts_dir, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", fp)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(fp) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            green = not row.get("err") and (
+                row.get("hash_match")
+                if row.get("hash_match") is not None
+                else row.get("rows_match")
+            )
+            if green and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
+def _module_deps() -> dict[str, list[str]]:
+    """Intra-package import edges between query modules, scanned from
+    source: if module A imports module B, importing A registers B's
+    queries first, so a window containing A necessarily contains B."""
+    import os
+    import re
+
+    from discogs_xml_to_parquet_spark import queries as qpkg
+
+    pkg_dir = os.path.dirname(qpkg.__file__)
+    pat = re.compile(
+        r"from discogs_xml_to_parquet_spark\.queries(?:\.(\w+) import|"
+        r" import (\w+))"
+    )
+    deps: dict[str, list[str]] = {}
+    for fn in sorted(os.listdir(pkg_dir)):
+        if not fn.endswith(".py") or fn == "__init__.py":
+            continue
+        mod = fn[:-3]
+        with open(os.path.join(pkg_dir, fn)) as f:
+            src = f.read()
+        hits = [a or b for a, b in pat.findall(src)]
+        deps[mod] = [h for h in hits if not h.startswith("_")]
+    return deps
+
+
+def window(
+    size: int = 50,
+    artifacts_dir: str | None = None,
+    changed: frozenset[str] | set[str] = frozenset(),
+    pin: tuple[str, ...] = (),
+) -> list[str]:
+    """Recommended driver-check order: the first `size` names are the
+    round's window. Ranking is at MODULE granularity (import order is
+    module-granular; a module enters the window whole, except that the
+    cut may land mid-module exactly as the driver's first-`size` slice
+    does), with a module's rank taken from its highest-priority member:
+
+      0  a member has no green driver row in any artifact,
+      1  a member is in `changed` (query code changed since its last
+         green row -- not derivable from artifacts, so callers pass it),
+      2  pinned modules (`pin`): documented policy exceptions, e.g. the
+         conversion trio's max-3-rounds-unverified guarantee (VERDICT
+         r5 item 6) which outranks plain evidence age,
+      3  everything else, oldest latest-green round first.
+
+    Ties preserve current registration order, which makes the import
+    order a FIXED POINT of this function: if queries/__init__.py already
+    agrees with the policy, window() returns exactly
+    list(QUERIES)[:size] and tests/test_window.py stays green; any new
+    artifact or query that changes the policy answer breaks the test
+    and forces the import order to be re-derived."""
+    import os
+
+    if artifacts_dir is None:
+        artifacts_dir = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+    latest = _latest_green_round(artifacts_dir)
+    names = list(QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    mod_of = {
+        n: fn.__module__.rsplit(".", 1)[-1] for n, fn in QUERIES.items()
+    }
+    mods: dict[str, list[str]] = {}
+    for n in names:
+        mods.setdefault(mod_of[n], []).append(n)
+
+    def qkey(n: str) -> tuple[int, int, int]:
+        if n not in latest:
+            return (0, 0, pos[n])
+        if n in changed:
+            return (1, 0, pos[n])
+        if mod_of[n] in pin:
+            return (2, 0, pos[n])
+        return (3, latest[n], pos[n])
+
+    mkey = {m: min(qkey(n) for n in qs) for m, qs in mods.items()}
+    deps = _module_deps()
+    ordered_mods: list[str] = []
+    emitted: set[str] = set()
+
+    def emit(m: str) -> None:
+        if m in emitted or m not in mods:
+            return
+        emitted.add(m)  # pre-mark: dependency cycles terminate
+        for d in deps.get(m, []):
+            emit(d)
+        ordered_mods.append(m)
+
+    for m in sorted(mods, key=lambda m: mkey[m]):
+        emit(m)
+    return [n for m in ordered_mods for n in mods[m]][:size]

@@ -389,7 +389,16 @@ def _list_input_files(path: str) -> list[str]:
     """Driver-side listing (metadata-only) for the strict lane: a file,
     a directory, or a local glob pattern. Remote URIs list via
     pyarrow.fs; glob patterns are supported for local paths (the only
-    place the tests/CLI use them)."""
+    place the tests/CLI use them).
+
+    Directory listings return FULL URIs: pyarrow's FileInfo.path drops
+    the scheme+authority (an HDFS listing comes back '/dir/f.xml.gz', an
+    S3 listing 'bucket/key'), so the original input's scheme+authority
+    prefix is re-attached before the paths are shipped to executors --
+    otherwise FileSystem.from_uri on the executor would resolve them as
+    LOCAL paths. Hidden files ('_'/'.' base-name prefix: _SUCCESS
+    markers, .crc sidecars) are skipped, matching Hadoop input-format
+    conventions and the lane's previous binaryFiles spelling."""
     import os
 
     if "*" in path or "?" in path or "[" in path:
@@ -404,12 +413,18 @@ def _list_input_files(path: str) -> list[str]:
     from pyarrow import fs as pafs
 
     filesystem, p = pafs.FileSystem.from_uri(path)
+    # scheme+authority prefix to re-attach to scheme-less FileInfo.path
+    # values: 'hdfs://nn:9000/dir' -> 'hdfs://nn:9000' (p='/dir'),
+    # 's3://bucket/dir' -> 's3://' (p='bucket/dir'), local -> ''.
+    norm = path.rstrip("/") or path
+    prefix = norm[: -len(p)] if p and norm.endswith(p) else ""
     info = filesystem.get_file_info(p)
     if info.type == pafs.FileType.Directory:
         sel = pafs.FileSelector(p, recursive=False)
         return sorted(
-            f.path for f in filesystem.get_file_info(sel)
+            prefix + f.path for f in filesystem.get_file_info(sel)
             if f.type == pafs.FileType.File
+            and not os.path.basename(f.path).startswith(("_", "."))
         )
     return [path]
 

@@ -192,6 +192,52 @@ def test_strict_skips_empty_unknown_tag(spark):
     assert rows[0][0] == 9
 
 
+def test_list_input_files_skips_hidden_and_keeps_scheme(tmp_path):
+    """Directory listings must (a) skip Hadoop-convention hidden files
+    (_SUCCESS markers, .crc sidecars -- ADVICE r6: the pyarrow listing
+    kept them and the XML parser then failed the whole job) and (b)
+    preserve the input URI's scheme+authority on every listed path
+    (ADVICE r6: FileInfo.path drops the scheme, so an hdfs:// listing
+    silently resolved as LOCAL paths on executors)."""
+    from discogs_xml_to_parquet_spark.sources.fixture import (
+        write_synthetic_releases,
+    )
+
+    d = write_synthetic_releases(str(tmp_path / "lst"), n_releases=50,
+                                 n_files=2)
+    (tmp_path / "lst" / "_SUCCESS").write_bytes(b"")
+    (tmp_path / "lst" / ".releases-0.xml.gz.crc").write_bytes(b"junk")
+
+    plain = dx._list_input_files(d)
+    assert [os.path.basename(p) for p in plain] == [
+        "releases-0.xml.gz", "releases-1.xml.gz"]
+
+    # scheme'd input -> every listed path keeps the scheme (round-trips
+    # through the executor-side FileSystem.from_uri resolution)
+    uris = dx._list_input_files("file://" + d)
+    assert all(u.startswith("file:///") for u in uris), uris
+    assert [os.path.basename(u) for u in uris] == [
+        "releases-0.xml.gz", "releases-1.xml.gz"]
+    n = sum(1 for _ in dx._parse_file_stream(uris[0]))
+    assert n == 25
+
+    # trailing slash on the directory URI must not break the prefix math
+    assert dx._list_input_files("file://" + d + "/") == uris
+
+
+def test_strict_read_ignores_success_marker(spark, tmp_path):
+    """End-to-end: a _SUCCESS marker in the input directory must not
+    fail the strict job (it previously flowed into the gzip/XML parser)."""
+    from discogs_xml_to_parquet_spark.sources.fixture import (
+        write_synthetic_releases,
+    )
+
+    d = write_synthetic_releases(str(tmp_path / "mk"), n_releases=40,
+                                 n_files=2)
+    (tmp_path / "mk" / "_SUCCESS").write_bytes(b"")
+    assert dx.read_releases_strict(spark, d).count() == 40
+
+
 def test_multi_file_parallel_scan(spark, tmp_path):
     """A directory of N .xml.gz files must scan as N tasks (gzip is
     unsplittable; parallelism comes from file count -- SURVEY §4.3)."""

@@ -542,3 +542,26 @@ def test_label_propagation_rounds_checkpoint_and_group_limit(spark):
     assert "WindowGroupLimit" in plan
     tree = plan.split("\n\n")[0]
     assert "Scan ExistingRDD" in tree
+
+
+def test_q21_decorrelates_to_single_aggregate_pass(spark):
+    """Q21's double-correlated EXISTS / NOT-EXISTS must decorrelate
+    into ONE per-order aggregate joined back on l_orderkey -- never a
+    nested-loop / cartesian re-scan per l1 row, and never two separate
+    semi+anti shuffles of the fact table. Gate: no BNLJ/cartesian, at
+    most two lineitem scans (the l1 side + the aggregate side), and
+    exactly one Aggregate keyed on l_orderkey feeding the join."""
+    df = registry.QUERIES["q21_suppliers_waiting"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "NestedLoop" not in tree
+    assert "Cartesian" not in tree
+    n_li_scans = sum(
+        1 for ln in tree.splitlines()
+        if "Scan parquet" in ln and "lineitem" in ln
+    )
+    assert n_li_scans <= 2, f"{n_li_scans} lineitem scans"
+    # the subquery side is an aggregate, not an anti-join: no
+    # LeftAnti/ExistenceJoin survives into the physical plan
+    assert "LeftAnti" not in plan
+    assert "ExistenceJoin" not in plan
