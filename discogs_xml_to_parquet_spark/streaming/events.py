@@ -137,3 +137,46 @@ def stream_events(spark: SparkSession, source_dir: str,
         .withWatermark("ts", watermark)
     )
     return tumbling_agg(stream, width)
+
+
+def dedup_docs_exact(docs: DataFrame, watermark: str = "10 minutes",
+                     streaming: bool = False) -> DataFrame:
+    """Streaming-native exact document dedup: the
+    dropDuplicatesWithinWatermark twin of q_dedup_exact (VERDICT r6
+    item 7 -- the one §2.B streaming row without a streaming-native
+    counterpart). Keys on md5(text) so the dedup state carries 32-byte
+    hashes, never documents -- the same shuffle-weight argument as the
+    batch operator (queries/dedup.py:76).
+
+    Documents have no event time, so a deterministic ingest timestamp
+    is derived from doc_id (epoch + doc_id seconds) -- monotone in
+    doc_id, which keeps the watermark advancing as a parquet backfill
+    drains in id order. In a live pipeline this column IS the ingest
+    time. State is bounded by the watermark: a duplicate arriving
+    within the horizon is dropped; one outside it would re-emit, the
+    documented dropDuplicatesWithinWatermark contract (batch dedup has
+    no horizon -- the equivalence test feeds everything inside one).
+
+    With streaming=False the same transformation runs on a batch frame
+    via dropDuplicates (dropDuplicatesWithinWatermark is
+    streaming-only); both paths emit one survivor per distinct text.
+    """
+    keyed = docs.withColumn("text_hash", F.md5("text")).withColumn(
+        "ingest_ts",
+        (F.lit(0) + F.col("doc_id")).cast("timestamp"),
+    )
+    if streaming:
+        return keyed.withWatermark(
+            "ingest_ts", watermark
+        ).dropDuplicatesWithinWatermark(["text_hash"])
+    return keyed.dropDuplicates(["text_hash"])
+
+
+def stream_dedup_docs(spark: SparkSession, source_dir: str,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """readStream -> watermark -> dropDuplicatesWithinWatermark over a
+    parquet documents directory (doc_id, text, lang, source, n_chars)."""
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return dedup_docs_exact(stream, watermark, streaming=True)

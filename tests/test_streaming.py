@@ -387,3 +387,53 @@ def test_session_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_dedup_docs_matches_batch_exact(spark, tmp_path):
+    """Batch-equivalence for the streaming exact-dedup twin (VERDICT r6
+    item 7): dropDuplicatesWithinWatermark keyed on md5(text) over a
+    two-file documents backfill must keep exactly one survivor per
+    distinct text -- the same survivor SET as the batch q_dedup_exact
+    grouping -- including a duplicate pair that spans the two files."""
+    from discogs_xml_to_parquet_spark.streaming.events import (
+        dedup_docs_exact,
+        stream_dedup_docs,
+    )
+
+    src = str(tmp_path / "docs_src")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    batch1 = [
+        (1, "alpha beta gamma", "en", "web", 16),
+        (2, "delta epsilon", "en", "web", 13),
+        (3, "alpha beta gamma", "en", "books", 16),  # dup of 1, same file
+    ]
+    batch2 = [
+        (4, "delta epsilon", "en", "web", 13),       # dup of 2, across files
+        (5, "zeta eta theta", "en", "web", 14),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    q = (
+        stream_dedup_docs(spark, src)
+        .writeStream.format("memory")
+        .queryName("dd_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_hashes = {
+        r["text_hash"]
+        for r in spark.sql("SELECT text_hash FROM dd_docs").collect()
+    }
+    n_stream = spark.sql("SELECT * FROM dd_docs").count()
+
+    batch = dedup_docs_exact(spark.read.parquet(src))
+    batch_hashes = {r["text_hash"] for r in batch.select("text_hash").collect()}
+
+    assert stream_hashes == batch_hashes
+    assert n_stream == 3  # 5 docs, 2 collapsed (one within-, one cross-file)
