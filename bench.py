@@ -87,45 +87,71 @@ SF1_QUERIES = [
     "q_dedup_minhash_lsh",
 ]
 
-# table -> (id columns to offset per shard, text-ish column to suffix)
+# table -> id columns to offset per shard
 _SF1_TABLES = {
-    "documents": (["doc_id"], "text"),
-    "customer": (["c_custkey"], "c_name"),
-    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], None),
+    "documents": ["doc_id"],
+    "customer": ["c_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
 }
+
+# bump when the construction changes so a cached corpus is not reused
+_SF1_CORPUS_VERSION = 3
 
 
 def _build_10x_corpus(spark, src: str, dest: str, shards: int = 10) -> None:
-    """10 id-offset shards of the tables SF1_QUERIES read. Offsets make
-    graph/join keys disjoint per shard (the sharded shape of a real 10x
-    ingest: 10 disconnected PageRank components, 10x distinct dedup
-    keys); the per-shard text/name suffix keeps shard i from being an
-    exact copy of shard 0, so exact-dup buckets and blocking buckets
-    grow ~10x in count, not 10x in size. documents.n_chars is
-    recomputed so length-based quality filters see consistent rows.
+    """10 id-offset shards of the tables SF1_QUERIES read -- the
+    sharded shape of a real 10x ingest: disjoint graph/join keys per
+    shard (10 disconnected PageRank components), and per-shard entity
+    populations that are DISTINCT, not perturbed twins of shard 0:
+
+    - customer.c_name is regenerated from a DENSE key
+      ('Customer#%09d' of shard*n_rows + original), exactly the name
+      population of a larger table. Two rejected constructions, both
+      corpus artifacts rather than plan behavior: v1 suffixed shard
+      0's names (prefix blocking bands identical across shards ->
+      surviving buckets grow 10x in SIZE, pairs x100 -- the measured
+      13.6x step); v2 derived names from the 1e8-offset keys (every
+      cross-shard twin sits one digit-edit apart -> the TRUE <=2-edit
+      pair count itself grew 68x). c_custkey keeps the 1e8 offsets for
+      key uniqueness; only the display name densifies.
+    - documents.text goes through a per-shard alphabet rotation
+      (translate), so shard vocabularies are token-disjoint: shingle /
+      fingerprint structure within a shard is preserved verbatim while
+      cross-shard near-dup collisions -- which a fresh 10x corpus does
+      not have -- are zero. Length is preserved, so n_chars and the
+      length-based quality filters stay consistent.
+
     Idempotent per (dest); built once per container."""
     from pyspark.sql import functions as F
 
     marker = Path(dest) / "_BUILT"
     if marker.exists():
         return
-    for table, (idcols, textcol) in _SF1_TABLES.items():
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    for table, idcols in _SF1_TABLES.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
+        n_rows = df.count() if table == "customer" else 0
         parts = []
         for i in range(shards):
             c = df
             for col in idcols:
                 c = c.withColumn(col, F.col(col) + F.lit(i * 100_000_000))
-            if textcol and i > 0:
+            if table == "customer":
                 c = c.withColumn(
-                    textcol, F.concat(F.col(textcol), F.lit(f" s{i}"))
+                    "c_name",
+                    F.format_string(
+                        "Customer#%09d",
+                        F.col("c_custkey")
+                        + F.lit(i * n_rows - i * 100_000_000),
+                    ),
                 )
+            elif table == "documents" and i > 0:
+                rot = alpha[i:] + alpha[:i]
+                c = c.withColumn("text", F.translate("text", alpha, rot))
             parts.append(c)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionAll(p)
-        if table == "documents":
-            u = u.withColumn("n_chars", F.length("text").cast("long"))
         u.write.mode("overwrite").parquet(f"{dest}/{table}.parquet")
     marker.touch()
 
@@ -272,7 +298,8 @@ def main() -> None:
     # lane for quick local iterations.
     sf1_spot = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        sf1_dir = f"{tempfile.gettempdir()}/spark_graft_10x_sf{sf}"
+        sf1_dir = (f"{tempfile.gettempdir()}/spark_graft_10x_sf{sf}"
+                   f"_v{_SF1_CORPUS_VERSION}")
         _build_10x_corpus(spark, sf_dir, sf1_dir)
         sf1_timings: dict[str, float] = {}
         sf1_runs: dict[str, list[float]] = {n: [] for n in SF1_QUERIES}
@@ -281,7 +308,17 @@ def main() -> None:
             registry.QUERIES[name](spark, sf1_dir).write.format(
                 "noop").mode("overwrite").save()
 
+        # warm pass doubles as the output-size probe: out_rows at both
+        # SFs separate output-bound growth from plan regression (e.g.
+        # fuzzy on zero-padded sequential numeric names has an
+        # inherently quadratic TRUE <=2-edit pair count -- measured
+        # 105k pairs at sf0.1 vs 7.2M at sf1.0, so its wall ratio
+        # tracks its output ratio, not a join blowup)
+        out_rows = {}
+        out_rows_01 = {}
         for name in SF1_QUERIES:
+            out_rows[name] = registry.QUERIES[name](spark, sf1_dir).count()
+            out_rows_01[name] = registry.QUERIES[name](spark, sf_dir).count()
             force_sf1(name)  # warm: plan + codegen at the new stats
         for _ in range(3):
             for name in SF1_QUERIES:
@@ -302,6 +339,8 @@ def main() -> None:
                 n: round(sf1_timings[n] / timings[n], 2)
                 for n in SF1_QUERIES if timings.get(n)
             },
+            "out_rows": out_rows,
+            "out_rows_at_headline_sf": out_rows_01,
         }
 
     print(json.dumps({

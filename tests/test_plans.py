@@ -565,3 +565,48 @@ def test_q21_decorrelates_to_single_aggregate_pass(spark):
     # LeftAnti/ExistenceJoin survives into the physical plan
     assert "LeftAnti" not in plan
     assert "ExistenceJoin" not in plan
+
+
+def test_10x_corpus_construction_invariants(spark, tmp_path):
+    """The bench's 10x spot corpus must be a FAITHFUL scale-up, not a
+    perturbed-twin corpus (two rejected constructions measured 13.6x /
+    68x artificial super-linear steps -- bench.py _build_10x_corpus
+    docstring): dense distinct customer names, disjoint keys per
+    shard, token-disjoint document shards of unchanged length."""
+    import bench
+
+    dest = str(tmp_path / "c10x")
+    bench._build_10x_corpus(spark, SF_SMOKE, dest, shards=3)
+
+    c = spark.read.parquet(f"{dest}/customer.parquet")
+    src_c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    n = src_c.count()
+    row = c.selectExpr(
+        "count(*) AS cnt", "count(DISTINCT c_custkey) AS ck",
+        "count(DISTINCT c_name) AS cn", "min(c_name) AS lo",
+        "max(c_name) AS hi").first()
+    assert row.cnt == 3 * n and row.ck == 3 * n and row.cn == 3 * n
+    assert row.lo == "Customer#000000000"
+    assert row.hi == f"Customer#{3 * n - 1:09d}"
+
+    d = spark.read.parquet(f"{dest}/documents.parquet")
+    src_d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert d.count() == 3 * src_d.count()
+    # shard vocabularies disjoint, text length preserved per shard copy
+    from pyspark.sql import functions as F
+
+    shard = (F.col("doc_id") / 100_000_000).cast("long")
+    vocab_overlap = (
+        d.select(shard.alias("s"), F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count_distinct("s").alias("ns"))
+        .filter(F.col("ns") > 1).count()
+    )
+    assert vocab_overlap == 0
+    lens = d.select(shard.alias("s"), (F.col("doc_id") % 100_000_000)
+                    .alias("base"), F.length("text").alias("L"))
+    base_lens = lens.filter(F.col("s") == 0).select("base", F.col("L")
+                                                    .alias("L0"))
+    mismatches = (lens.join(base_lens, "base")
+                  .filter(F.col("L") != F.col("L0")).count())
+    assert mismatches == 0
