@@ -40,6 +40,14 @@ pipeline all but one slips to r8 along with ranges:
 After this window the registry's oldest in-window evidence is r5 and
 nothing unchecked remains except pipeline's tail + ranges (r3, first
 in line for r8 with the freshest modules last).
+
+CHANGED AFTER r7 WINDOW PLANNING (the r6-capstone precedent: pinned by
+local sf0.001+sf0.01 oracle compares + plan gates now, driver re-check
+leads the NEXT window): q_histogram_equidepth / q_pareto_frontier
+(analytics_extra) and q_budget_select (curation_extra) were rewritten
+onto the distributed range-partitioned prefix scan
+(operators/prefix.py; oracles unchanged). r8's builder passes them in
+window(changed=...) -- with pipeline's tail + ranges, they lead r8.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.functions import vector as V
+from discogs_xml_to_parquet_spark.operators import prefix as P
 from discogs_xml_to_parquet_spark.queries.clustering import (
     K,
     _load_vectors,
@@ -177,11 +178,12 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus best-first, and keep the prefix whose cumulative token
     count fits within a budget of 1/{_BUDGET_DIV} of the corpus. The
     budget is ONE 1-row aggregate broadcast into the filter; the
-    ranking is a doc-level-stats global sort, which Spark executes
-    range-partitioned (sampled boundaries, no single-reducer
-    bottleneck) -- the canonical distributed shape for select-to-
-    budget; the running sum is a window over that same order. Pure
-    integer pipeline, cross-engine hash-exact."""
+    running token sum uses the distributed range-partitioned prefix
+    scan (operators/prefix.py) -- the r6 spelling's global
+    Window.orderBy collapsed the whole doc-stats table into one task
+    (and its docstring wrongly claimed otherwise: window ordering,
+    unlike ORDER BY, is NOT range-partitioned by Spark). Pure integer
+    pipeline, cross-engine hash-exact."""
     d = load_spread(spark, sf_dir, "documents")
     stats = (
         d.select(
@@ -204,10 +206,12 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = stats.agg(
         F.floor(F.sum("n_tokens") / _BUDGET_DIV).alias("b")
     )
-    w = Window.orderBy(F.col("quality_ppm").desc(), "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ordered = P.running_sum(
+        stats,
+        [F.col("quality_ppm").desc(), F.col("doc_id").asc()],
+        F.col("n_tokens"),
+        "cum_tokens",
     )
-    ordered = stats.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
         ordered.crossJoin(F.broadcast(budget))
         .filter(F.col("cum_tokens") <= F.col("b"))

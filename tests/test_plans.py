@@ -610,3 +610,33 @@ def test_10x_corpus_construction_invariants(spark, tmp_path):
     mismatches = (lens.join(base_lens, "base")
                   .filter(F.col("L") != F.col("L0")).count())
     assert mismatches == 0
+
+
+def _assert_no_domain_single_task_window(plan: str, order_col: str):
+    """A windowspecdefinition whose FIRST argument is the domain
+    ordering column has no partition spec = the whole domain collapses
+    into one task. The distributed prefix spelling partitions by _pid
+    (windowspecdefinition(_pid#..., <col> ...)), leaving only the
+    P-row offsets frame and 1-row global aggregates as SinglePartition
+    exchanges."""
+    assert f"windowspecdefinition({order_col}" not in plan, (
+        f"unpartitioned global window over {order_col}")
+    assert "rangepartitioning(" + order_col in plan
+
+
+def test_prefix_scan_queries_have_no_single_task_window(spark):
+    """The three running-scan queries (equi-depth histogram, Pareto
+    frontier, budget select) must use the range-partitioned prefix
+    operator (operators/prefix.py), never a global Window.orderBy over
+    the value domain -- for near-unique doubles the 'domain' is ~the
+    fact table (583k of 600k lineitem prices at sf0.1), so the r6
+    spelling was a single-task sort of the data at every scale."""
+    cases = [
+        ("q_histogram_equidepth", "price"),
+        ("q_pareto_frontier", "price"),
+        ("q_budget_select", "quality_ppm"),
+    ]
+    for name, col in cases:
+        df = registry.QUERIES[name](spark, SF_SMOKE)
+        plan = plan_of(df)
+        _assert_no_domain_single_task_window(plan, col)
