@@ -46,8 +46,11 @@ local sf0.001+sf0.01 oracle compares + plan gates now, driver re-check
 leads the NEXT window): q_histogram_equidepth / q_pareto_frontier
 (analytics_extra) and q_budget_select (curation_extra) were rewritten
 onto the distributed range-partitioned prefix scan
-(operators/prefix.py; oracles unchanged). r8's builder passes them in
-window(changed=...) -- with pipeline's tail + ranges, they lead r8.
+(operators/prefix.py; oracles unchanged), and q_pagerank_bipartite
+(graph_iter) now checkpoints its 1-row node count (4 redundant
+distinct-shuffle chains collapsed to one; plan exchanges 34 -> 18).
+r8's builder passes all four in window(changed=...) -- with pipeline's
+tail + ranges, they lead r8.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401

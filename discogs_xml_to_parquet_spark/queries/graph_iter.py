@@ -119,7 +119,13 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    nn = ewd.agg(F.count_distinct("src").alias("n"))
+    # materialize the 1-row node count ONCE: nn feeds the round-1
+    # constant propagation AND every round's teleport term (4
+    # references over 3 iterations), and without the checkpoint each
+    # reference re-runs the count-distinct shuffle of the whole edge
+    # list (plan audit r7: 4x "Exchange hashpartitioning(src) ->
+    # distinct -> SinglePartition count" chains for one scalar)
+    nn = ewd.agg(F.count_distinct("src").alias("n")).localCheckpoint()
     ranks = None
     for it in range(_ITERS):
         if it == 0:

@@ -23,10 +23,11 @@ WINDOW_SIZE = 50
 # VERDICT r5 item-6 guarantee (namesake surface never goes >3 rounds
 # without a driver row -- r4 evidence, so it is pinned into r7).
 # NOTE for r8's builder: q_histogram_equidepth / q_pareto_frontier /
-# q_budget_select changed AFTER the r7 window locked (prefix-scan
-# rewrite, queries/__init__.py docstring tail) -- they go into
-# R8_CHANGED, which will pull analytics_extra + curation_extra (and
-# its clustering import) into the r8 window alongside pipeline/ranges.
+# q_budget_select / q_pagerank_bipartite changed AFTER the r7 window
+# locked (prefix-scan rewrite + node-count checkpoint,
+# queries/__init__.py docstring tail) -- they go into R8_CHANGED, which
+# will pull analytics_extra + curation_extra (and its clustering
+# import) + graph_iter into the r8 window alongside pipeline/ranges.
 R7_CHANGED = frozenset({"q_curation_pipeline"})
 R7_PIN = ("conversion",)
 
