@@ -56,20 +56,37 @@ def running_sum(
     value: Column,
     out: str,
     parts: int = _PARTS,
+    group_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """df + `out` = inclusive running sum of `value` over the total
     order `order_cols` (which must be total -- break ties with a unique
-    key, the registry-wide determinism rule)."""
-    r = _ranged(df, order_cols, parts)
-    w_in = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+    key, the registry-wide determinism rule).
+
+    `group_cols` restarts the sum per group WITHOUT one-task-per-group
+    (the Window.partitionBy(g) trap when groups are few and huge --
+    e.g. 3 return flags over a ~583k-value price domain): the range
+    partitioning spans (groups, order), the within-partition window
+    restarts per (group, _pid), and the offsets accumulate per group
+    across its pids."""
+    gcols = list(group_cols)
+    r = _ranged(df, [F.col(g) for g in gcols] + list(order_cols), parts)
+    w_in = Window.partitionBy(*gcols, "_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     r = r.withColumn("_local", F.sum(value).over(w_in))
-    offs = _offsets(r, F.sum(value), F.sum, "_off")
+    w_off = Window.partitionBy(*gcols).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        r.groupBy(*gcols, "_pid")
+        .agg(F.sum(value).alias("_ptot"))
+        .withColumn("_off", F.sum("_ptot").over(w_off))
+        .select(*gcols, "_pid", "_off")
+    )
     return (
-        r.join(F.broadcast(offs), "_pid")
+        r.join(F.broadcast(offs), gcols + ["_pid"])
         .withColumn(out, F.col("_local") + F.coalesce(F.col("_off"), F.lit(0)))
-        .drop("_pid", "_local", "_off")
+        .select(*df.columns, out)  # join reorders keys first; restore
     )
 
 

@@ -41,16 +41,32 @@ After this window the registry's oldest in-window evidence is r5 and
 nothing unchecked remains except pipeline's tail + ranges (r3, first
 in line for r8 with the freshest modules last).
 
-CHANGED AFTER r7 WINDOW PLANNING (the r6-capstone precedent: pinned by
-local sf0.001+sf0.01 oracle compares + plan gates now, driver re-check
-leads the NEXT window): q_histogram_equidepth / q_pareto_frontier
-(analytics_extra) and q_budget_select (curation_extra) were rewritten
-onto the distributed range-partitioned prefix scan
-(operators/prefix.py; oracles unchanged), and q_pagerank_bipartite
-(graph_iter) now checkpoints its 1-row node count (4 redundant
-distinct-shuffle chains collapsed to one; plan exchanges 34 -> 18).
-r8's builder passes all four in window(changed=...) -- with pipeline's
-tail + ranges, they lead r8.
+CHANGED AFTER r7 WINDOW PLANNING (the r6-capstone precedent: every
+change is plan-level with the oracle unchanged, pinned by local
+sf0.001+sf0.01 oracle compares + plan gates now; driver re-check leads
+the NEXT window). The r7 perf sweep over all 153 queries at sf0.1
+found the non-headline stragglers and fixed them:
+
+- q_histogram_equidepth / q_pareto_frontier (analytics_extra) and
+  q_budget_select (curation_extra): single-task global windows ->
+  distributed range-partitioned prefix scan (operators/prefix.py);
+- q_stats_mad (features): per-group windows over a ~583k-value domain
+  with 3 groups (3 giant tasks) -> grouped prefix scan (6.7 -> 3.8 s);
+- q_pagerank_bipartite (graph_iter): 1-row node count checkpointed
+  (plan exchanges 34 -> 18);
+- q_triangle_count (analytics_extra): edge list + degree table staged
+  once, five consumers (14 -> 7.6 s);
+- q_dedup_semantic (curation_extra): centroid-assignment fold staged
+  once, three consumers (6.7 -> 4.0 s);
+- q_agg_approx_distinct / q_percentiles_approx (sketches): harness
+  reference columns restructured -- sketch pass split from the
+  multi-distinct Expand, four exact percentile buffers collapsed into
+  one array-percentile (8.0 -> 1.9 s / 8.7 -> 2.5 s).
+
+r8's builder passes ALL of these in window(changed=...): that pulls
+analytics_extra, curation_extra (+ its clustering import), graph_iter,
+features, and sketches into the r8 window alongside pipeline's tail +
+ranges.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401

@@ -258,9 +258,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is integers+boolean only, so hash-exactness does not rest
     on surfacing floats."""
     e, c = _load_vectors(spark, sf_dir)
+    # stage the assignment ONCE: the K-centroid argmin fold is the
+    # per-row-expensive step and asg feeds BOTH self-join sides plus
+    # the final kept-audit join -- unstaged, the fold ran 3x
+    # (r7 sweep: 6.7 s warm -> 4.0 s staged; the remainder is the
+    # within-cluster pair join itself)
     asg = kmeans_assign(e, c).select(
         "vec_id", "cluster_id", "v"
-    ).withColumn("nrm", F.sqrt(V.norm2(F.col("v"))))
+    ).withColumn("nrm", F.sqrt(V.norm2(F.col("v")))).localCheckpoint()
     a, b = asg.alias("a"), asg.alias("b")
     drops = (
         a.join(

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from discogs_xml_to_parquet_spark.operators import prefix as P
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -41,13 +42,15 @@ _ZSCORE = (
 def _median_of(counts: DataFrame, group: str, value: str) -> DataFrame:
     """Lower median per group from a (group, value, cnt) table:
     value at rank ceil(n/2) in value order. Returns (group, med).
-    Integer ranks over the distinct-value domain -- no data sort."""
-    w = (
-        Window.partitionBy(group)
-        .orderBy(value)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Integer ranks over the distinct-value domain -- no data sort, and
+    no one-task-per-group either: with 3 groups over a ~583k-value
+    domain, Window.partitionBy(group) was 3 giant single tasks; the
+    grouped distributed prefix scan (operators/prefix.py) bounds every
+    task at domain/parts."""
+    cum = P.running_sum(
+        counts, [F.col(value).asc()], F.col("cnt"), "cum",
+        group_cols=[group],
     )
-    cum = counts.withColumn("cum", F.sum("cnt").over(w))
     tot = counts.groupBy(group).agg(F.sum("cnt").alias("n_g"))
     return (
         cum.join(F.broadcast(tot), group)

@@ -50,22 +50,41 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a given input (fixed hash seed), verified in-band at sf0.001/0.01/
     0.1 locally, so the boolean is stable, not flaky."""
     li = load(spark, sf_dir, "lineitem")
-    approx_o = F.approx_count_distinct("l_orderkey", rsd=0.02)
-    approx_p = F.approx_count_distinct("l_partkey", rsd=0.02)
-    exact_o = F.countDistinct("l_orderkey")
-    exact_p = F.countDistinct("l_partkey")
+    # the sketch pass and the exact-reference pass run as SEPARATE
+    # aggregations joined on the 3-row group key: mixing distinct and
+    # sketch aggregates in one Aggregate routes the sketches through
+    # the multi-distinct Expand (3x the input through every buffer --
+    # r7 sweep: 8.0 s combined vs 2.1 s for the two passes), and the
+    # sketch-only aggregation IS the production plan the query
+    # showcases; the exact pass exists for the harness only
+    sketch = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            exact_o.alias("n_orders_exact"),
-            exact_p.alias("n_parts_exact"),
-            approx_o.between(exact_o * 0.94, exact_o * 1.06).alias(
-                "orders_within_3rsd"
-            ),
-            approx_p.between(exact_p * 0.94, exact_p * 1.06).alias(
-                "parts_within_3rsd"
-            ),
-            F.count(F.lit(1)).alias("n_rows"),
+        sketch.join(F.broadcast(exact), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders_exact",
+            "n_parts_exact",
+            F.col("_ao")
+            .between(
+                F.col("n_orders_exact") * 0.94,
+                F.col("n_orders_exact") * 1.06,
+            )
+            .alias("orders_within_3rsd"),
+            F.col("_ap")
+            .between(
+                F.col("n_parts_exact") * 0.94,
+                F.col("n_parts_exact") * 1.06,
+            )
+            .alias("parts_within_3rsd"),
+            "n_rows",
         )
         .orderBy("l_returnflag")
     )
@@ -99,20 +118,34 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     an actual data element whose rank error is bounded by 1/accuracy =
     1e-4, far inside the 0.005 band, so the boolean is stable."""
     li = load(spark, sf_dir, "lineitem")
-    ap_med = F.approx_percentile("l_extendedprice", 0.5, 10000)
-    ap_p95 = F.approx_percentile("l_extendedprice", 0.95, 10000)
+    # ONE exact-percentile aggregate computing all four band edges from
+    # a single sorted buffer, and ONE sketch for both targets: the old
+    # spelling planned four separate exact percentile aggregates (each
+    # with its own buffer) plus two sketches -- 5.1 s of exact
+    # percentiles collapses to 1.5 s (r7 sweep), oracle unchanged
+    bands = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.495), F.lit(0.505), F.lit(0.945), F.lit(0.955)),
+    )
+    sk = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            ap_med.between(
-                F.percentile("l_extendedprice", 0.495),
-                F.percentile("l_extendedprice", 0.505),
-            ).alias("median_in_band"),
-            ap_p95.between(
-                F.percentile("l_extendedprice", 0.945),
-                F.percentile("l_extendedprice", 0.955),
-            ).alias("p95_in_band"),
+            bands.alias("_pb"),
+            sk.alias("_ap"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_ap")[0]
+            .between(F.col("_pb")[0], F.col("_pb")[1])
+            .alias("median_in_band"),
+            F.col("_ap")[1]
+            .between(F.col("_pb")[2], F.col("_pb")[3])
+            .alias("p95_in_band"),
+            "n_rows",
         )
         .orderBy("l_returnflag")
     )

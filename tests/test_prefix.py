@@ -54,3 +54,24 @@ def test_running_sum_more_partitions_than_rows(spark):
     got = P.running_sum(df, [F.col("id").asc()], F.col("v"), "c", parts=16)
     assert {(r.id, r.c) for r in got.collect()} == {
         (1, 10), (2, 30), (3, 60)}
+
+
+def test_grouped_running_sum_matches_per_group_window(spark):
+    """group_cols must restart the sum per group with the same values
+    as Window.partitionBy(group) -- including groups that straddle
+    range-partition boundaries (3 groups, 600 rows, 7 partitions)."""
+    rng = random.Random(17)
+    rows = [(i, rng.choice("ABC"), rng.randrange(50), rng.randrange(100))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, g string, k long, v long")
+    got = P.running_sum(
+        df, [F.col("k").asc(), F.col("id").asc()], F.col("v"), "c",
+        parts=7, group_cols=["g"],
+    )
+    w = Window.partitionBy("g").orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("c", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -22,12 +22,14 @@ WINDOW_SIZE = 50
 # its module rotated out of the window; the conversion trio carries the
 # VERDICT r5 item-6 guarantee (namesake surface never goes >3 rounds
 # without a driver row -- r4 evidence, so it is pinned into r7).
-# NOTE for r8's builder: q_histogram_equidepth / q_pareto_frontier /
-# q_budget_select / q_pagerank_bipartite changed AFTER the r7 window
-# locked (prefix-scan rewrite + node-count checkpoint,
-# queries/__init__.py docstring tail) -- they go into R8_CHANGED, which
-# will pull analytics_extra + curation_extra (and its clustering
-# import) + graph_iter into the r8 window alongside pipeline/ranges.
+# NOTE for r8's builder: the r7 perf-sweep queries changed AFTER the
+# r7 window locked (full list + measurements in queries/__init__.py
+# docstring tail): q_histogram_equidepth, q_pareto_frontier,
+# q_triangle_count, q_budget_select, q_dedup_semantic, q_stats_mad,
+# q_pagerank_bipartite, q_agg_approx_distinct, q_percentiles_approx.
+# They go into R8_CHANGED, pulling analytics_extra, curation_extra
+# (+ clustering import), graph_iter, features, and sketches into the
+# r8 window alongside pipeline's tail + ranges.
 R7_CHANGED = frozenset({"q_curation_pipeline"})
 R7_PIN = ("conversion",)
 
