@@ -61,7 +61,11 @@ found the non-headline stragglers and fixed them:
 - q_agg_approx_distinct / q_percentiles_approx (sketches): harness
   reference columns restructured -- sketch pass split from the
   multi-distinct Expand, four exact percentile buffers collapsed into
-  one array-percentile (8.0 -> 1.9 s / 8.7 -> 2.5 s).
+  one array-percentile (8.0 -> 1.9 s / 8.7 -> 2.5 s);
+- q_percentile_cont_exact (features): the cumulative domain table is
+  built once with the grouped prefix scan and staged for all four
+  rank lookups (was: a per-group giant-task window built per
+  percentile).
 
 r8's builder passes ALL of these in window(changed=...): that pulls
 analytics_extra, curation_extra (+ its clustering import), graph_iter,

@@ -256,22 +256,17 @@ _INTERP = (
 )
 
 
-def _pcont_parts(counts: DataFrame, group: str, pct: int,
+def _pcont_parts(c: DataFrame, group: str, pct: int,
                  tag: str) -> DataFrame:
-    """Exact percentile_cont({pct}/100) per group from a (group, v,
-    cnt) domain table: 0-based position h = (n-1)*pct/100 splits into
-    lo = h div 1 and an integer percent fraction; the two order
-    statistics at ranks lo+1 and lo+2 (capped at n) come from the
-    cumulative-count window over DISTINCT values -- never a data
-    sort. Returns (group, {tag}_v_lo, {tag}_v_hi, {tag}_frac)."""
-    w = (
-        Window.partitionBy(group)
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = counts.withColumn("cum", F.sum("cnt").over(w))
-    tot = counts.groupBy(group).agg(F.sum("cnt").alias("n_g"))
-    c = cum.join(F.broadcast(tot), group)
+    """Exact percentile_cont({pct}/100) per group from a PREBUILT
+    cumulative domain table `c` = (group, v, cnt, cum, n_g): 0-based
+    position h = (n-1)*pct/100 splits into lo = h div 1 and an integer
+    percent fraction; the two order statistics at ranks lo+1 and lo+2
+    (capped at n) are rank lookups against `c` -- never a data sort.
+    The caller builds `c` ONCE with the grouped distributed prefix
+    scan and stages it (the r6 spelling built a per-group giant-task
+    window INSIDE this helper, twice -- once per percentile).
+    Returns (group, {tag}_v_lo, {tag}_v_hi, {tag}_frac)."""
     h_num = (F.col("n_g") - 1) * pct            # position in 1/100 units
     k1 = F.expr(f"(n_g - 1) * {pct} div 100") + 1
     k2 = F.least(k1 + 1, F.col("n_g"))
@@ -285,8 +280,10 @@ def _pcont_parts(counts: DataFrame, group: str, pct: int,
         .groupBy(group)
         .agg(F.min("v").alias(f"{tag}_v_hi"))
     )
-    frac = tot.select(
-        group, (h_num % 100).alias(f"{tag}_frac")
+    frac = (
+        c.groupBy(group)
+        .agg(F.min("n_g").alias("n_g"))
+        .select(group, (h_num % 100).alias(f"{tag}_frac"))
     )
     return lo.join(hi, group).join(frac, group)
 
@@ -356,8 +353,15 @@ def q_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.groupBy("l_returnflag").agg(
         F.sum("cnt").cast("bigint").alias("n_g")
     )
-    p50 = _pcont_parts(counts, "l_returnflag", 50, "p50")
-    p95 = _pcont_parts(counts, "l_returnflag", 95, "p95")
+    # ONE grouped distributed cumulative scan serves both percentiles'
+    # four rank lookups; staged because each lookup filters it anew
+    cum = P.running_sum(
+        counts, [F.col("v").asc()], F.col("cnt"), "cum",
+        group_cols=["l_returnflag"],
+    )
+    c = cum.join(F.broadcast(tot), "l_returnflag").localCheckpoint()
+    p50 = _pcont_parts(c, "l_returnflag", 50, "p50")
+    p95 = _pcont_parts(c, "l_returnflag", 95, "p95")
     out = (
         tot.join(F.broadcast(p50), "l_returnflag")
         .join(F.broadcast(p95), "l_returnflag")

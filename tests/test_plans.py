@@ -640,3 +640,28 @@ def test_prefix_scan_queries_have_no_single_task_window(spark):
         df = registry.QUERIES[name](spark, SF_SMOKE)
         plan = plan_of(df)
         _assert_no_domain_single_task_window(plan, col)
+
+
+def test_grouped_prefix_queries_partition_within_groups(spark):
+    """q_stats_mad and q_percentile_cont_exact run cumulative scans
+    per return flag -- 3 groups over a ~583k-value domain, so
+    Window.partitionBy(flag) alone was 3 giant single tasks. The
+    grouped prefix scan adds _pid to every window spec: assert every
+    windowspecdefinition in these plans carries _pid (the offsets
+    frames do too, by construction)."""
+    df = registry.QUERIES["q_stats_mad"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "q_stats_mad: no window specs found"
+    for s in specs:
+        assert "_pid" in s[:150], (
+            "q_stats_mad: window spec without _pid -> giant per-group "
+            f"task: {s[:120]}")
+    assert "rangepartitioning" in plan
+    # q_percentile_cont_exact stages its cumulative table with a
+    # localCheckpoint, which truncates the visible lineage -- its
+    # final plan must read the staged scan, not re-derive windows
+    plan2 = plan_of(registry.QUERIES["q_percentile_cont_exact"](
+        spark, SF_SMOKE))
+    assert "Scan ExistingRDD" in plan2
+    assert "windowspecdefinition(" not in plan2

@@ -26,7 +26,8 @@ WINDOW_SIZE = 50
 # r7 window locked (full list + measurements in queries/__init__.py
 # docstring tail): q_histogram_equidepth, q_pareto_frontier,
 # q_triangle_count, q_budget_select, q_dedup_semantic, q_stats_mad,
-# q_pagerank_bipartite, q_agg_approx_distinct, q_percentiles_approx.
+# q_pagerank_bipartite, q_agg_approx_distinct, q_percentiles_approx,
+# q_percentile_cont_exact.
 # They go into R8_CHANGED, pulling analytics_extra, curation_extra
 # (+ clustering import), graph_iter, features, and sketches into the
 # r8 window alongside pipeline's tail + ranges.
