@@ -1,0 +1,97 @@
+"""Oracle-verify queries at the 10x (≈sf1.0) corpus — correctness at
+scale, not just speed.
+
+The per-round driver gate compares Spark vs DuckDB at sf0.01; this
+script runs the same cell-exact compare on the bench's 10x corpus
+(6M-row lineitem, 150k customers, 50k documents — built by bench.py's
+`_build_10x_corpus`), for every oracle-backed query whose tables are
+all in the 10x set. Small dimension tables come from the source SF dir
+unchanged. The 10x tables are flattened to single parquet files so the
+DuckDB views glob nothing.
+
+Round-7 result (recorded in README): q_histogram_equidepth,
+q_stats_mad, q_percentile_cont_exact, q_dedup_exact, q_budget_select,
+q_mode_per_group all hash-matched, and q_fuzzy_blocked hash-matched
+its full 7.24M-pair output in ~380 s of DuckDB side work.
+
+Usage: python scripts/sf1_verify.py [--queries q_a,q_b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC_SF = "/root/testdata/sf0.1"
+DEFAULT = [
+    "q_histogram_equidepth", "q_stats_mad", "q_percentile_cont_exact",
+    "q_dedup_exact", "q_budget_select", "q_mode_per_group",
+    # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
+    # opt in with --queries
+]
+
+
+def build_combined(spark, dest: str) -> None:
+    import os
+
+    import duckdb
+
+    import bench
+
+    sf1_dir = f"/tmp/spark_graft_10x_sf{SRC_SF.rsplit('sf', 1)[-1]}" \
+              f"_v{bench._SF1_CORPUS_VERSION}"
+    bench._build_10x_corpus(spark, SRC_SF, sf1_dir)
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region nation supplier part orders events "
+              "embeddings").split():
+        p = Path(dest) / f"{t}.parquet"
+        if not p.exists():
+            p.symlink_to(f"{SRC_SF}/{t}.parquet")
+    for t in bench._SF1_TABLES:
+        p = Path(dest) / f"{t}.parquet"
+        if not p.exists():
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet("
+                f"'{sf1_dir}/{t}.parquet/*.parquet')) TO '{p}' "
+                f"(FORMAT PARQUET, COMPRESSION SNAPPY)"
+            )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(DEFAULT))
+    args = ap.parse_args()
+
+    from discogs_xml_to_parquet_spark import registry
+    from discogs_xml_to_parquet_spark.session import get_spark
+    from tests.oracle_utils import compare
+
+    registry.load_all_queries()
+    spark = get_spark(app_name="sf1-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    dest = "/tmp/sf1_combined"
+    build_combined(spark, dest)
+
+    failures = []
+    for name in args.queries.split(","):
+        t0 = time.time()
+        try:
+            compare(spark, dest, registry.QUERIES[name],
+                    registry.ORACLES[name], name)
+            print(f"OK   {name} ({round(time.time() - t0, 1)} s)")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: {str(exc)[:200]}")
+    print("failures:", failures or "NONE")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
