@@ -387,3 +387,77 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_records") > 1)
         .orderBy("entity_id")
     )
+
+
+@query(
+    "q_fuzzy_blocked_stats",
+    oracle="WITH " + _BLOCKED_CTES + """,
+stats AS (
+  SELECT edit_dist, LENGTH(name1) AS ln1, COUNT(*) AS n_pairs
+  FROM matched GROUP BY edit_dist, LENGTH(name1)
+),
+sampled AS (
+  SELECT edit_dist, LENGTH(name1) AS ln1, id1, id2,
+         ROW_NUMBER() OVER (PARTITION BY edit_dist, LENGTH(name1)
+                            ORDER BY id1, id2) AS rk
+  FROM matched
+)
+SELECT s.edit_dist, s.ln1, t.n_pairs, s.rk, s.id1, s.id2
+FROM sampled s JOIN stats t ON s.edit_dist = t.edit_dist AND s.ln1 = t.ln1
+WHERE s.rk <= 3
+ORDER BY s.edit_dist, s.ln1, s.rk
+""",
+)
+def q_fuzzy_blocked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy blocking, AGGREGATE mode (VERDICT r7 item 6).
+
+    q_fuzzy_blocked is output-bound at scale by construction: the sf1
+    lane measured 105k true <=2-edit pairs at sf0.1 vs 7.24M at sf1.0
+    (x69 output for x10 data -- the TRUE pair count of a dense
+    sequential-id namespace is inherently super-linear), so at 100 TB
+    "materialize every pair" is the wrong CONTRACT, not a wrong plan.
+    This query is the emit-what-you-need mode: the same blocked
+    candidate pipeline (blocked_pairs_df -- one exploded frame, one
+    df-cap window, one self-join), but the output is O(groups x K):
+    per (edit_dist, name-length) group, the exact pair count plus a
+    bounded deterministic sample (the K=3 smallest (id1, id2) pairs).
+    Use q_fuzzy_blocked when downstream consumes pairs (e.g. the ER
+    components build); use this mode for match-rate monitoring,
+    blocking-quality audits, and threshold tuning, where the counts
+    and a reviewable sample are the actual need (README: Fuzzy
+    matching at scale).
+
+    Scale shape: the matched-pairs frame feeds two consumers (count
+    agg + sample), so it is staged once (localCheckpoint -- the
+    multi-consumer rule from the r7 perf sweep). Counts are a plain
+    map-side-partial groupBy. The sample avoids the giant-task
+    Window.partitionBy(group) trap (few huge groups): two-phase salted
+    top-K -- a per-(group, salt) row_number keeps <= K rows per salt
+    lane (32 bounded tasks per group), then the global per-group
+    row_number runs over <= 32*K survivors per group, not the pair
+    set. Same two-phase idea as operators/prefix.py: bound the longest
+    task, keep the single-partition step to O(small)."""
+    pairs = (
+        blocked_pairs_df(load(spark, sf_dir, "customer"))
+        .withColumn("ln1", F.length("name1").cast("long"))
+        .localCheckpoint()
+    )
+    stats = pairs.groupBy("edit_dist", "ln1").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w_salt = Window.partitionBy("edit_dist", "ln1", "_salt").orderBy(
+        "id1", "id2"
+    )
+    w_group = Window.partitionBy("edit_dist", "ln1").orderBy("id1", "id2")
+    sampled = (
+        pairs.withColumn("_salt", F.pmod(F.col("id1"), F.lit(32)))
+        .withColumn("_rk1", F.row_number().over(w_salt))
+        .filter(F.col("_rk1") <= 3)
+        .withColumn("rk", F.row_number().over(w_group).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+    return (
+        sampled.join(F.broadcast(stats), ["edit_dist", "ln1"])
+        .select("edit_dist", "ln1", "n_pairs", "rk", "id1", "id2")
+        .orderBy("edit_dist", "ln1", "rk")
+    )

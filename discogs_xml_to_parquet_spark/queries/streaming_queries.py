@@ -6,6 +6,7 @@ exercised in tests/test_streaming.py against these same functions."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.streaming.events import (
@@ -142,3 +143,58 @@ def q_stream_dedup_face(spark: SparkSession, sf_dir: str) -> DataFrame:
     two events in one group cannot make the hash flake (ADVICE r2)."""
     e = load(spark, sf_dir, "events")
     return dedup_first(e).orderBy("window_start", "user_id", "event_type")
+
+
+@query(
+    "q_stream_dedup_exact",
+    oracle="""
+SELECT DISTINCT md5(text) AS text_hash, CAST(1 AS BIGINT) AS n_kept
+FROM documents
+ORDER BY text_hash
+""",
+)
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE streaming path as a driver row (VERDICT r7 item 7):
+    unlike the other q_stream_* queries (batch faces of the streaming
+    transformations), this one actually runs readStream ->
+    dropDuplicatesWithinWatermark -> memory sink with an availableNow
+    trigger over the documents backfill, then returns the materialized
+    sink aggregated per key -- converting the streaming lane's
+    pytest-only batch-equivalence evidence into driver evidence.
+
+    Exactness contract: dropDuplicatesWithinWatermark drops a
+    duplicate only while its key is inside the watermark horizon, so
+    global exact dedup of a backfill requires the horizon to cover the
+    backfill's ingest-time span (ingest_ts = doc_id seconds; sf1.0 is
+    ~6e5 docs ~ 7 days). The 30-day watermark here does that at every
+    SF this repo runs; a live pipeline instead sizes it to its real
+    dup horizon and accepts re-emits beyond it (the bounded-state
+    trade documented at streaming/events.py dedup_docs_exact). State
+    carries 32-byte md5 keys, never documents.
+
+    The memory sink is a test/driver harness; at scale the same plan
+    writes to a parquet/kafka sink. Output is the deterministic
+    survivor KEY set (one row per distinct text), so the hash oracle
+    is plain DISTINCT md5(text) -- survivor doc_ids would be
+    batch-order-dependent and are deliberately not emitted."""
+    from discogs_xml_to_parquet_spark.streaming.events import (
+        stream_dedup_docs,
+    )
+
+    sink = "q_stream_dedup_exact_sink"
+    q = (
+        stream_dedup_docs(spark, sf_dir, watermark="30 days",
+                          glob="documents.parquet")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(sink)
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("text_hash")
+    )

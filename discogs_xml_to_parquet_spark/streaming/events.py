@@ -161,9 +161,14 @@ def dedup_docs_exact(docs: DataFrame, watermark: str = "10 minutes",
     via dropDuplicates (dropDuplicatesWithinWatermark is
     streaming-only); both paths emit one survivor per distinct text.
     """
+    # base epoch 2020-01-01: the stream's INITIAL event-time watermark
+    # is epoch 0, and a row whose event time does not exceed the
+    # current watermark is discarded as late -- with base 0, doc_id=0
+    # (testdata ids start at 0) lands exactly on the initial watermark
+    # and silently vanishes from the output
     keyed = docs.withColumn("text_hash", F.md5("text")).withColumn(
         "ingest_ts",
-        (F.lit(0) + F.col("doc_id")).cast("timestamp"),
+        (F.lit(1_577_836_800) + F.col("doc_id")).cast("timestamp"),
     )
     if streaming:
         return keyed.withWatermark(
@@ -173,10 +178,17 @@ def dedup_docs_exact(docs: DataFrame, watermark: str = "10 minutes",
 
 
 def stream_dedup_docs(spark: SparkSession, source_dir: str,
-                      watermark: str = "10 minutes") -> DataFrame:
+                      watermark: str = "10 minutes",
+                      glob: str | None = None) -> DataFrame:
     """readStream -> watermark -> dropDuplicatesWithinWatermark over a
-    parquet documents directory (doc_id, text, lang, source, n_chars)."""
+    parquet documents directory (doc_id, text, lang, source, n_chars).
+    `glob` sets pathGlobFilter -- the file streaming source requires a
+    DIRECTORY basePath, so a single-file table like the testdata's
+    documents.parquet is streamed as (parent dir, glob=filename)."""
     schema = ("doc_id long, text string, lang string, source string, "
               "n_chars long")
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(source_dir)
     return dedup_docs_exact(stream, watermark, streaming=True)
