@@ -44,20 +44,18 @@ def _median_of(counts: DataFrame, group: str, value: str) -> DataFrame:
     value at rank ceil(n/2) in value order. Returns (group, med).
     Integer ranks over the distinct-value domain -- no data sort, and
     no one-task-per-group either: with 3 groups over a ~583k-value
-    domain, Window.partitionBy(group) was 3 giant single tasks; the
-    grouped distributed prefix scan (operators/prefix.py) bounds every
-    task at domain/parts."""
-    cum = P.running_sum(
-        counts, [F.col(value).asc()], F.col("cnt"), "cum",
+    domain, Window.partitionBy(group) was 3 giant single tasks. A
+    median is a rank LOOKUP, so this uses the distributed selection
+    operator (operators/prefix.py value_at_ranks, r8): per-bucket
+    weight totals locate the median's bucket and only that bucket
+    (~domain/P rows) is ever window-sorted -- strictly less work than
+    materializing the full cumulative table the r7 spelling built."""
+    sel = P.value_at_ranks(
+        counts, value, F.col("cnt"),
+        {"med": F.floor((F.col("n_g") + 1) / 2)},
         group_cols=[group],
     )
-    tot = counts.groupBy(group).agg(F.sum("cnt").alias("n_g"))
-    return (
-        cum.join(F.broadcast(tot), group)
-        .filter(F.col("cum") >= F.floor((F.col("n_g") + 1) / 2))
-        .groupBy(group)
-        .agg(F.min(value).alias("med"))
-    )
+    return sel.select(group, "med")
 
 
 @query(
@@ -256,36 +254,15 @@ _INTERP = (
 )
 
 
-def _pcont_parts(c: DataFrame, group: str, pct: int,
-                 tag: str) -> DataFrame:
-    """Exact percentile_cont({pct}/100) per group from a PREBUILT
-    cumulative domain table `c` = (group, v, cnt, cum, n_g): 0-based
-    position h = (n-1)*pct/100 splits into lo = h div 1 and an integer
-    percent fraction; the two order statistics at ranks lo+1 and lo+2
-    (capped at n) are rank lookups against `c` -- never a data sort.
-    The caller builds `c` ONCE with the grouped distributed prefix
-    scan and stages it (the r6 spelling built a per-group giant-task
-    window INSIDE this helper, twice -- once per percentile).
-    Returns (group, {tag}_v_lo, {tag}_v_hi, {tag}_frac)."""
-    h_num = (F.col("n_g") - 1) * pct            # position in 1/100 units
+def _pcont_ranks(pct: int) -> tuple[Column, Column]:
+    """(rank of v_lo, rank of v_hi) for percentile_cont(pct/100) as
+    expressions over the per-group total `n_g` (value_at_ranks
+    provides it): 0-based position h = (n-1)*pct/100 brackets between
+    the order statistics at ranks (h div 1)+1 and (h div 1)+2, the
+    latter capped at n. Integer arithmetic mirrors _pcont_sql
+    exactly."""
     k1 = F.expr(f"(n_g - 1) * {pct} div 100") + 1
-    k2 = F.least(k1 + 1, F.col("n_g"))
-    lo = (
-        c.filter(F.col("cum") >= k1)
-        .groupBy(group)
-        .agg(F.min("v").alias(f"{tag}_v_lo"))
-    )
-    hi = (
-        c.filter(F.col("cum") >= k2)
-        .groupBy(group)
-        .agg(F.min("v").alias(f"{tag}_v_hi"))
-    )
-    frac = (
-        c.groupBy(group)
-        .agg(F.min("n_g").alias("n_g"))
-        .select(group, (h_num % 100).alias(f"{tag}_frac"))
-    )
-    return lo.join(hi, group).join(frac, group)
+    return k1, F.least(k1 + 1, F.col("n_g"))
 
 
 def _pcont_sql(pct: int, tag: str) -> str:
@@ -350,21 +327,23 @@ def q_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = li.groupBy(
         F.col("l_returnflag"), F.col("l_extendedprice").alias("v")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    tot = counts.groupBy("l_returnflag").agg(
-        F.sum("cnt").cast("bigint").alias("n_g")
-    )
-    # ONE grouped distributed cumulative scan serves both percentiles'
-    # four rank lookups; staged because each lookup filters it anew
-    cum = P.running_sum(
-        counts, [F.col("v").asc()], F.col("cnt"), "cum",
+    # ONE distributed selection serves all four rank lookups
+    # (operators/prefix.py value_at_ranks, r8): the cumulative domain
+    # table is never materialized -- bucket counts locate each rank's
+    # bucket and only those buckets are window-sorted. (The r7
+    # spelling built + checkpointed the full cumulative table and
+    # filtered it four times.)
+    k50_lo, k50_hi = _pcont_ranks(50)
+    k95_lo, k95_hi = _pcont_ranks(95)
+    out = P.value_at_ranks(
+        counts, "v", F.col("cnt"),
+        {"p50_v_lo": k50_lo, "p50_v_hi": k50_hi,
+         "p95_v_lo": k95_lo, "p95_v_hi": k95_hi},
         group_cols=["l_returnflag"],
-    )
-    c = cum.join(F.broadcast(tot), "l_returnflag").localCheckpoint()
-    p50 = _pcont_parts(c, "l_returnflag", 50, "p50")
-    p95 = _pcont_parts(c, "l_returnflag", 95, "p95")
-    out = (
-        tot.join(F.broadcast(p50), "l_returnflag")
-        .join(F.broadcast(p95), "l_returnflag")
+    ).withColumn(
+        "p50_frac", (F.col("n_g") - 1) * 50 % 100
+    ).withColumn(
+        "p95_frac", (F.col("n_g") - 1) * 95 % 100
     )
     e50 = (
         _INTERP.replace("v_lo", "p50_v_lo")

@@ -616,12 +616,19 @@ def _assert_no_domain_single_task_window(plan: str, order_col: str):
     """A windowspecdefinition whose FIRST argument is the domain
     ordering column has no partition spec = the whole domain collapses
     into one task. The distributed prefix spelling partitions by _pid
-    (windowspecdefinition(_pid#..., <col> ...)), leaving only the
-    P-row offsets frame and 1-row global aggregates as SinglePartition
-    exchanges."""
+    (windowspecdefinition(_pid#..., <col> ...)); since the r8
+    pure-function buckets (r7 ADVICE: per-branch repartitionByRange
+    could disagree on _pid) there is no rangepartitioning exchange at
+    all -- the window's hash exchange does the placement."""
     assert f"windowspecdefinition({order_col}" not in plan, (
         f"unpartitioned global window over {order_col}")
-    assert "rangepartitioning(" + order_col in plan
+    assert "windowspecdefinition(_pid" in plan, (
+        f"expected a _pid-partitioned window over {order_col}")
+    # rangepartitioning MAY still appear: the presentation orderBy on
+    # the output is a PARALLEL range sort (bounded per-partition
+    # tasks), which is fine -- the hazard this test exists for is the
+    # single-task domain WINDOW (first assertion). The operator itself
+    # is gated range-exchange-free at tests/test_prefix.py.
 
 
 def test_prefix_scan_queries_have_no_single_task_window(spark):
@@ -643,25 +650,41 @@ def test_prefix_scan_queries_have_no_single_task_window(spark):
 
 
 def test_grouped_prefix_queries_partition_within_groups(spark):
-    """q_stats_mad and q_percentile_cont_exact run cumulative scans
-    per return flag -- 3 groups over a ~583k-value domain, so
-    Window.partitionBy(flag) alone was 3 giant single tasks. The
-    grouped prefix scan adds _pid to every window spec: assert every
-    windowspecdefinition in these plans carries _pid (the offsets
-    frames do too, by construction)."""
-    df = registry.QUERIES["q_stats_mad"](spark, SF_SMOKE)
-    plan = plan_of(df)
-    specs = plan.split("windowspecdefinition(")[1:]
-    assert specs, "q_stats_mad: no window specs found"
-    for s in specs:
-        assert "_pid" in s[:150], (
-            "q_stats_mad: window spec without _pid -> giant per-group "
-            f"task: {s[:120]}")
-    assert "rangepartitioning" in plan
-    # q_percentile_cont_exact stages its cumulative table with a
-    # localCheckpoint, which truncates the visible lineage -- its
-    # final plan must read the staged scan, not re-derive windows
-    plan2 = plan_of(registry.QUERIES["q_percentile_cont_exact"](
-        spark, SF_SMOKE))
-    assert "Scan ExistingRDD" in plan2
-    assert "windowspecdefinition(" not in plan2
+    """q_stats_mad and q_percentile_cont_exact are rank LOOKUPS per
+    return flag -- 3 groups over a ~583k-value domain, so
+    Window.partitionBy(flag) alone was 3 giant single tasks. Since r8
+    they use the distributed selection operator (value_at_ranks):
+    every windowspecdefinition in their plans must carry _pid -- the
+    per-bucket counts window (partitionBy group, orderBy _pid over
+    G x P rows) and the candidate-bucket mini-sort (partitionBy
+    group,_pid,tag) both do; an unbucketed per-group window would
+    not."""
+    for name in ("q_stats_mad", "q_percentile_cont_exact"):
+        plan = plan_of(registry.QUERIES[name](spark, SF_SMOKE))
+        specs = plan.split("windowspecdefinition(")[1:]
+        assert specs, f"{name}: no window specs found"
+        for s in specs:
+            assert "_pid" in s[:150], (
+                f"{name}: window spec without _pid -> giant per-group "
+                f"task: {s[:120]}")
+
+
+def test_dpp_query_prunes_partitions(spark):
+    """q_join_bloom_dpp's dpp lane: the month-partitioned fact scan
+    must carry a dynamicpruningexpression PartitionFilter -- at 100 TB
+    this reads 3 month partitions instead of ~84."""
+    from discogs_xml_to_parquet_spark.queries import runtime_filters as RT
+
+    lane = RT.dpp_lane(RT.scoped_session(spark), SF_SMOKE)
+    assert "dynamicpruning" in plan_of(lane).lower()
+
+
+def test_bloom_query_injects_runtime_filter(spark):
+    """q_join_bloom_dpp's bloom lane: under the scoped session
+    (broadcast off, application threshold 0) the fact scan must carry
+    might_contain(l_orderkey) built from the filtered orders keys --
+    fact rows that cannot match never reach the shuffle."""
+    from discogs_xml_to_parquet_spark.queries import runtime_filters as RT
+
+    lane = RT.bloom_lane(RT.scoped_session(spark), SF_SMOKE)
+    assert "might_contain" in plan_of(lane).lower()

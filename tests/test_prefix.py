@@ -75,3 +75,105 @@ def test_grouped_running_sum_matches_per_group_window(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_bucket_assignment_is_pure(spark):
+    """ADVICE r7 (medium): the bucketed frame feeds two plan branches
+    (local window + bucket offsets); with the r7 repartitionByRange +
+    spark_partition_id spelling each branch instantiated its own range
+    exchange, whose boundary sampling depends on upstream row order --
+    so on a cluster the branches could disagree on _pid and mis-add
+    offsets. _pid is now a pure function of the leading order key
+    (quantile-boundary counting), so re-evaluation is safe by
+    construction: assert two independent evaluations over differently
+    partitioned inputs agree row-for-row, and no rangepartitioning
+    exchange exists in consumer plans."""
+    df = _data(spark)
+    order = [F.col("k").asc(), F.col("id").asc()]
+    r = P._bucketed(df, order, 7)
+    # one call = one boundary fetch, embedded as literals: every
+    # consumer branch of r, however it reshuffles, sees the same _pid
+    a = r.select("id", "_pid")
+    b = r.repartition(13, "v").select("id", "_pid")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and the boundaries are plan literals, not a sampling subquery
+    assert "approx" not in a._jdf.queryExecution().executedPlan(
+    ).toString().lower()
+
+    got = P.running_sum(df, order, F.col("v"), "c", parts=7)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    got2 = P.running_max_strict(df, order, F.col("v"), "m", parts=7)
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan2.lower(), plan2
+
+
+def test_bucket_monotone_and_ties_colocated(spark):
+    """_pid must be monotone along the leading key and constant across
+    equal keys (ties share a bucket), ascending and descending."""
+    df = _data(spark)
+    for order, sign in ([F.col("k").asc(), F.col("id").asc()], 1), (
+            [F.col("k").desc(), F.col("id").asc()], -1):
+        r = P._bucketed(df, order, 7).select("k", "_pid").collect()
+        by_k = {}
+        for row in r:
+            by_k.setdefault(row.k, set()).add(row._pid)
+        assert all(len(s) == 1 for s in by_k.values())  # ties co-located
+        ks = sorted(by_k, key=lambda k: sign * k)
+        pids = [next(iter(by_k[k])) for k in ks]
+        assert pids == sorted(pids)  # monotone along the sort order
+
+
+def test_running_sum_desc_leading_key(spark):
+    """The q_budget_select shape: leading key DESCENDING (quality
+    first), unique-key tie-break -- bucket direction must reverse."""
+    df = _data(spark, seed=23)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = P.running_sum(df, order, F.col("v"), "c", parts=5)
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("c", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_value_at_ranks_matches_window_spelling(spark):
+    """Distributed selection: values at target ranks must equal the
+    MIN(v) WHERE cum >= k definition computed by a per-group window --
+    including ranks 1 and n_g, heavy ties, and multiple tags hitting
+    the same bucket."""
+    rng = random.Random(29)
+    rows = [(i, rng.choice("AB"), rng.randrange(30), 1 + rng.randrange(4))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, v long, cnt long")
+    counts = df.groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
+    got = P.value_at_ranks(
+        counts, "v", F.col("cnt"),
+        {
+            "first": F.lit(1),
+            "med": F.floor((F.col("n_g") + 1) / 2),
+            "last": F.col("n_g"),
+        },
+        group_cols=["g"], parts=5,
+    )
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_g", F.sum("cnt").over(Window.partitionBy("g"))
+    )
+    def at(k_expr):
+        return (cum.filter(F.col("cum") >= k_expr).groupBy("g")
+                .agg(F.min("v")))
+    want = {}
+    for r in at(F.lit(1)).collect():
+        want.setdefault(r[0], {})["first"] = r[1]
+    for r in at(F.floor((F.col("n_g") + 1) / 2)).collect():
+        want.setdefault(r[0], {})["med"] = r[1]
+    for r in at(F.col("n_g")).collect():
+        want.setdefault(r[0], {})["last"] = r[1]
+    for row in got.collect():
+        for tag in ("first", "med", "last"):
+            assert row[tag] == want[row.g][tag], (row, want[row.g])
