@@ -2,125 +2,103 @@
 
 Import order IS driver-check order (the registry dict preserves
 insertion order and the driver checks the first 50 registered queries
--- r01-r06 all cut at exactly 50). Rotation policy: queries with no
+-- r01-r07 all cut at exactly 50). Rotation policy: queries with no
 CORRECTNESS row anywhere go first, then fixed/changed queries, then
 the module whose passing evidence is oldest.
 
-As of round 7 the policy is CODE, not prose: registry.window()
-derives this order from the CORRECTNESS_r*.json artifacts (VERDICT r6
-item 6), and tests/test_window.py pins that the first 50 imports below
-agree with it -- a new artifact or query that changes the policy
-answer breaks that test and forces this list to be re-derived.
+The policy is CODE, not prose: registry.window() derives this order
+from the CORRECTNESS_r*.json artifacts (VERDICT r6 item 6), and
+tests/test_window.py pins that the first 50 imports below agree with
+it -- a new artifact or query that changes the policy answer breaks
+that test and forces this list to be re-derived
+(`python scripts/window_plan.py` prints the ready-to-paste order).
 
-Round-7 window (the first 50), resolving the r6 docstring's 55-for-50
-oversubscription exactly as VERDICT r6 item 1 recommends -- conversion
-stays IN (the namesake §2.A surface, r4 evidence, VERDICT r5 item 6's
-max-3-rounds-unverified ask, encoded as window(pin=('conversion',)));
-pipeline all but one slips to r8 along with ranges:
+Round-8 window (the first 50), derived by window(changed=R8_CHANGED)
+with R8_CHANGED = the 10 queries the r7 perf sweep rewrote AFTER the
+r7 window locked (plan-level changes, oracles unchanged; evidence
+until now local sf0.001+sf0.01 oracle compares + scripts/sf1_verify.py
+hash checks at the 10x corpus). Three queries are NEW in r8 --
+q_stream_dedup_exact (the watermark-dedup twin driving the TRUE
+readStream path, VERDICT r7 item 7), q_fuzzy_blocked_stats (the
+aggregate output contract for output-bound fuzzy blocking, item 6),
+and q_join_bloom_dpp (runtime bloom filter + dynamic partition
+pruning showcase, item 8) -- and rank 0 (never-checked) pulls their
+modules to the head of the window, exactly the "never-checked first"
+invariant:
 
-- 1-7: tpch_extra -- q5_local_supplier_volume / q6_forecast_revenue /
-  q19_discounted_revenue (added r6, the registry's only queries with
-  no driver row) plus q21_suppliers_waiting (NEW this round: the
-  double-correlated EXISTS / NOT-EXISTS shape from VERDICT r6 item 3,
-  decorrelated to a single per-order aggregate pass); q10/q14/q18
-  ride (r5);
-- 8-22: the changed-capstone group -- q_curation_pipeline changed in
-  r6 (exact-dup edges dropped from the CC input) and was pinned only
-  by local equivalence tests; its import dependencies dedup(11) +
-  packing(1) + quality(2) register first (r5 riders);
-- 23-25: the conversion trio (r4; pinned per VERDICT r5 item 6);
-- 26-49: the r3-evidence modules, oldest in the registry:
-  aggregates (q_agg_cube / q_agg_grouping_sets r3, displaced from the
-  r6 window by its mid-module cut; distinct/rollup r6 riders),
-  formats, reshaping, joins, nested, python_udfs;
-- 50: pipeline's first query (q_pii_redact, r3) -- the cut lands
-  mid-module, exactly like r6's mid-aggregates cut; pipeline's other
-  three queries (positions 51-53) and ranges lead the r8 window.
+- 1-5: streaming_queries (q_stream_dedup_exact NEW; the four r5
+  batch faces ride);
+- 6-10: matching (q_fuzzy_blocked_stats NEW; the four r6 queries
+  ride);
+- 11: runtime_filters (q_join_bloom_dpp NEW);
+- 12-13: sketches (both CHANGED in the r7 perf sweep);
+- 14-17: graph_iter (pagerank CHANGED) + clustering (dragged forward
+  as curation_extra's import dependency);
+- 18-20: curation_extra (budget_select / dedup_semantic CHANGED);
+- 21-24: analytics_extra (triangle / pareto / histogram CHANGED);
+- 25-28: features (mad / percentile_cont CHANGED);
+- 29-35: the r3-evidence leftovers -- pipeline's tail (q_sample_hash,
+  q_dedup_span_shingles, q_rollup_reuse_hourly_daily; q_pii_redact
+  rides, r7) and ranges -- slipped from r7 exactly as that round's
+  plan promised;
+- 36-49: the r4-evidence burn-down, oldest first: cohorts, setops,
+  temporal (asof + multimodal), text_analysis;
+- 50: windows' first query (q_window_topk_per_group, r4) -- the cut
+  lands mid-windows, like r6's mid-aggregates and r7's mid-pipeline
+  cuts.
 
-After this window the registry's oldest in-window evidence is r5 and
-nothing unchecked remains except pipeline's tail + ranges (r3, first
-in line for r8 with the freshest modules last).
-
-CHANGED AFTER r7 WINDOW PLANNING (the r6-capstone precedent: every
-change is plan-level with the oracle unchanged, pinned by local
-sf0.001+sf0.01 oracle compares + plan gates now; driver re-check leads
-the NEXT window). The r7 perf sweep over all 153 queries at sf0.1
-found the non-headline stragglers and fixed them:
-
-- q_histogram_equidepth / q_pareto_frontier (analytics_extra) and
-  q_budget_select (curation_extra): single-task global windows ->
-  distributed range-partitioned prefix scan (operators/prefix.py);
-- q_stats_mad (features): per-group windows over a ~583k-value domain
-  with 3 groups (3 giant tasks) -> grouped prefix scan (6.7 -> 3.8 s);
-- q_pagerank_bipartite (graph_iter): 1-row node count checkpointed
-  (plan exchanges 34 -> 18);
-- q_triangle_count (analytics_extra): edge list + degree table staged
-  once, five consumers (14 -> 7.6 s);
-- q_dedup_semantic (curation_extra): centroid-assignment fold staged
-  once, three consumers (6.7 -> 4.0 s);
-- q_agg_approx_distinct / q_percentiles_approx (sketches): harness
-  reference columns restructured -- sketch pass split from the
-  multi-distinct Expand, four exact percentile buffers collapsed into
-  one array-percentile (8.0 -> 1.9 s / 8.7 -> 2.5 s);
-- q_percentile_cont_exact (features): the cumulative domain table is
-  built once with the grouped prefix scan and staged for all four
-  rank lookups (was: a per-group giant-task window built per
-  percentile).
-
-r8's builder passes ALL of these in window(changed=...): that pulls
-analytics_extra, curation_extra (+ its clustering import), graph_iter,
-features, and sketches into the r8 window alongside pipeline's tail +
-ranges.
+After this window the remaining r4 evidence is 8 queries (windows'
+other three, subqueries, semistructured) and r5 is 20 (relational,
+scalars, similarity incl. the manually-registered bruteforce query,
+timeseries, text_extra). Two-round retirement schedule (VERDICT r7
+item 5): the r9 window takes all 28 of those plus the oldest r6
+modules in the order below -- r9 then ends with nothing older than
+r6.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # 1-7: the only driver-unchecked queries (q5/q6/q19 + NEW q21);
-    # q10/q14/q18 ride
-    tpch_extra,
-    # 8-22: changed-capstone group (curation_full's import deps first)
-    dedup,
-    packing,
-    quality,
-    curation_full,
-    # 23-25: conversion trio (r4; pinned -- VERDICT r5 item 6)
-    conversion,
-    # 26-49: r3-evidence modules, registry order preserved
-    aggregates,
-    formats,
-    reshaping,
-    joins,
-    nested,
-    python_udfs,
-    # 50: q_pii_redact -- the 50-query window cut lands after it
+    # 1-5: q_stream_dedup_exact NEW (true readStream path); faces ride
+    streaming_queries,
+    # 6-10: q_fuzzy_blocked_stats NEW (aggregate fuzzy contract)
+    matching,
+    # 11: q_join_bloom_dpp NEW (runtime bloom + DPP showcase)
+    runtime_filters,
+    # 12-13: sketches (both CHANGED in the r7 perf sweep)
+    sketches,
+    # 14-17: graph_iter (pagerank CHANGED) + clustering
+    # (curation_extra import dependency, folded forward)
+    graph_iter,
+    clustering,
+    # 18-20: curation_extra (budget_select / dedup_semantic CHANGED)
+    curation_extra,
+    # 21-24: analytics_extra (triangle / pareto / histogram CHANGED)
+    analytics_extra,
+    # 25-28: features (mad / percentile_cont CHANGED)
+    features,
+    # 29-35: the r3-evidence leftovers -- pipeline tail + ranges
     pipeline,
-    # --- 50-query window cut (mid-pipeline) ---
-    # r3-green leftover: first in line for round 8
     ranges,
-    # r4-green
+    # 36-49: r4-evidence burn-down
     cohorts,
     setops,
     temporal,
     text_analysis,
+    # 50: q_window_topk_per_group -- the window cut lands after it
     windows,
+    # --- 50-query window cut (mid-windows) ---
+    # r4-green leftovers: first in line for round 9
     subqueries,
     semistructured,
     # r5-green
     relational,
     scalars,
-    streaming_queries,
     similarity,
     timeseries,
     text_extra,
-    sketches,
-    # r6-green (freshest evidence, rotated out of the window)
+    # r6-green
     stats_extra,
     windows_extra,
     scd,
-    graph_iter,
-    clustering,
-    curation_extra,
-    analytics_extra,
-    features,
     cdc,
     layout,
     quality_model,
@@ -131,7 +109,19 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     scoring,
     formats_extra,
     sampling,
-    matching,
+    # r7-green (freshest evidence, rotated out of the window)
+    tpch_extra,
+    dedup,
+    packing,
+    quality,
+    curation_full,
+    conversion,
+    aggregates,
+    formats,
+    reshaping,
+    joins,
+    nested,
+    python_udfs,
 )
 from discogs_xml_to_parquet_spark.registry import query as _query
 

@@ -96,27 +96,44 @@ def _latest_green_round(artifacts_dir: str) -> dict[str, int]:
 
 def _module_deps() -> dict[str, list[str]]:
     """Intra-package import edges between query modules, scanned from
-    source: if module A imports module B, importing A registers B's
-    queries first, so a window containing A necessarily contains B."""
+    source with `ast` (ADVICE r7: the earlier regex captured only the
+    first name of a multi-module `from ...queries import a, b`): if
+    module A imports module B, importing A registers B's queries
+    first, so a window containing A necessarily contains B."""
+    import ast
     import os
-    import re
 
     from discogs_xml_to_parquet_spark import queries as qpkg
 
+    pkg = "discogs_xml_to_parquet_spark.queries"
     pkg_dir = os.path.dirname(qpkg.__file__)
-    pat = re.compile(
-        r"from discogs_xml_to_parquet_spark\.queries(?:\.(\w+) import|"
-        r" import (\w+))"
-    )
     deps: dict[str, list[str]] = {}
     for fn in sorted(os.listdir(pkg_dir)):
         if not fn.endswith(".py") or fn == "__init__.py":
             continue
         mod = fn[:-3]
         with open(os.path.join(pkg_dir, fn)) as f:
-            src = f.read()
-        hits = [a or b for a, b in pat.findall(src)]
-        deps[mod] = [h for h in hits if not h.startswith("_")]
+            tree = ast.parse(f.read())
+        hits: list[str] = []
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module:
+                if node.module == pkg:
+                    # from ...queries import a, b -> every alias is a
+                    # sibling query module
+                    hits += [a.name for a in node.names]
+                elif node.module.startswith(pkg + "."):
+                    # from ...queries.a import x -> module is `a`
+                    hits.append(node.module[len(pkg) + 1:].split(".")[0])
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith(pkg + "."):
+                        hits.append(a.name[len(pkg) + 1:].split(".")[0])
+        seen: set[str] = set()
+        deps[mod] = [
+            h for h in hits
+            if not h.startswith("_") and h != mod
+            and not (h in seen or seen.add(h))
+        ]
     return deps
 
 

@@ -8,8 +8,17 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import os
+
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.001"  # fast local gate; driver uses sf0.01
+# Local oracle gate SF (VERDICT r7 item 3): default sf0.001 for speed;
+# the driver compares at sf0.01, so before each round's window locks
+# run the slow lane once at driver scale:
+#   SPARK_GRAFT_ORACLE_SF=sf0.01 python -m pytest tests/test_oracle.py -q
+# (scripts/driver_sim.py remains the full driver-parity check.)
+SF_ORACLE = "/root/testdata/" + os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF", "sf0.001"
+)
 
 
 @pytest.fixture(scope="session")
