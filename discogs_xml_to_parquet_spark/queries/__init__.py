@@ -17,76 +17,78 @@ Round-8 window (the first 50), derived by window(changed=R8_CHANGED)
 with R8_CHANGED = the 10 queries the r7 perf sweep rewrote AFTER the
 r7 window locked (plan-level changes, oracles unchanged; evidence
 until now local sf0.001+sf0.01 oracle compares + scripts/sf1_verify.py
-hash checks at the 10x corpus). Three queries are NEW in r8 --
-q_stream_dedup_exact (the watermark-dedup twin driving the TRUE
-readStream path, VERDICT r7 item 7), q_fuzzy_blocked_stats (the
-aggregate output contract for output-bound fuzzy blocking, item 6),
-and q_join_bloom_dpp (runtime bloom filter + dynamic partition
-pruning showcase, item 8) -- and rank 0 (never-checked) pulls their
-modules to the head of the window, exactly the "never-checked first"
+hash checks at the 10x corpus). Four queries are NEW in r8 --
+q_stream_dedup_exact and q_stream_cdc_state (the watermark-dedup twin
+and the applyInPandasWithState CDC lane driving the TRUE readStream
+paths, VERDICT r7 item 7 -- both with full hash oracles, stronger
+than the rows-only ask), q_fuzzy_blocked_stats (the aggregate output
+contract for output-bound fuzzy blocking, item 6), and
+q_join_bloom_dpp (runtime bloom filter + dynamic partition pruning
+showcase, item 8) -- and rank 0 (never-checked) pulls their modules
+to the head of the window, exactly the "never-checked first"
 invariant:
 
-- 1-5: streaming_queries (q_stream_dedup_exact NEW; the four r5
-  batch faces ride);
-- 6-10: matching (q_fuzzy_blocked_stats NEW; the four r6 queries
+- 1-6: streaming_queries (q_stream_dedup_exact / q_stream_cdc_state
+  NEW; the four r5 batch faces ride);
+- 7-11: matching (q_fuzzy_blocked_stats NEW; the four r6 queries
   ride);
-- 11: runtime_filters (q_join_bloom_dpp NEW);
-- 12-13: sketches (both CHANGED in the r7 perf sweep);
-- 14-17: graph_iter (pagerank CHANGED) + clustering (dragged forward
+- 12: runtime_filters (q_join_bloom_dpp NEW);
+- 13-14: sketches (both CHANGED in the r7 perf sweep);
+- 15-18: graph_iter (pagerank CHANGED) + clustering (dragged forward
   as curation_extra's import dependency);
-- 18-20: curation_extra (budget_select / dedup_semantic CHANGED);
-- 21-24: analytics_extra (triangle / pareto / histogram CHANGED);
-- 25-28: features (mad / percentile_cont CHANGED);
-- 29-35: the r3-evidence leftovers -- pipeline's tail (q_sample_hash,
+- 19-21: curation_extra (budget_select / dedup_semantic CHANGED);
+- 22-25: analytics_extra (triangle / pareto / histogram CHANGED);
+- 26-29: features (mad / percentile_cont CHANGED);
+- 30-36: the r3-evidence leftovers -- pipeline's tail (q_sample_hash,
   q_dedup_span_shingles, q_rollup_reuse_hourly_daily; q_pii_redact
   rides, r7) and ranges -- slipped from r7 exactly as that round's
   plan promised;
-- 36-49: the r4-evidence burn-down, oldest first: cohorts, setops,
-  temporal (asof + multimodal), text_analysis;
-- 50: windows' first query (q_window_topk_per_group, r4) -- the cut
-  lands mid-windows, like r6's mid-aggregates and r7's mid-pipeline
-  cuts.
+- 37-50: the r4-evidence burn-down, oldest first: cohorts, setops,
+  temporal (asof + multimodal), and the whole of text_analysis -- the
+  cut lands exactly at text_analysis's last query
+  (q_text_langid_ngram, slot 50).
 
-After this window the remaining r4 evidence is 8 queries (windows'
-other three, subqueries, semistructured) and r5 is 20 (relational,
-scalars, similarity incl. the manually-registered bruteforce query,
+After this window the remaining r4 evidence is 12 queries (windows,
+subqueries, semistructured) and r5 is 20 (relational, scalars,
+similarity incl. the manually-registered bruteforce query,
 timeseries, text_extra). Two-round retirement schedule (VERDICT r7
-item 5): the r9 window takes all 28 of those plus the oldest r6
+item 5): the r9 window takes all 32 of those plus the oldest r6
 modules in the order below -- r9 then ends with nothing older than
 r6.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # 1-5: q_stream_dedup_exact NEW (true readStream path); faces ride
+    # 1-6: q_stream_dedup_exact + q_stream_cdc_state NEW (true
+    # readStream paths); the four batch faces ride
     streaming_queries,
-    # 6-10: q_fuzzy_blocked_stats NEW (aggregate fuzzy contract)
+    # 7-11: q_fuzzy_blocked_stats NEW (aggregate fuzzy contract)
     matching,
-    # 11: q_join_bloom_dpp NEW (runtime bloom + DPP showcase)
+    # 12: q_join_bloom_dpp NEW (runtime bloom + DPP showcase)
     runtime_filters,
-    # 12-13: sketches (both CHANGED in the r7 perf sweep)
+    # 13-14: sketches (both CHANGED in the r7 perf sweep)
     sketches,
-    # 14-17: graph_iter (pagerank CHANGED) + clustering
+    # 15-18: graph_iter (pagerank CHANGED) + clustering
     # (curation_extra import dependency, folded forward)
     graph_iter,
     clustering,
-    # 18-20: curation_extra (budget_select / dedup_semantic CHANGED)
+    # 19-21: curation_extra (budget_select / dedup_semantic CHANGED)
     curation_extra,
-    # 21-24: analytics_extra (triangle / pareto / histogram CHANGED)
+    # 22-25: analytics_extra (triangle / pareto / histogram CHANGED)
     analytics_extra,
-    # 25-28: features (mad / percentile_cont CHANGED)
+    # 26-29: features (mad / percentile_cont CHANGED)
     features,
-    # 29-35: the r3-evidence leftovers -- pipeline tail + ranges
+    # 30-36: the r3-evidence leftovers -- pipeline tail + ranges
     pipeline,
     ranges,
-    # 36-49: r4-evidence burn-down
+    # 37-50: r4-evidence burn-down; the cut lands exactly after
+    # text_analysis's last query (q_text_langid_ngram)
     cohorts,
     setops,
     temporal,
     text_analysis,
-    # 50: q_window_topk_per_group -- the window cut lands after it
-    windows,
-    # --- 50-query window cut (mid-windows) ---
+    # --- 50-query window cut ---
     # r4-green leftovers: first in line for round 9
+    windows,
     subqueries,
     semistructured,
     # r5-green

@@ -5,7 +5,7 @@ exercised in tests/test_streaming.py against these same functions."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.registry import query
@@ -197,4 +197,78 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("text_hash")
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
         .orderBy("text_hash")
+    )
+
+
+@query(
+    "q_stream_cdc_state",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         CAST(ts AS TIMESTAMP) AS ts_us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM events
+)
+SELECT user_id, event_type AS last_op, value AS last_value,
+       epoch_us(ts_us) AS last_ts_micros, n_ops
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful streaming lane as a driver row: runs the
+    REAL readStream -> applyInPandasWithState (latest_keyed_state,
+    streaming/stateful.py) -> memory sink path to completion with an
+    availableNow trigger over the events changelog, then returns the
+    final per-key state -- the row with max n_ops per key, since
+    n_ops strictly grows each time a batch touches the key. Like
+    q_stream_dedup_exact this converts the stateful lane's pytest-only
+    batch-equivalence evidence (tests/test_stateful_streaming.py) into
+    driver evidence; unlike the q_stream_* batch faces, Python state
+    code actually executes here.
+
+    Determinism: the state fold's winner is max (ts microseconds,
+    event_id) -- a total order, replay-safe across any microbatch
+    arrangement -- and the oracle ranks by the identical key after
+    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast applies the same
+    nanosecond truncation the pandas ns -> us division does. The raw
+    value/op are passthroughs, never aggregated, so the hash compare
+    is exact. (ts reads as timestamp_ntz; a nanos-generation
+    events.parquet would need the tables._load_events legacy lane --
+    same caveat as stream_events, streaming/events.py.)"""
+    from discogs_xml_to_parquet_spark.streaming.stateful import (
+        latest_keyed_state,
+    )
+
+    sink = "q_stream_cdc_state_sink"
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    q = (
+        latest_keyed_state(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_ops").desc())
+    return (
+        spark.table(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "last_op", "last_value", "last_ts_micros",
+                "n_ops")
+        .orderBy("user_id")
     )
