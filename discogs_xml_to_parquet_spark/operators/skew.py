@@ -10,8 +10,16 @@ are skewed, but two shapes still need manual salting at 100 TB:
 Salting trades a bounded replication of the small side for an even key
 distribution: fact rows get salt = pmod(hash(unique_col), k); the other
 side is replicated k times (one copy per salt value) via a literal
-explode -- deterministic, no RNG, so results are reproducible and
-testable.
+explode -- no RNG, so results are reproducible and testable.
+
+Salt-invariance note (the r7-ADVICE _pid lesson applied here): with a
+unique_col the salt is a pure row function; the
+monotonically_increasing_id fallback is partition-dependent and NOT
+stable across re-evaluations -- safe here ONLY because the RESULT is
+salt-invariant (every fact row matches exactly one of the k dim
+replicas whatever salt it draws, and partial aggregates re-combine to
+the same totals under any salt assignment). Never branch on the salt
+value itself; pass a unique column when one exists.
 """
 
 from __future__ import annotations

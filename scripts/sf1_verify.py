@@ -31,6 +31,10 @@ SRC_SF = "/root/testdata/sf0.1"
 DEFAULT = [
     "q_histogram_equidepth", "q_stats_mad", "q_percentile_cont_exact",
     "q_dedup_exact", "q_budget_select", "q_mode_per_group",
+    # r8: the true-streaming dedup over the 10x (50k-doc) backfill --
+    # the watermark horizon covers the 10x ingest span, so the stream
+    # must still collapse to exactly DISTINCT md5(text)
+    "q_stream_dedup_exact",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries
 ]
