@@ -57,28 +57,37 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     small broadcast, and the closing check is an equi-semi-join.
     The oracle counts the same triangles by plain a<b<c enumeration."""
     li = load(spark, sf_dir, "lineitem")
-    lp = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    w = Window.partitionBy("o").orderBy("p")
-    capped = (
-        lp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _ORDER_CAP)
-        .drop("rn")
+    # per-order pair generation in ONE shuffle (r8): collect_set(p)
+    # per order (map-side partial merge dedups early), sort + cap the
+    # tiny array (<= _ORDER_CAP elements -- identical to the oracle's
+    # ROW_NUMBER()-by-p cap), and expand the <= C(cap,2) ordered pairs
+    # with a nested HOF -- value-identical to the r7
+    # distinct -> cap-window -> self-join chain (xor-hash-checked) but
+    # with the window sort and the per-order self-join shuffle gone.
+    pairs = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.slice(
+            F.array_sort(F.collect_set("l_partkey")), 1, _ORDER_CAP
+        ).alias("ps")
     )
-    a, b = capped.alias("a"), capped.alias("b")
     # stage the edge list ONCE (the pagerank discipline,
     # graph_iter.py): five consumers read it -- the degree table (read
     # twice as du/dv), the orientation join, the wedge-closing
     # semi-join, and the n_edges audit -- and without the checkpoint
-    # each re-ran the distinct -> cap-window -> self-join -> distinct
-    # chain (r7 sweep: 14 s warm -> 7.6 s staged; the remainder is the
-    # genuine wedge join). At 100 TB this is the
-    # oriented-edge staging write every production triangle count
-    # starts from.
+    # each re-ran the pair-generation chain (r7 sweep: 14 s warm ->
+    # 7.6 s staged; the remainder is the genuine wedge join). At
+    # 100 TB this is the oriented-edge staging write every production
+    # triangle count starts from.
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        pairs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
