@@ -17,44 +17,46 @@ Round-8 window (the first 50), derived by window(changed=R8_CHANGED)
 with R8_CHANGED = the 10 queries the r7 perf sweep rewrote AFTER the
 r7 window locked (plan-level changes, oracles unchanged; evidence
 until now local sf0.001+sf0.01 oracle compares + scripts/sf1_verify.py
-hash checks at the 10x corpus). Four queries are NEW in r8 --
+hash checks at the 10x corpus). Five queries are NEW in r8 --
 q_stream_dedup_exact and q_stream_cdc_state (the watermark-dedup twin
 and the applyInPandasWithState CDC lane driving the TRUE readStream
 paths, VERDICT r7 item 7 -- both with full hash oracles, stronger
 than the rows-only ask), q_fuzzy_blocked_stats (the aggregate output
 contract for output-bound fuzzy blocking, item 6), and
 q_join_bloom_dpp (runtime bloom filter + dynamic partition pruning
-showcase, item 8) -- and rank 0 (never-checked) pulls their modules
-to the head of the window, exactly the "never-checked first"
-invariant:
+showcase, item 8), and q_freq_items_cms (count-min-sketch heavy
+hitters built as plain DataFrame ops, completing the sketch trio) --
+and rank 0 (never-checked) pulls their modules to the head of the
+window, exactly the "never-checked first" invariant:
 
 - 1-6: streaming_queries (q_stream_dedup_exact / q_stream_cdc_state
   NEW; the four r5 batch faces ride);
 - 7-11: matching (q_fuzzy_blocked_stats NEW; the four r6 queries
   ride);
 - 12: runtime_filters (q_join_bloom_dpp NEW);
-- 13-14: sketches (both CHANGED in the r7 perf sweep);
-- 15-18: graph_iter (pagerank CHANGED) + clustering (dragged forward
+- 13-15: sketches (approx_distinct / percentiles_approx CHANGED in
+  the r7 perf sweep; q_freq_items_cms NEW);
+- 16-19: graph_iter (pagerank CHANGED) + clustering (dragged forward
   as curation_extra's import dependency);
-- 19-21: curation_extra (budget_select / dedup_semantic CHANGED);
-- 22-25: analytics_extra (triangle / pareto / histogram CHANGED);
-- 26-29: features (mad / percentile_cont CHANGED);
-- 30-36: the r3-evidence leftovers -- pipeline's tail (q_sample_hash,
+- 20-22: curation_extra (budget_select / dedup_semantic CHANGED);
+- 23-26: analytics_extra (triangle / pareto / histogram CHANGED);
+- 27-30: features (mad / percentile_cont CHANGED);
+- 31-37: the r3-evidence leftovers -- pipeline's tail (q_sample_hash,
   q_dedup_span_shingles, q_rollup_reuse_hourly_daily; q_pii_redact
   rides, r7) and ranges -- slipped from r7 exactly as that round's
   plan promised;
-- 37-50: the r4-evidence burn-down, oldest first: cohorts, setops,
-  temporal (asof + multimodal), and the whole of text_analysis -- the
-  cut lands exactly at text_analysis's last query
-  (q_text_langid_ngram, slot 50).
+- 38-50: the r4-evidence burn-down, oldest first: cohorts, setops,
+  temporal (asof + multimodal), and text_analysis -- the cut lands
+  mid-text_analysis after its 6th query (q_text_rolling_winnow,
+  slot 50; q_text_langid_ngram slips to r9).
 
-After this window the remaining r4 evidence is 12 queries (windows,
-subqueries, semistructured) and r5 is 20 (relational, scalars,
-similarity incl. the manually-registered bruteforce query,
-timeseries, text_extra). Two-round retirement schedule (VERDICT r7
-item 5): the r9 window takes all 32 of those plus the oldest r6
-modules in the order below -- r9 then ends with nothing older than
-r6.
+After this window the remaining r4 evidence is 13 queries
+(q_text_langid_ngram, windows, subqueries, semistructured) and r5 is
+20 (relational, scalars, similarity incl. the manually-registered
+bruteforce query, timeseries, text_extra). Two-round retirement
+schedule (VERDICT r7 item 5): the r9 window takes all 33 of those
+plus the oldest r6 modules in the order below -- r9 then ends with
+nothing older than r6.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
@@ -65,28 +67,28 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     matching,
     # 12: q_join_bloom_dpp NEW (runtime bloom + DPP showcase)
     runtime_filters,
-    # 13-14: sketches (both CHANGED in the r7 perf sweep)
+    # 13-15: sketches (two r7-sweep CHANGED + q_freq_items_cms NEW)
     sketches,
-    # 15-18: graph_iter (pagerank CHANGED) + clustering
+    # 16-19: graph_iter (pagerank CHANGED) + clustering
     # (curation_extra import dependency, folded forward)
     graph_iter,
     clustering,
-    # 19-21: curation_extra (budget_select / dedup_semantic CHANGED)
+    # 20-22: curation_extra (budget_select / dedup_semantic CHANGED)
     curation_extra,
-    # 22-25: analytics_extra (triangle / pareto / histogram CHANGED)
+    # 23-26: analytics_extra (triangle / pareto / histogram CHANGED)
     analytics_extra,
-    # 26-29: features (mad / percentile_cont CHANGED)
+    # 27-30: features (mad / percentile_cont CHANGED)
     features,
-    # 30-36: the r3-evidence leftovers -- pipeline tail + ranges
+    # 31-37: the r3-evidence leftovers -- pipeline tail + ranges
     pipeline,
     ranges,
-    # 37-50: r4-evidence burn-down; the cut lands exactly after
-    # text_analysis's last query (q_text_langid_ngram)
+    # 38-50: r4-evidence burn-down; the cut lands mid-text_analysis
+    # after q_text_rolling_winnow (its 7th query slips to r9)
     cohorts,
     setops,
     temporal,
     text_analysis,
-    # --- 50-query window cut ---
+    # --- 50-query window cut (mid-text_analysis) ---
     # r4-green leftovers: first in line for round 9
     windows,
     subqueries,

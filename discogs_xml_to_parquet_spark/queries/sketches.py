@@ -149,3 +149,114 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# count-min sketch geometry: width w = ceil(e / eps), depth d =
+# ceil(ln(1 / delta)). eps = 1e-3, delta = 1e-2 -> 2719 x 5 counters.
+_CMS_W = 2719
+_CMS_D = 5
+_CMS_TOPK = 20
+
+
+@query(
+    "q_freq_items_cms",
+    oracle=f"""
+WITH exact AS (
+  SELECT l_suppkey, COUNT(*) AS n_exact
+  FROM lineitem GROUP BY l_suppkey
+  ORDER BY n_exact DESC, l_suppkey
+  LIMIT {_CMS_TOPK}
+)
+SELECT l_suppkey, n_exact,
+       TRUE AS est_ge_exact,
+       TRUE AS est_within_eps
+FROM exact
+ORDER BY n_exact DESC, l_suppkey
+""",
+)
+def q_freq_items_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items estimation via a count-min sketch BUILT AS
+    DATAFRAME OPS -- the heavy-hitter sketch a filtering pipeline uses
+    to find dominant keys (domains, near-constant fields) without a
+    full groupBy materialization per key, completing the sketch trio
+    (HLL cardinality, GK percentiles, CMS frequencies).
+
+    Build: one map-only pass explodes each row into its {_CMS_D} (row,
+    hash-column) cells -- xxhash64(key, seed_i) mod {_CMS_W} -- and a
+    groupBy over the bounded {_CMS_D}x{_CMS_W} cell space (map-side
+    combining; the sketch table is ~14k rows at ANY data size) is the
+    whole sketch. Estimate for a key = min over rows of its cell
+    counts, read with a broadcast join of the candidate keys against
+    the sketch table -- no driver-side sketch object, no binary blob
+    (F.count_min_sketch exists but its blob has no declarative
+    reader), every step plain Spark SQL. At 100 TB: explode pass is
+    scan-shaped, sketch table size is CONSTANT, candidate probe is a
+    broadcast -- this is why CMS beats exact groupBy when the key
+    space is huge and only heavy hitters matter.
+
+    Correctness contract (bounds-checked oracle, the sketches.py
+    pattern): est >= exact is the CMS hard guarantee (counters only
+    overcount); est <= exact + eps*N holds per key with probability
+    1 - delta over hash choice and is DETERMINISTIC once the seeds are
+    fixed literals -- verified in-band at sf0.001/0.01/0.1 locally, so
+    both booleans are stable. The exact top-{_CMS_TOPK} counts ride as
+    the hash-compared reference; ties broken by key."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.col("l_suppkey")
+    cells = li.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_CMS_W))
+                    .alias("c"),
+                )
+                for i in range(_CMS_D)
+            ])
+        ).alias("rc")
+    )
+    cms = cells.groupBy("rc.r", "rc.c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exact = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "l_suppkey")
+        .limit(_CMS_TOPK)
+    )
+    n_total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    probes = exact.select(
+        "l_suppkey",
+        "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.pmod(
+                        F.xxhash64(F.col("l_suppkey"), F.lit(i)),
+                        F.lit(_CMS_W),
+                    ).alias("c"),
+                )
+                for i in range(_CMS_D)
+            ])
+        ).alias("rc"),
+    ).select("l_suppkey", "n_exact", "rc.r", "rc.c")
+    est = (
+        probes.join(F.broadcast(cms), ["r", "c"])
+        .groupBy("l_suppkey", "n_exact")
+        .agg(F.min("n").alias("_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            "l_suppkey",
+            "n_exact",
+            (F.col("_est") >= F.col("n_exact")).alias("est_ge_exact"),
+            (
+                F.col("_est")
+                <= F.col("n_exact")
+                + F.ceil(F.col("n_total") * F.lit(0.001))
+            ).alias("est_within_eps"),
+        )
+        .orderBy(F.col("n_exact").desc(), "l_suppkey")
+    )

@@ -35,6 +35,9 @@ DEFAULT = [
     # the watermark horizon covers the 10x ingest span, so the stream
     # must still collapse to exactly DISTINCT md5(text)
     "q_stream_dedup_exact",
+    # r8: the count-min heavy hitters over the 6M-row corpus -- the
+    # est >= exact hard guarantee and the eps*N band must hold at 10x
+    "q_freq_items_cms",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries
 ]

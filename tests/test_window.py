@@ -24,10 +24,11 @@ WINDOW_SIZE = 50
 # AFTER the r7 window locked (plan-level changes, oracles unchanged --
 # full measurements in queries/__init__.py). No pin this round: the
 # conversion trio's max-3-rounds guarantee (VERDICT r5 item 6) is
-# satisfied through r10 by its r7 rows. The four queries NEW in r8
+# satisfied through r10 by its r7 rows. The five queries NEW in r8
 # (q_stream_dedup_exact, q_stream_cdc_state, q_fuzzy_blocked_stats,
-# q_join_bloom_dpp) are IN the r8 window -- they registered before it
-# locked, so rank 0 (never-checked) pulls their modules to the head.
+# q_join_bloom_dpp, q_freq_items_cms) are IN the r8 window -- they
+# registered before it locked, so rank 0 (never-checked) pulls their
+# modules to the head.
 R8_CHANGED = frozenset({
     "q_histogram_equidepth",
     "q_pareto_frontier",
@@ -72,19 +73,20 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r8_window_contents():
-    """The round-8 membership decisions, pinned explicitly: the four
+    """The round-8 membership decisions, pinned explicitly: the five
     NEW queries' modules lead (rank 0), all 10 perf-sweep-rewritten
     queries follow (VERDICT r7 items 1/2), the r3 leftovers (pipeline
     tail + ranges) and most of the r4 cohort are in, and the cut
-    lands exactly at text_analysis's last query (windows, subqueries
-    and semistructured slip to r9 -- the cost of the new queries'
-    modules, 12 slots, entering at rank 0)."""
+    lands mid-text_analysis after q_text_rolling_winnow (its last
+    query plus windows, subqueries and semistructured slip to r9 --
+    the cost of the new queries' modules entering at rank 0)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         "q_stream_dedup_exact",
         "q_stream_cdc_state",
         "q_fuzzy_blocked_stats",
         "q_join_bloom_dpp",
+        "q_freq_items_cms",
         *sorted(R8_CHANGED),
         "q_sample_hash",
         "q_dedup_span_shingles",
@@ -95,11 +97,12 @@ def test_r8_window_contents():
         "q_cohort_retention",
         "q_asof_join",
         "q_text_fingerprint",
-        "q_text_langid_ngram",
+        "q_text_rolling_winnow",
     ):
         assert must in win, must
-    assert win[-1] == "q_text_langid_ngram"  # the module-exact cut
-    for out in ("q_window_topk_per_group", "q_subquery_correlated",
+    assert win[-1] == "q_text_rolling_winnow"  # the mid-module cut
+    for out in ("q_text_langid_ngram",
+                "q_window_topk_per_group", "q_subquery_correlated",
                 "q_map_funcs", "q1_pricing_summary", "q_string_funcs",
                 "q_dedup_exact", "discogs_xml_conversion"):
         assert out not in win, out
