@@ -189,10 +189,16 @@ def q_freq_items_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, read with a broadcast join of the candidate keys against
     the sketch table -- no driver-side sketch object, no binary blob
     (F.count_min_sketch exists but its blob has no declarative
-    reader), every step plain Spark SQL. At 100 TB: explode pass is
-    scan-shaped, sketch table size is CONSTANT, candidate probe is a
-    broadcast -- this is why CMS beats exact groupBy when the key
-    space is huge and only heavy hitters matter.
+    reader), every step plain Spark SQL. The grand total N (the eps*N
+    band's scale) is read FROM the sketch -- each counter row
+    partitions the input, so SUM over row 0's cells is exactly N --
+    instead of a separate COUNT(*) pass over the fact table. At
+    100 TB: explode pass is scan-shaped, sketch table size is
+    CONSTANT, candidate probe is a broadcast, and the fact table is
+    scanned exactly twice (sketch build + the exact reference the
+    oracle needs; a production heavy-hitter pass with external
+    candidates scans it once) -- this is why CMS beats exact groupBy
+    when the key space is huge and only heavy hitters matter.
 
     Correctness contract (bounds-checked oracle, the sketches.py
     pattern): est >= exact is the CMS hard guarantee (counters only
@@ -215,16 +221,24 @@ def q_freq_items_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("rc")
     )
+    # staged once (the registry staging rule for multi-consumer
+    # frames): the probe join AND the N readback both consume the
+    # sketch, and without staging each branch rebuilds it from its
+    # own fact scan (no ReusedExchange across a broadcast and a
+    # shuffle consumer -- measured). ~14k rows at any data size.
     cms = cells.groupBy("rc.r", "rc.c").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint()
     exact = (
         li.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .orderBy(F.col("n_exact").desc(), "l_suppkey")
         .limit(_CMS_TOPK)
     )
-    n_total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    # N from the sketch itself: row 0's counters partition the input
+    n_total = (
+        cms.filter(F.col("r") == 0).agg(F.sum("n").alias("n_total"))
+    )
     probes = exact.select(
         "l_suppkey",
         "n_exact",
