@@ -688,3 +688,18 @@ def test_bloom_query_injects_runtime_filter(spark):
 
     lane = RT.bloom_lane(RT.scoped_session(spark), SF_SMOKE)
     assert "might_contain" in plan_of(lane).lower()
+
+
+def test_cms_consumer_plan_reads_sketch_not_fact(spark):
+    """q_freq_items_cms: the staged ~14k-row counter table must serve
+    BOTH consumers (probe join and eps*N readback), so the consumer
+    plan scans the fact parquet exactly ONCE (the exact reference the
+    oracle rides on) and probes the sketch via broadcast -- at 100 TB
+    the sketch build is the only other fact pass."""
+    df = registry.QUERIES["q_freq_items_cms"](spark, SF_SMOKE)
+    tree = plan_of(df).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "BroadcastHashJoin" in tree
+    # the sketch arrives as the checkpointed RDD (both consumers),
+    # not as two re-aggregations from their own fact scans
+    assert tree.count("Scan ExistingRDD") == 2, tree
