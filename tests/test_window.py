@@ -73,13 +73,14 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r8_window_contents():
-    """The round-8 membership decisions, pinned explicitly: the five
-    NEW queries' modules lead (rank 0), all 10 perf-sweep-rewritten
-    queries follow (VERDICT r7 items 1/2), the r3 leftovers (pipeline
-    tail + ranges) and most of the r4 cohort are in, and the cut
-    lands mid-text_analysis after q_text_rolling_winnow (its last
-    query plus windows, subqueries and semistructured slip to r9 --
-    the cost of the new queries' modules entering at rank 0)."""
+    """The round-8 membership decisions, pinned explicitly: the nine
+    NEW queries' modules lead (rank 0, incl. the tpch_extra2 four),
+    all 10 perf-sweep-rewritten queries follow (VERDICT r7 items
+    1/2), the r3 leftovers (pipeline tail + ranges) and most of the
+    r4 cohort are in, and the cut lands mid-text_analysis after
+    q_text_quality (its last five queries plus windows, subqueries
+    and semistructured slip to r9 -- the cost of the new queries'
+    modules entering at rank 0)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         "q_stream_dedup_exact",
@@ -87,6 +88,10 @@ def test_r8_window_contents():
         "q_fuzzy_blocked_stats",
         "q_join_bloom_dpp",
         "q_freq_items_cms",
+        "q13_customer_distribution",
+        "q17_small_qty_revenue",
+        "q7_volume_shipping",
+        "q22_idle_balance",
         *sorted(R8_CHANGED),
         "q_sample_hash",
         "q_dedup_span_shingles",
@@ -96,12 +101,13 @@ def test_r8_window_contents():
         "q_range_join_bucketed",
         "q_cohort_retention",
         "q_asof_join",
-        "q_text_fingerprint",
-        "q_text_rolling_winnow",
+        "q_text_stats",
+        "q_text_quality",
     ):
         assert must in win, must
-    assert win[-1] == "q_text_rolling_winnow"  # the mid-module cut
-    for out in ("q_text_langid_ngram",
+    assert win[-1] == "q_text_quality"  # the mid-module cut
+    for out in ("q_text_fingerprint", "q_text_rolling_winnow",
+                "q_text_langid_ngram",
                 "q_window_topk_per_group", "q_subquery_correlated",
                 "q_map_funcs", "q1_pricing_summary", "q_string_funcs",
                 "q_dedup_exact", "discogs_xml_conversion"):
