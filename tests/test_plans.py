@@ -703,3 +703,59 @@ def test_cms_consumer_plan_reads_sketch_not_fact(spark):
     # the sketch arrives as the checkpointed RDD (both consumers),
     # not as two re-aggregations from their own fact scans
     assert tree.count("Scan ExistingRDD") == 2, tree
+
+
+def test_q13_filter_rides_outer_join_and_pushes_to_scan(spark):
+    """Q13's defining feature: the priority predicate lives ON the
+    left outer join (zero-order customers survive), and because it
+    only references the orders side it must ALSO reach the orders
+    parquet scan as a pushed filter -- at 100 TB the excluded class
+    never leaves the row groups."""
+    df = registry.QUERIES["q13_customer_distribution"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan  # pushed
+    # count-of-counts = two aggregate pairs (per-customer, then the
+    # tiny distribution), never a window
+    assert "Window" not in plan
+
+
+def test_q17_correlated_avg_is_one_fact_scan_window(spark):
+    """Q17's correlated AVG must decorrelate to a window partitioned
+    by the part key over ONE lineitem scan -- the literal spelling
+    would re-scan the fact as a self-join (two scans, two shuffles).
+    The qualifying-part restriction must broadcast below the window
+    so the shuffled slice is the tiny brand/type fraction."""
+    df = registry.QUERIES["q17_small_qty_revenue"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, tree  # lineitem + part, once each
+    assert "windowspecdefinition(l_partkey" in plan
+    assert "BroadcastHashJoin" in tree
+
+
+def test_q7_pair_filters_push_to_both_role_scans(spark):
+    """Q7 joins nation in two roles; the pair disjunction must reduce
+    BOTH role dimensions before they touch the fact (pushed IN-filter
+    on each nation scan), and the plan must stay equi-join-only --
+    a theta join on the cross-role disjunction would be the 100 TB
+    scale-killer."""
+    df = registry.QUERIES["q7_volume_shipping"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("In(n_name, [NATION_11,NATION_20])") >= 2 or \
+        plan.count("In(n_name, [NATION_20,NATION_11])") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_scalar_stats_broadcast_is_single_row(spark):
+    """Q22's global-average subquery must plan as a two-phase global
+    aggregate broadcast into the filter (the ONLY nested-loop join --
+    against one row), with the NOT EXISTS as an equi anti-join whose
+    orders side is pre-reduced by a pushed priority filter."""
+    df = registry.QUERIES["q22_idle_balance"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1  # 1-row stats only
+    assert "LeftAnti" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # pushed
