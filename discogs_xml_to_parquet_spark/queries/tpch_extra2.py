@@ -197,7 +197,7 @@ SELECT c_nationkey AS nation_code,
        COUNT(*) AS numcust,
        CAST(SUM(CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS totacctbal
 FROM customer, stats
-WHERE CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT) * n > tot
+WHERE CAST(CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT) AS HUGEINT) * n > tot
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
@@ -218,6 +218,10 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplied into exact integers -- scaled(c_acctbal) * n > tot with
     a decimal(38,0) accumulator (registry.py determinism rules) --
     bit-identical in both engines regardless of aggregation order.
+    The oracle widens the multiply to HUGEINT to mirror the decimal
+    headroom: scaled(~1e10) x customer-count overflows a checked
+    BIGINT multiply at the 100 TB row counts the Spark side already
+    survives.
 
     Scale shape: the stats row is a 1-row broadcast (two-phase global
     agg), the threshold filter is map-side, and the anti-join shuffles
