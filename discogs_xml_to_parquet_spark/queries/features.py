@@ -39,7 +39,9 @@ _ZSCORE = (
 # divide-then-multiply so both engines associate identically.
 
 
-def _median_of(counts: DataFrame, group: str, value: str) -> DataFrame:
+def _median_of(
+    counts: DataFrame, group: str, value: str, stage: bool = True
+) -> DataFrame:
     """Lower median per group from a (group, value, cnt) table:
     value at rank ceil(n/2) in value order. Returns (group, med).
     Integer ranks over the distinct-value domain -- no data sort, and
@@ -49,11 +51,15 @@ def _median_of(counts: DataFrame, group: str, value: str) -> DataFrame:
     operator (operators/prefix.py value_at_ranks, r8): per-bucket
     weight totals locate the median's bucket and only that bucket
     (~domain/P rows) is ever window-sorted -- strictly less work than
-    materializing the full cumulative table the r7 spelling built."""
+    materializing the full cumulative table the r7 spelling built.
+
+    Pass stage=False when `counts` is already staged (checkpointed)
+    by the caller -- value_at_ranks consumes it in three plan
+    branches, and re-staging a checkpoint just copies it."""
     sel = P.value_at_ranks(
         counts, value, F.col("cnt"),
         {"med": F.floor((F.col("n_g") + 1) / 2)},
-        group_cols=[group],
+        group_cols=[group], stage=stage,
     )
     return sel.select(group, "med")
 
@@ -100,10 +106,17 @@ def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and engine-identical -- and everything else is integer
     comparison, so the result hashes exactly."""
     li = load(spark, sf_dir, "lineitem")
+    # Stage the domain table ONCE at query level: it feeds the first
+    # median's three selection branches AND the deviation re-aggregate.
+    # Without this the first value_at_ranks checkpoints its own copy
+    # and `dev` recomputes the fact scan+aggregate from parquet -- two
+    # full corpus passes where one suffices (the fix is what dominates
+    # at 100 TB; locally 8.2 -> 7.2 s interleaved). med1 (3 rows) is
+    # staged too: it feeds both the deviation join and the output.
     vc = li.groupBy(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    med1 = _median_of(vc, "g", "v")
+    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    med1 = _median_of(vc, "g", "v", stage=False).localCheckpoint()
     dev = (
         vc.join(F.broadcast(med1), "g")
         .select("g", F.abs(F.col("v") - F.col("med")).alias("v"), "cnt")
