@@ -38,6 +38,11 @@ DEFAULT = [
     # r8: the count-min heavy hitters over the 6M-row corpus -- the
     # est >= exact hard guarantee and the eps*N band must hold at 10x
     "q_freq_items_cms",
+    # r8: the tpch_extra2 shapes whose 10x tables exist -- Q17 runs
+    # the correlated-avg window decorrelation over the 6M-row fact,
+    # Q13 the outer-join count distribution over 10x customers (1x
+    # orders -- a heavy zero-bucket stress)
+    "q17_small_qty_revenue", "q13_customer_distribution",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries
 ]
