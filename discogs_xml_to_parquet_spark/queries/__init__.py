@@ -17,7 +17,7 @@ Round-8 window (the first 50), derived by window(changed=R8_CHANGED)
 with R8_CHANGED = the 10 queries the r7 perf sweep rewrote AFTER the
 r7 window locked (plan-level changes, oracles unchanged; evidence
 until now local sf0.001+sf0.01 oracle compares + scripts/sf1_verify.py
-hash checks at the 10x corpus). Nine queries are NEW in r8 --
+hash checks at the 10x corpus). Ten queries are NEW in r8 --
 q_stream_dedup_exact and q_stream_cdc_state (the watermark-dedup twin
 and the applyInPandasWithState CDC lane driving the TRUE readStream
 paths, VERDICT r7 item 7 -- both with full hash oracles, stronger
@@ -25,10 +25,11 @@ than the rows-only ask), q_fuzzy_blocked_stats (the aggregate output
 contract for output-bound fuzzy blocking, item 6), q_join_bloom_dpp
 (runtime bloom filter + dynamic partition pruning showcase, item 8),
 q_freq_items_cms (count-min-sketch heavy hitters built as plain
-DataFrame ops, completing the sketch trio), and the tpch_extra2 four
+DataFrame ops, completing the sketch trio), and the tpch_extra2 five
 (Q13 outer-join count distribution, Q17 correlated-avg decorrelated
 to one partitioned window, Q7 dual-role dimension join, Q22 scalar
-aggregate subquery + anti-join with an exact-integer avg compare) --
+aggregate subquery + anti-join with an exact-integer avg compare,
+Q15 aggregate -> scalar-max -> exact-equality join-back) --
 and rank 0 (never-checked) pulls their modules to the head of the
 window, exactly the "never-checked first" invariant:
 
@@ -39,27 +40,27 @@ window, exactly the "never-checked first" invariant:
 - 12: runtime_filters (q_join_bloom_dpp NEW);
 - 13-15: sketches (approx_distinct / percentiles_approx CHANGED in
   the r7 perf sweep; q_freq_items_cms NEW);
-- 16-19: tpch_extra2 (all four NEW);
-- 20-23: graph_iter (pagerank CHANGED) + clustering (dragged forward
+- 16-20: tpch_extra2 (all five NEW);
+- 21-24: graph_iter (pagerank CHANGED) + clustering (dragged forward
   as curation_extra's import dependency);
-- 24-26: curation_extra (budget_select / dedup_semantic CHANGED);
-- 27-30: analytics_extra (triangle / pareto / histogram CHANGED);
-- 31-34: features (mad / percentile_cont CHANGED);
-- 35-41: the r3-evidence leftovers -- pipeline's tail (q_sample_hash,
+- 25-27: curation_extra (budget_select / dedup_semantic CHANGED);
+- 28-31: analytics_extra (triangle / pareto / histogram CHANGED);
+- 32-35: features (mad / percentile_cont CHANGED);
+- 36-42: the r3-evidence leftovers -- pipeline's tail (q_sample_hash,
   q_dedup_span_shingles, q_rollup_reuse_hourly_daily; q_pii_redact
   rides, r7) and ranges -- slipped from r7 exactly as that round's
   plan promised;
-- 42-50: the r4-evidence burn-down, oldest first: cohorts, setops,
+- 43-50: the r4-evidence burn-down, oldest first: cohorts, setops,
   temporal (asof + multimodal), and text_analysis -- the cut lands
-  mid-text_analysis after its 2nd query (q_text_quality, slot 50;
-  its last five slip to r9, the cost of tpch_extra2 entering at
+  mid-text_analysis after its 1st query (q_text_stats, slot 50;
+  its last six slip to r9, the cost of tpch_extra2 entering at
   rank 0).
 
-After this window the remaining r4 evidence is 14 queries (the five
+After this window the remaining r4 evidence is 15 queries (the six
 text_analysis slips, windows, subqueries, semistructured) and r5 is
 20 (relational, scalars, similarity incl. the manually-registered
 bruteforce query, timeseries, text_extra). Two-round retirement
-schedule (VERDICT r7 item 5): the r9 window takes all 34 of those
+schedule (VERDICT r7 item 5): the r9 window takes all 35 of those
 plus the oldest r6 modules in the order below -- r9 then ends with
 nothing older than r6.
 """
@@ -74,23 +75,23 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     runtime_filters,
     # 13-15: sketches (two r7-sweep CHANGED + q_freq_items_cms NEW)
     sketches,
-    # 16-19: tpch_extra2 NEW (Q13/Q17/Q7/Q22 optimizer shapes)
+    # 16-20: tpch_extra2 NEW (Q13/Q17/Q7/Q22/Q15 optimizer shapes)
     tpch_extra2,
-    # 20-23: graph_iter (pagerank CHANGED) + clustering
+    # 21-24: graph_iter (pagerank CHANGED) + clustering
     # (curation_extra import dependency, folded forward)
     graph_iter,
     clustering,
-    # 24-26: curation_extra (budget_select / dedup_semantic CHANGED)
+    # 25-27: curation_extra (budget_select / dedup_semantic CHANGED)
     curation_extra,
-    # 27-30: analytics_extra (triangle / pareto / histogram CHANGED)
+    # 28-31: analytics_extra (triangle / pareto / histogram CHANGED)
     analytics_extra,
-    # 31-34: features (mad / percentile_cont CHANGED)
+    # 32-35: features (mad / percentile_cont CHANGED)
     features,
-    # 35-41: the r3-evidence leftovers -- pipeline tail + ranges
+    # 36-42: the r3-evidence leftovers -- pipeline tail + ranges
     pipeline,
     ranges,
-    # 42-50: r4-evidence burn-down; the cut lands mid-text_analysis
-    # after q_text_quality (its last five queries slip to r9)
+    # 43-50: r4-evidence burn-down; the cut lands mid-text_analysis
+    # after q_text_stats (its last six queries slip to r9)
     cohorts,
     setops,
     temporal,

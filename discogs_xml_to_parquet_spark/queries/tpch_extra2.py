@@ -12,6 +12,9 @@ query's defining PLAN shape intact):
 - Q22: global scalar aggregate subquery + NOT EXISTS anti-join,
   with the avg comparison done in exact integers so the boundary
   cannot flip between engines.
+- Q15: aggregate -> scalar MAX -> equality-join-back (the view-reused-
+  twice "top supplier" shape), with the max-equality on exact scaled
+  decimals so ties and boundaries are engine-independent.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import dsum, scaled
+from discogs_xml_to_parquet_spark.functions.exact import dsum, scaled, unscale
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -249,4 +252,61 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("nation_code")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(r AS DOUBLE) / 1000000 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the maximum quarterly revenue -- the revenue view consumed TWICE
+    (once for the scalar MAX, once re-joined on equality), classically
+    written as CREATE VIEW + correlated MAX.
+
+    Determinism: `revenue = MAX(revenue)` on raw double sums is the
+    textbook cross-engine trap (a last-bit difference on either side
+    drops or adds a winner). Both sides here stay in the EXACT scaled-
+    integer domain -- per-supplier totals as decimal(38,0)/HUGEINT,
+    the MAX over those integers, integer equality -- and only the
+    emitted column unscales to double.
+
+    Scale shape: one fact scan aggregates to the supplier-keyed
+    revenue view (map-side combine; supplier domain is dimension-
+    sized), the 1-row MAX broadcasts back onto that view (never onto
+    the fact), and the winners join supplier by key. The view feeds
+    both consumers from the same plan subtree; at any SF the second
+    consumer costs one dimension-table pass, not a fact re-scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(scaled(net).cast("decimal(38,0)")).alias("r"))
+        .localCheckpoint()  # one aggregate serves MAX and the join-back
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    return (
+        rev.join(F.broadcast(mx), F.col("r") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", unscale(F.col("r")).alias("total_revenue"))
+        .orderBy("s_suppkey")
     )

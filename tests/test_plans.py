@@ -759,3 +759,17 @@ def test_q22_scalar_stats_broadcast_is_single_row(spark):
     assert tree.count("BroadcastNestedLoopJoin") == 1  # 1-row stats only
     assert "LeftAnti" in plan
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # pushed
+
+
+def test_q15_revenue_view_is_staged_once(spark):
+    """Q15's revenue view feeds BOTH the scalar MAX and the equality
+    join-back; the consumer plan must read the STAGED view (two
+    ExistingRDD reads) and never re-scan the lineitem parquet -- at
+    100 TB the second consumer costs a dimension-table pass, not a
+    fact re-aggregation."""
+    df = registry.QUERIES["q15_top_supplier"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("Scan parquet") == 1, tree  # supplier only
+    assert "lineitem.parquet" not in plan  # fact never re-scanned

@@ -73,12 +73,12 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r8_window_contents():
-    """The round-8 membership decisions, pinned explicitly: the nine
-    NEW queries' modules lead (rank 0, incl. the tpch_extra2 four),
+    """The round-8 membership decisions, pinned explicitly: the ten
+    NEW queries' modules lead (rank 0, incl. the tpch_extra2 five),
     all 10 perf-sweep-rewritten queries follow (VERDICT r7 items
     1/2), the r3 leftovers (pipeline tail + ranges) and most of the
     r4 cohort are in, and the cut lands mid-text_analysis after
-    q_text_quality (its last five queries plus windows, subqueries
+    q_text_stats (its last six queries plus windows, subqueries
     and semistructured slip to r9 -- the cost of the new queries'
     modules entering at rank 0)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
@@ -92,6 +92,7 @@ def test_r8_window_contents():
         "q17_small_qty_revenue",
         "q7_volume_shipping",
         "q22_idle_balance",
+        "q15_top_supplier",
         *sorted(R8_CHANGED),
         "q_sample_hash",
         "q_dedup_span_shingles",
@@ -102,12 +103,11 @@ def test_r8_window_contents():
         "q_cohort_retention",
         "q_asof_join",
         "q_text_stats",
-        "q_text_quality",
     ):
         assert must in win, must
-    assert win[-1] == "q_text_quality"  # the mid-module cut
-    for out in ("q_text_fingerprint", "q_text_rolling_winnow",
-                "q_text_langid_ngram",
+    assert win[-1] == "q_text_stats"  # the mid-module cut
+    for out in ("q_text_quality", "q_text_fingerprint",
+                "q_text_rolling_winnow", "q_text_langid_ngram",
                 "q_window_topk_per_group", "q_subquery_correlated",
                 "q_map_funcs", "q1_pricing_summary", "q_string_funcs",
                 "q_dedup_exact", "discogs_xml_conversion"):
