@@ -63,6 +63,11 @@ bruteforce query, timeseries, text_extra). Two-round retirement
 schedule (VERDICT r7 item 5): the r9 window takes all 35 of those
 plus the oldest r6 modules in the order below -- r9 then ends with
 nothing older than r6.
+
+R9_CHANGED note: q_zorder_layout was rewritten AFTER the r8 window
+locked (magic-number Morton spread replacing the HOF fold, 6.4x at
+sf0.1; values identical, both-SF oracle compares local) -- it must
+be in the r9 changed set so its driver row refreshes.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401

@@ -36,13 +36,27 @@ _Z_SQL = (
     "((l_partkey >> k) & 1) * (CAST(1 AS BIGINT) << (2*k)) + "
     "((l_suppkey >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1))))"
 )
-_Z_SPARK = (
-    f"aggregate(sequence(0, {_BITS - 1}), CAST(0 AS BIGINT), (acc, k) -> "
-    "acc + CAST(shiftright(l_partkey, k) & 1 AS BIGINT) "
-    "* shiftleft(CAST(1 AS BIGINT), 2*k) "
-    "+ CAST(shiftright(l_suppkey, k) & 1 AS BIGINT) "
-    "* shiftleft(CAST(1 AS BIGINT), 2*k + 1))"
-)
+# Spark side computes the SAME interleave with the classic magic-number
+# bit spread (x | x<<8 & 0x00FF00FF, then 4/2/1) -- 4 shift-mask steps
+# per key, straight-line codegen arithmetic. The r7 spelling was a
+# 16-step higher-order `aggregate` fold over sequence(0,15): per-row
+# array allocation + lambda interpretation outside codegen, measured
+# 6.4x slower at sf0.1 (2.7 s -> 0.4 s interleaved, values identical).
+# The oracle keeps the definitional fold: same Morton value either way.
+
+
+def _spread(col: str) -> str:
+    """16 -> 32 bit spread of `col`'s low {_BITS} bits (even positions),
+    all BIGINT ops shared verbatim across rows."""
+    x = f"(CAST({col} AS BIGINT) & 65535)"
+    x = f"(({x} | ({x} << 8)) & 16711935)"    # 0x00FF00FF
+    x = f"(({x} | ({x} << 4)) & 252645135)"   # 0x0F0F0F0F
+    x = f"(({x} | ({x} << 2)) & 858993459)"   # 0x33333333
+    x = f"(({x} | ({x} << 1)) & 1431655765)"  # 0x55555555
+    return x
+
+
+_Z_SPARK = f"({_spread('l_partkey')} | ({_spread('l_suppkey')} << 1))"
 
 
 @query(
@@ -64,8 +78,9 @@ ORDER BY bucket
 )
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton-code layout audit: interleave the low {_BITS} bits of
-    (l_partkey, l_suppkey) into one sortable z-value via a 16-step
-    integer fold (JVM higher-order aggregate -- no UDF), bucket rows by
+    (l_partkey, l_suppkey) into one sortable z-value via the magic-
+    number bit spread (straight-line shift/mask arithmetic inside
+    whole-stage codegen -- no UDF, no per-row array), bucket rows by
     the top 6 z-bits (the would-be file assignment of a
     repartitionByRange-on-z write), and report each bucket's min/max
     per dimension. Tight pk AND sk ranges per bucket are the point:
