@@ -137,6 +137,14 @@ def running_sum(
     order `order_cols` (which must be total -- break ties with a unique
     key, the registry-wide determinism rule).
 
+    Contract (ADVICE r8): the LEADING key of `order_cols` must be a
+    plain NUMERIC column of df with default null placement -- the
+    bucket boundaries come from approxQuantile, which accepts only
+    numeric columns. Expressions, strings, or custom null placement
+    raise fast in _leading/_bucketed; narrower than the old
+    repartitionByRange spelling accepted, by design (purity of `_pid`
+    is what makes the operator branch-safe).
+
     `group_cols` restarts the sum per group WITHOUT one-task-per-group
     (the Window.partitionBy(g) trap when groups are few and huge --
     e.g. 3 return flags over a ~583k-value price domain): the bucket
@@ -175,7 +183,10 @@ def running_max_strict(
 ) -> DataFrame:
     """df + `out` = max of `value` over rows STRICTLY preceding in the
     total order `order_cols` (null for the first row) -- the skyline /
-    dominance scan primitive."""
+    dominance scan primitive. Same leading-key contract as running_sum:
+    a plain numeric column of df, default null placement (see its
+    docstring; tests/test_prefix.py pins the Column-repr surface the
+    introspection relies on)."""
     r = _bucketed(df, order_cols, parts, stage)
     w_in = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1

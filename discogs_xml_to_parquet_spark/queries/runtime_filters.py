@@ -42,27 +42,60 @@ _REV_SQL = ("CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) "
             "* 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the source lineitem parquet
+    (mtime_ns + size over its file(s)): a regenerated testdata file at
+    the same path must produce a different staged-fact cache key
+    (ADVICE r8 -- the slug-only key silently served stale data)."""
+    import hashlib
+    import os
+
+    src = Path(sf_dir) / "lineitem.parquet"
+    parts = []
+    for p in sorted(src.rglob("*")) if src.is_dir() else [src]:
+        st = p.stat()
+        parts.append(f"{p.name}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
 def month_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
     """Stage lineitem partitioned by ship month (the layout a 100 TB
     fact would ship with -- date-keyed partitions) once per container
-    per sf_dir; DPP needs a partitioned source to prune. repartition
-    on the partition column first so each month lands in one task ->
-    one file, not files x tasks."""
+    per (sf_dir, source fingerprint); DPP needs a partitioned source to
+    prune. repartition on the partition column first so each month
+    lands in one task -> one file, not files x tasks.
+
+    Concurrency/staleness (ADVICE r8): the cache key embeds the source
+    file's mtime+size, and the build goes to a unique temp dir followed
+    by an atomic rename -- a concurrent first build (pytest + driver)
+    races to the rename and the loser discards its copy; a reader can
+    never observe a half-written dest."""
+    import os
+    import shutil
+    import uuid
+
     slug = sf_dir.strip("/").replace("/", "_")
     dest = Path(tempfile.gettempdir()) / (
-        f"spark_graft_dpp_fact_v{_FACT_VERSION}_{slug}"
+        f"spark_graft_dpp_fact_v{_FACT_VERSION}_{slug}_"
+        f"{_source_fingerprint(sf_dir)}"
     )
-    marker = dest / "_BUILT"
-    if not marker.exists():
-        (
-            load(spark, sf_dir, "lineitem")
-            .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
-            .repartition("ship_month")
-            .write.mode("overwrite")
-            .partitionBy("ship_month")
-            .parquet(str(dest))
-        )
-        marker.touch()
+    if dest.exists():
+        return str(dest)
+    tmp = dest.with_name(dest.name + f".build-{uuid.uuid4().hex[:8]}")
+    (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .repartition("ship_month")
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(str(tmp))
+    )
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        if not dest.exists():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; theirs won
     return str(dest)
 
 

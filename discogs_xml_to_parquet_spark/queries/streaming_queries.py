@@ -17,6 +17,44 @@ from discogs_xml_to_parquet_spark.streaming.events import (
 )
 from discogs_xml_to_parquet_spark.tables import load
 
+# Bound on one availableNow drain of the backfill. On this box a
+# throttled run can stall for minutes (README "Measured scaling");
+# a timeout must FAIL the query, never return a partial sink.
+_DRAIN_TIMEOUT_SEC = 600
+
+
+def _drain_to_memory(spark: SparkSession, out: DataFrame, sink: str,
+                     mode: str) -> DataFrame:
+    """Run a streaming frame to completion into a fresh memory sink and
+    return the sink table. Two hazards handled here (ADVICE r8):
+
+    - a prior run of the same query that timed out may still be active
+      under the same queryName -> start() would throw; stop it first
+      (memory-sink names are per-query constants, so an active query
+      with this name can only be a stale self);
+    - awaitTermination(timeout) returns False on timeout instead of
+      raising -- ignoring it would aggregate a PARTIAL sink into a
+      silently wrong driver row; stop and raise instead.
+    """
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+            active.awaitTermination()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_DRAIN_TIMEOUT_SEC):
+        q.stop()
+        raise RuntimeError(
+            f"streaming drain {sink!r} did not finish within "
+            f"{_DRAIN_TIMEOUT_SEC}s; refusing to read a partial sink"
+        )
+    return spark.table(sink)
+
 
 @query(
     "q_stream_tumbling",
@@ -165,12 +203,15 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness contract: dropDuplicatesWithinWatermark drops a
     duplicate only while its key is inside the watermark horizon, so
     global exact dedup of a backfill requires the horizon to cover the
-    backfill's ingest-time span (ingest_ts = doc_id seconds; sf1.0 is
-    ~6e5 docs ~ 7 days). The 30-day watermark here does that at every
-    SF this repo runs; a live pipeline instead sizes it to its real
-    dup horizon and accepts re-emits beyond it (the bounded-state
-    trade documented at streaming/events.py dedup_docs_exact). State
-    carries 32-byte md5 keys, never documents.
+    backfill's ingest-time span (ingest_ts = doc_id seconds). A fixed
+    horizon silently re-emits duplicates once the corpus outgrows it
+    (ADVICE r8: 30 days caps out at ~2.6M doc_ids), so the horizon is
+    DERIVED from the corpus doc_id span -- one min/max footer-stat
+    aggregate over the same parquet, +1 day of slack. A live pipeline
+    instead sizes it to its real dup horizon and accepts re-emits
+    beyond it (the bounded-state trade documented at
+    streaming/events.py dedup_docs_exact). State carries 32-byte md5
+    keys, never documents.
 
     The memory sink is a test/driver harness; at scale the same plan
     writes to a parquet/kafka sink. Output is the deterministic
@@ -181,19 +222,18 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup_docs,
     )
 
-    sink = "q_stream_dedup_exact_sink"
-    q = (
-        stream_dedup_docs(spark, sf_dir, watermark="30 days",
-                          glob="documents.parquet")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    span = (
+        load(spark, sf_dir, "documents")
+        .agg((F.max("doc_id") - F.min("doc_id")).alias("s"))
+        .first()[0]
     )
-    q.awaitTermination(600)
+    horizon_days = int(span or 0) // 86_400 + 2
+    out = stream_dedup_docs(spark, sf_dir,
+                            watermark=f"{horizon_days} days",
+                            glob="documents.parquet")
     return (
-        spark.table(sink)
+        _drain_to_memory(spark, out, "q_stream_dedup_exact_sink",
+                         "append")
         .groupBy("text_hash")
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
         .orderBy("text_hash")
@@ -243,7 +283,6 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest_keyed_state,
     )
 
-    sink = "q_stream_cdc_state_sink"
     schema = (
         "event_id long, ts timestamp_ntz, user_id long, "
         "event_type string, value double, props string"
@@ -254,18 +293,11 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .select("user_id", "ts", "event_id", "event_type", "value")
     )
-    q = (
-        latest_keyed_state(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    sink_df = _drain_to_memory(spark, latest_keyed_state(stream),
+                               "q_stream_cdc_state_sink", "update")
     w = Window.partitionBy("user_id").orderBy(F.col("n_ops").desc())
     return (
-        spark.table(sink)
+        sink_df
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("user_id", "last_op", "last_value", "last_ts_micros",

@@ -66,10 +66,16 @@ def load_all_queries() -> None:
 # ---------------------------------------------------------------------------
 
 
-def _latest_green_round(artifacts_dir: str) -> dict[str, int]:
+def _latest_green_round(
+    artifacts_dir: str, max_round: int | None = None
+) -> dict[str, int]:
     """query name -> most recent round with a green driver row
     (hash_match for oracle-backed queries, rows_match otherwise).
-    Queries absent from every artifact are absent from the dict."""
+    Queries absent from every artifact are absent from the dict.
+    `max_round` ignores artifacts from rounds AFTER it -- the
+    derivation-pinning filter (VERDICT r8 item 1): a window derived
+    from artifacts r1..rN stays reproducible after r(N+1)'s artifact
+    lands."""
     import glob
     import json
     import os
@@ -81,6 +87,8 @@ def _latest_green_round(artifacts_dir: str) -> dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(fp) as f:
             rows = json.load(f)
         for name, row in rows.items():

@@ -177,3 +177,32 @@ def test_value_at_ranks_matches_window_spelling(spark):
     for row in got.collect():
         for tag in ("first", "med", "last"):
             assert row[tag] == want[row.g][tag], (row, want[row.g])
+
+
+def test_column_repr_surface_is_pinned(spark):
+    """_leading introspects str(Column) -- an undocumented PySpark
+    surface (ADVICE r8). Pin the exact repr format for every case the
+    parser distinguishes, so a PySpark upgrade that reshapes it fails
+    HERE with a clear message instead of inside an operator."""
+    assert str(F.col("v").asc()) == "Column<'v ASC NULLS FIRST'>"
+    assert str(F.col("v").desc()) == "Column<'v DESC NULLS LAST'>"
+    assert str(F.col("v").asc_nulls_last()) == "Column<'v ASC NULLS LAST'>"
+    assert str(F.col("v").desc_nulls_first()) == (
+        "Column<'v DESC NULLS FIRST'>")
+    df = spark.range(3).withColumnRenamed("id", "v")
+    assert P._leading(df, [F.col("v").asc()]) == ("v", False)
+    assert P._leading(df, [F.col("v").desc()]) == ("v", True)
+
+
+def test_leading_rejects_contract_violations(spark):
+    """The narrowed leading-key contract (plain df column, default
+    null placement) must fail fast on every misuse path."""
+    import pytest
+
+    df = spark.range(3).withColumnRenamed("id", "v")
+    with pytest.raises(ValueError, match="null placement"):
+        P._leading(df, [F.col("v").asc_nulls_last()])
+    with pytest.raises(ValueError, match="plain column"):
+        P._leading(df, [F.col("missing").asc()])
+    with pytest.raises(ValueError, match="plain column"):
+        P._leading(df, [(F.col("v") + 1).asc()])

@@ -13,22 +13,43 @@ from tests.conftest import SF_SMOKE
 
 
 def test_month_fact_staging_is_idempotent(spark):
-    """The partitioned fact is built once per container per sf_dir
-    (marker file): a second call must return the same path without
-    rewriting anything."""
+    """The partitioned fact is built once per container per
+    (sf_dir, source fingerprint): a second call must return the same
+    path without rewriting anything, and no .build-* temp dir may be
+    left behind (ADVICE r8: build goes to a temp dir + atomic rename)."""
     p1 = RT.month_partitioned_lineitem(spark, SF_SMOKE)
-    marker = Path(p1) / "_BUILT"
-    assert marker.exists()
-    mtime = marker.stat().st_mtime_ns
     stamps = {
         f: (Path(p1) / f).stat().st_mtime_ns for f in os.listdir(p1)
     }
     p2 = RT.month_partitioned_lineitem(spark, SF_SMOKE)
     assert p2 == p1
-    assert marker.stat().st_mtime_ns == mtime
     assert {
         f: (Path(p1) / f).stat().st_mtime_ns for f in os.listdir(p1)
     } == stamps
+    leftovers = [
+        d for d in Path(p1).parent.iterdir()
+        if d.name.startswith(Path(p1).name + ".build-")
+    ]
+    assert not leftovers, leftovers
+
+
+def test_month_fact_cache_key_tracks_source(spark, tmp_path):
+    """A REGENERATED source parquet at the same path must produce a
+    different staged-fact path (ADVICE r8: the slug-only key silently
+    served stale data to q_join_bloom_dpp)."""
+    import shutil
+    import time
+
+    src = tmp_path / "sfcopy"
+    src.mkdir()
+    shutil.copy(Path(SF_SMOKE) / "lineitem.parquet",
+                src / "lineitem.parquet")
+    fp1 = RT._source_fingerprint(str(src))
+    time.sleep(0.01)  # ensure a distinct mtime_ns on regeneration
+    shutil.copy(Path(SF_SMOKE) / "lineitem.parquet",
+                src / "lineitem.parquet")
+    fp2 = RT._source_fingerprint(str(src))
+    assert fp1 != fp2
 
 
 def test_fact_is_partitioned_by_month(spark):
