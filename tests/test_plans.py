@@ -690,6 +690,22 @@ def test_bloom_query_injects_runtime_filter(spark):
     assert "might_contain" in plan_of(lane).lower()
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """q_join_aqe_skew: under the scoped skew session the EXECUTED plan
+    (AQE final -- skew handling is a runtime re-plan, so the gate must
+    run the query, not explain it) shows the hot 'en' lang partition
+    split: SortMergeJoin(skew=true) over an 'AQEShuffleRead skewed'
+    fact side."""
+    from discogs_xml_to_parquet_spark.queries import runtime_filters as RT
+
+    df = RT.skew_lane(RT.skew_session(spark), SF_SMOKE)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in ep, ep
+    assert "AQEShuffleRead skewed" in ep or (
+        "coalesced and skewed" in ep), ep
+
+
 def test_cms_consumer_plan_reads_sketch_not_fact(spark):
     """q_freq_items_cms: the staged ~14k-row counter table must serve
     BOTH consumers (probe join and eps*N readback), so the consumer
