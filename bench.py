@@ -89,6 +89,10 @@ SF1_QUERIES = [
     # two-exchange plan's domain/P cost model is pinned by data (its
     # correctness at 10x is already pinned by scripts/sf1_verify.py)
     "q_stats_mad",
+    # VERDICT r8 item 5: the only new-TPC-H shape with a fact-fact
+    # shuffle -- a 10x timing pins that broadcast-reducing both nation
+    # roles holds the single-shuffle cost model at scale
+    "q7_volume_shipping",
 ]
 
 # table -> id columns to offset per shard
@@ -96,10 +100,38 @@ _SF1_TABLES = {
     "documents": ["doc_id"],
     "customer": ["c_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    # r9: orders + supplier shard with offsets MATCHING lineitem /
+    # customer (o_orderkey~l_orderkey, o_custkey~c_custkey,
+    # s_suppkey~l_suppkey), so Q7's join keys stay consistent across
+    # shards; events shards per (event_id, user_id) so the streaming
+    # CDC lane's per-key state is 10x keys with unchanged per-key
+    # history (scripts/sf1_verify.py runs it on the combined dir)
+    "orders": ["o_orderkey", "o_custkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
 }
 
+# dimension tables copied through VERBATIM (content must stay 1x:
+# nation keys are referenced unchanged by every shard)
+_SF1_DIMS = ("nation",)
+
 # bump when the construction changes so a cached corpus is not reused
-_SF1_CORPUS_VERSION = 3
+_SF1_CORPUS_VERSION = 4
+
+
+def _cpu_busy() -> float:
+    """System-wide busy CPU seconds since boot (user+nice+system+...,
+    everything except idle+iowait), from /proc/stat. Recorded per pass
+    next to wall time (VERDICT r8 item 3): this box throttles (guest
+    sees idle CPUs while wall stalls -- README 'Measured scaling'), so
+    a slow pass with a LOW busy/wall ratio is host throttle while a
+    slow pass with a HIGH ratio is the query doing real work; without
+    this in the artifact a throttled round contradicts README claims
+    with no evidence to adjudicate."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    busy = sum(vals) - vals[3] - vals[4]
+    return busy / os.sysconf("SC_CLK_TCK")
 
 
 def _build_10x_corpus(spark, src: str, dest: str, shards: int = 10) -> None:
@@ -161,6 +193,9 @@ def _build_10x_corpus(spark, src: str, dest: str, shards: int = 10) -> None:
         for p in parts[1:]:
             u = u.unionAll(p)
         u.write.mode("overwrite").parquet(f"{dest}/{table}.parquet")
+    for table in _SF1_DIMS:
+        spark.read.parquet(f"{src}/{table}.parquet").write.mode(
+            "overwrite").parquet(f"{dest}/{table}.parquet")
     marker.touch()
 
 
@@ -192,11 +227,16 @@ def main() -> None:
     # stalls stay visible.
     N_RUNS = 5
     runs: dict[str, list[float]] = {name: [] for name in names}
+    pass_wall: list[float] = []
+    pass_cpu: list[float] = []
     for _ in range(N_RUNS):
+        pw0, pc0 = time.perf_counter(), _cpu_busy()
         for name in names:
             t0 = time.perf_counter()
             force(name)
             runs[name].append(time.perf_counter() - t0)
+        pass_wall.append(round(time.perf_counter() - pw0, 3))
+        pass_cpu.append(round(_cpu_busy() - pc0, 3))
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in runs.items()
     }
@@ -205,6 +245,16 @@ def main() -> None:
         for name, ts in runs.items()
     }
     total = round(sum(timings.values()), 3)
+    # effective cores per pass: busy-cpu seconds / wall seconds. On an
+    # unthrottled 32-cpu box the heavier passes sit well above 1; a
+    # pass whose wall inflates while eff_cores DROPS was starved by the
+    # host, not slowed by the code.
+    cpu_attr = {
+        "pass_wall": pass_wall,
+        "pass_cpu": pass_cpu,
+        "eff_cores": [round(c / w, 2) for c, w in zip(pass_cpu, pass_wall)],
+        "os_cpus": os.cpu_count(),
+    }
 
     # the reference's core job: gz-XML -> Snappy Parquet throughput over
     # a deterministic synthetic corpus (rows scaled by SF; 8 files ->
@@ -235,40 +285,41 @@ def main() -> None:
     )
     convert(spark, warm_dir, out)
 
-    def timed_convert(src: str) -> tuple[float, float]:
-        """(cold_sec, warm_sec): each lane runs once cold (unreported
-        number kept for drift visibility), then THREE more times with
-        the MEDIAN reported. Two failure modes this guards: (1) in a
-        fresh container the corpus is generated moments before the
-        first conversion, so the cold run pays the page-cache fill +
-        writeback of a just-written 1M-row corpus -- the r5 driver
-        bench caught exactly that (32-file lane at 17.7k rows/s cold
-        vs ~150k warm, VERDICT r5 'what's wrong' #1); (2) the shared
-        test box shows multi-second host stalls (loadavg ~5 from
-        other tenants), so a single warm run can still land 4x slow --
-        a median of 3 can't."""
-        t0 = time.perf_counter()
-        convert(spark, src, out)
-        cold = round(time.perf_counter() - t0, 3)
-        warms = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            convert(spark, src, out)
-            warms.append(time.perf_counter() - t0)
-        return cold, round(sorted(warms)[1], 3)
-
-    conv_cold, conv_sec = timed_convert(xml_dir)
-
-    # scale-out lane: the SAME corpus split into 32 gzip files. Gzip is
+    # scale-out corpus: the SAME rows split into 32 gzip files. Gzip is
     # unsplittable (1 task per file), so file count IS the conversion's
-    # parallelism knob -- this measures the engine's scale-out story
-    # against the 8-file lane above (the reference is locked to 1
-    # thread total; main.rs:436-473).
+    # parallelism knob -- the 32-file lane measures the engine's
+    # scale-out story against the 8-file lane (the reference is locked
+    # to 1 thread total; main.rs:436-473).
     xml_dir32 = write_synthetic_releases(
         f"{tempfile.gettempdir()}/discogs_bench_{n_rel}_f32", n_rel,
         n_files=32,
     )
-    conv32_cold, conv32_sec = timed_convert(xml_dir32)
+
+    def timed_run(src: str) -> tuple[float, float]:
+        t0, c0 = time.perf_counter(), _cpu_busy()
+        convert(spark, src, out)
+        return (round(time.perf_counter() - t0, 3),
+                round(_cpu_busy() - c0, 3))
+
+    # Both lanes run once cold (unreported numbers kept for drift
+    # visibility: in a fresh container the cold run pays the page-cache
+    # fill + writeback of a just-written 1M-row corpus -- the r5
+    # driver bench caught exactly that), then three warm rounds with
+    # the 8-file and 32-file lanes INTERLEAVED (VERDICT r8 item 3: the
+    # r8 artifact showed 32-file slower than 8-file, but the lanes ran
+    # minutes apart on a box whose throttle state drifts within a run
+    # -- interleaving makes the comparison same-conditions the way the
+    # query passes already are). Medians reported; per-run wall + busy
+    # CPU recorded so a throttled run is attributable in-artifact.
+    conv_cold = timed_run(xml_dir)
+    conv32_cold = timed_run(xml_dir32)
+    conv_runs: list[tuple[float, float]] = []
+    conv32_runs: list[tuple[float, float]] = []
+    for _ in range(3):
+        conv_runs.append(timed_run(xml_dir))
+        conv32_runs.append(timed_run(xml_dir32))
+    conv_sec = sorted(w for w, _ in conv_runs)[1]
+    conv32_sec = sorted(w for w, _ in conv32_runs)[1]
 
     # long-tail spot-check lane (VERDICT r5 item 7): sample 5 of the
     # registered queries outside the headline set, seeded by the round
@@ -341,7 +392,10 @@ def main() -> None:
         lane_t0 = time.perf_counter()
         passes = 0
         over_budget = False
+        sf1_pass_wall: list[float] = []
+        sf1_pass_cpu: list[float] = []
         for _ in range(3):
+            pw0, pc0 = time.perf_counter(), _cpu_busy()
             for name in SF1_QUERIES:
                 t0 = time.perf_counter()
                 force_sf1(name)
@@ -352,6 +406,8 @@ def main() -> None:
                     break
             else:
                 passes += 1
+                sf1_pass_wall.append(round(time.perf_counter() - pw0, 3))
+                sf1_pass_cpu.append(round(_cpu_busy() - pc0, 3))
                 continue
             break
         sf1_timings = {
@@ -373,6 +429,12 @@ def main() -> None:
             "out_rows_at_headline_sf": out_rows_01,
             "passes": passes,
             "over_budget": over_budget,
+            "pass_wall": sf1_pass_wall,
+            "pass_cpu": sf1_pass_cpu,
+            "eff_cores": [
+                round(c / w, 2)
+                for c, w in zip(sf1_pass_cpu, sf1_pass_wall)
+            ],
         }
 
     print(json.dumps({
@@ -383,18 +445,25 @@ def main() -> None:
         "spread": spread,
         "n": N_RUNS,
         "sf": sf,
+        "cpu_attribution": cpu_attr,
         "conversion": {
+            "files": 8,
             "rows": n_rel,
             "sec": conv_sec,
-            "cold_sec": conv_cold,
+            "cold_sec": conv_cold[0],
             "rows_per_sec": round(n_rel / conv_sec),
+            "runs_wall_cpu": conv_runs,
+            "eff_cores": [round(c / w, 2) for w, c in conv_runs],
         },
         "conversion_scaleout": {
             "files": 32,
             "rows": n_rel,
             "sec": conv32_sec,
-            "cold_sec": conv32_cold,
+            "cold_sec": conv32_cold[0],
             "rows_per_sec": round(n_rel / conv32_sec),
+            "runs_wall_cpu": conv32_runs,
+            "eff_cores": [round(c / w, 2) for w, c in conv32_runs],
+            "interleaved_with_8file": True,
         },
         "longtail": {"round": round_no, "queries": lt_timings},
         "sf1_spot": sf1_spot,

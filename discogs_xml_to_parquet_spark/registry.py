@@ -150,6 +150,7 @@ def window(
     artifacts_dir: str | None = None,
     changed: frozenset[str] | set[str] = frozenset(),
     pin: tuple[str, ...] = (),
+    max_round: int | None = None,
 ) -> list[str]:
     """Recommended driver-check order: the first `size` names are the
     round's window. Ranking is at MODULE granularity (import order is
@@ -168,15 +169,22 @@ def window(
     Ties preserve current registration order, which makes the import
     order a FIXED POINT of this function: if queries/__init__.py already
     agrees with the policy, window() returns exactly
-    list(QUERIES)[:size] and tests/test_window.py stays green; any new
-    artifact or query that changes the policy answer breaks the test
-    and forces the import order to be re-derived."""
+    list(QUERIES)[:size] and tests/test_window.py stays green.
+
+    `max_round` pins the derivation to the artifacts that existed when
+    the order was derived (VERDICT r8 item 1: without it, the driver
+    landing round N's artifact re-ranked the just-checked queries and
+    turned the suite red at every judging point -- r7 and r8 both).
+    tests/test_window.py passes its DERIVED_AT_ROUND constant here, so
+    landing a NEWER artifact is invisible to the fixed-point test;
+    re-deriving for the next round is a deliberate one-commit bump of
+    that constant + the import order."""
     import os
 
     if artifacts_dir is None:
         artifacts_dir = os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))
-    latest = _latest_green_round(artifacts_dir)
+    latest = _latest_green_round(artifacts_dir, max_round=max_round)
     names = list(QUERIES)
     pos = {n: i for i, n in enumerate(names)}
     mod_of = {

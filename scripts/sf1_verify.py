@@ -40,9 +40,16 @@ DEFAULT = [
     "q_freq_items_cms",
     # r8: the tpch_extra2 shapes whose 10x tables exist -- Q17 runs
     # the correlated-avg window decorrelation over the 6M-row fact,
-    # Q13 the outer-join count distribution over 10x customers (1x
-    # orders -- a heavy zero-bucket stress)
+    # Q13 the outer-join count distribution (orders 10x since r9)
     "q17_small_qty_revenue", "q13_customer_distribution",
+    # r9 (VERDICT r8 item 6): the applyInPandasWithState CDC lane over
+    # the 10x events changelog -- 10x distinct user_ids of state, each
+    # key's history unchanged; the full hash oracle pins every final
+    # state row, stronger than the state-count ask
+    "q_stream_cdc_state",
+    # r9: Q7 rides the new 10x orders/supplier tables -- its bench
+    # timing lands in BENCH sf1_spot, this pins its VALUES at 10x
+    "q7_volume_shipping",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries
 ]
@@ -60,8 +67,11 @@ def build_combined(spark, dest: str) -> None:
     bench._build_10x_corpus(spark, SRC_SF, sf1_dir)
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
-    for t in ("region nation supplier part orders events "
-              "embeddings").split():
+    # only tables OUTSIDE the 10x set ride through at 1x (a symlink
+    # for a table that later joins _SF1_TABLES would shadow its 10x
+    # copy -- the dest is corpus-version-keyed to make that impossible
+    # across upgrades)
+    for t in ("region nation part embeddings").split():
         p = Path(dest) / f"{t}.parquet"
         if not p.exists():
             p.symlink_to(f"{SRC_SF}/{t}.parquet")
@@ -84,10 +94,12 @@ def main() -> None:
     from discogs_xml_to_parquet_spark.session import get_spark
     from tests.oracle_utils import compare
 
+    import bench
+
     registry.load_all_queries()
     spark = get_spark(app_name="sf1-verify")
     spark.sparkContext.setLogLevel("ERROR")
-    dest = "/tmp/sf1_combined"
+    dest = f"/tmp/sf1_combined_v{bench._SF1_CORPUS_VERSION}"
     build_combined(spark, dest)
 
     failures = []

@@ -32,14 +32,20 @@ def main() -> None:
     p.add_argument("--pin", default="",
                    help="comma-separated modules to force in-window")
     p.add_argument("--size", type=int, default=50)
+    p.add_argument("--max-round", type=int, default=None,
+                   help="ignore CORRECTNESS artifacts newer than this "
+                        "round (pin the derivation; copy the value "
+                        "into tests/test_window.py DERIVED_AT_ROUND)")
     args = p.parse_args()
 
     registry.load_all_queries()
     changed = frozenset(x for x in args.changed.split(",") if x)
     pin = tuple(x for x in args.pin.split(",") if x)
     order = registry.window(size=len(registry.QUERIES),
-                            changed=changed, pin=pin)
-    latest = registry._latest_green_round(str(REPO))
+                            changed=changed, pin=pin,
+                            max_round=args.max_round)
+    latest = registry._latest_green_round(str(REPO),
+                                          max_round=args.max_round)
     mod_of = {n: fn.__module__.rsplit(".", 1)[-1]
               for n, fn in registry.QUERIES.items()}
 
