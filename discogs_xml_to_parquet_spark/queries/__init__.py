@@ -23,25 +23,27 @@ window(changed=R9_CHANGED, max_round=8) with R9_CHANGED =
 awaitTermination timeout now raises, stale same-name sinks stopped,
 dedup watermark horizon derived from the corpus span -- ADVICE r8),
 q_join_bloom_dpp (staged-fact cache keyed by source fingerprint +
-atomic publish -- ADVICE r8)}. One query is NEW in r9:
-q_join_aqe_skew (AQE skew-join split showcase, VERDICT r8 item 7) --
-rank 0 pulls runtime_filters to the head:
+atomic publish -- ADVICE r8)}. Four queries are NEW in
+r9: q_join_aqe_skew (AQE skew-join split showcase, VERDICT r8 item 7)
+and the tpch_extra3 trio (Q4 correlated-EXISTS semi-join, Q8
+share-of-total star, Q12 conditional class aggregation) -- rank 0
+pulls their modules to the head:
 
-- 1-2: runtime_filters (q_join_aqe_skew NEW; q_join_bloom_dpp
-  CHANGED);
-- 3-8: streaming_queries (dedup_exact / cdc_state CHANGED; the four
+- 1-5: runtime_filters (q_join_aqe_skew NEW; q_join_bloom_dpp
+  CHANGED) + tpch_extra3 (all three NEW);
+- 6-11: streaming_queries (dedup_exact / cdc_state CHANGED; the four
   r8 batch faces ride);
-- 9: layout (q_zorder_layout CHANGED);
-- 10-25: the ENTIRE remaining r4 tail, exactly as the r8 plan
+- 12: layout (q_zorder_layout CHANGED);
+- 13-28: the ENTIRE remaining r4 tail, exactly as the r8 plan
   promised -- text_analysis (q_text_stats r8 rides), windows,
   subqueries, semistructured;
-- 26-45: the ENTIRE r5 cohort -- relational, scalars, similarity
+- 29-48: the ENTIRE r5 cohort -- relational, scalars, similarity
   (incl. the manually-registered bruteforce query, which now
   registers right after its module so its slot matches the policy),
   timeseries, text_extra;
-- 46-50: the oldest r6 evidence -- stats_extra and the first
-  windows_extra query (the cut lands mid-windows_extra after
-  q_window_distribution; q_ratio_to_report slips to r10).
+- 49-50: the oldest r6 evidence -- the cut lands mid-stats_extra
+  after q_ntile_bucketing (its last two queries and windows_extra
+  slip to r10).
 
 After this window NOTHING in the registry has evidence older than r6
 -- one round ahead of the retirement schedule (VERDICT r8 item 2
@@ -52,17 +54,20 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # 1-2: q_join_aqe_skew NEW (AQE skew split); q_join_bloom_dpp
     # CHANGED (fingerprinted staged-fact cache)
     runtime_filters,
-    # 3-8: dedup_exact / cdc_state CHANGED (drain hardening); the
+    # 3-5: tpch_extra3 NEW (Q4 correlated-EXISTS semi-join, Q8
+    # share-of-total star, Q12 conditional class aggregation)
+    tpch_extra3,
+    # 6-11: dedup_exact / cdc_state CHANGED (drain hardening); the
     # four r8 batch faces ride
     streaming_queries,
-    # 9: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
+    # 12: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
     layout,
-    # 10-25: the r4-evidence tail, retired whole
+    # 13-28: the r4-evidence tail, retired whole
     text_analysis,
     windows,
     subqueries,
     semistructured,
-    # 26-38: r5-green
+    # 29-41: r5-green
     relational,
     scalars,
     similarity,
@@ -71,22 +76,22 @@ from discogs_xml_to_parquet_spark.registry import query as _query
 
 # q_ann_bruteforce_topk is registered manually (demoted from the
 # similarity module in r3). It registers HERE -- directly after its
-# module -- so its registration slot (39) matches the policy order,
+# module -- so its registration slot (42) matches the policy order,
 # which groups it with similarity.
 _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
     similarity.q_ann_bruteforce_topk
 )
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
-    # 40-45: r5-green (rest)
+    # 43-48: r5-green (rest)
     timeseries,
     text_extra,
-    # 46-50: oldest r6; the cut lands mid-windows_extra after
-    # q_window_distribution
+    # 49-50: oldest r6; the cut lands mid-stats_extra after
+    # q_ntile_bucketing
     stats_extra,
-    windows_extra,
-    # --- 50-query window cut (mid-windows_extra) ---
+    # --- 50-query window cut (mid-stats_extra) ---
     # r6-green remainder: first in line for round 10
+    windows_extra,
     scd,
     cdc,
     quality_model,

@@ -789,3 +789,45 @@ def test_q15_revenue_view_is_staged_once(spark):
     assert tree.count("Scan ExistingRDD") == 2, tree
     assert tree.count("Scan parquet") == 1, tree  # supplier only
     assert "lineitem.parquet" not in plan  # fact never re-scanned
+
+
+def test_q4_exists_is_semi_join_with_pushed_quarter(spark):
+    """Q4's correlated EXISTS must decorrelate to a LEFT SEMI join
+    (each order emitted at most once, no post-join dedup) carrying the
+    cross-side date comparison as the join residual -- never a
+    CartesianProduct -- and the quarter predicate must prune the
+    orders scan."""
+    df = registry.QUERIES["q4_order_priority"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "IsNotNull(o_orderdate)" in plan or \
+        "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_q8_star_is_single_fact_shuffle(spark):
+    """Q8 joins six dimension legs; every one must broadcast so the
+    only exchange moving fact-sized rows is lineitem |><| orders --
+    the same single-shuffle floor the Q7 gate pins. The part filter
+    must prune the part scan."""
+    df = registry.QUERIES["q8_market_share"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin") <= 1, tree
+    assert tree.count("BroadcastHashJoin") >= 4, tree
+    assert "EqualTo(p_type,PROMO)" in plan  # pushed to the part scan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_counts_are_one_conditional_pass(spark):
+    """Q12's high/low class split must be ONE conditional aggregation
+    pass over the joined rows (no pivot shuffle, no second scan), with
+    the year window pruning the lineitem scan."""
+    df = registry.QUERIES["q12_priority_class"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, tree  # lineitem + orders
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed
+    assert "Window" not in plan

@@ -107,18 +107,19 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r9_window_contents():
-    """The round-9 membership decisions, pinned explicitly: the new
-    AQE skew query's module leads (rank 0), the four CHANGED queries
-    follow with their modules, then the ENTIRE r4 tail (text_analysis,
-    windows, subqueries, semistructured -- VERDICT r8 item 2), the
-    ENTIRE r5 cohort (relational, scalars, similarity incl. the
-    manually-registered bruteforce query, timeseries, text_extra), and
-    the oldest r6 evidence; the cut lands mid-windows_extra after
-    q_window_distribution. After this window nothing has evidence
-    older than r6."""
+    """The round-9 membership decisions, pinned explicitly: the four
+    NEW queries' modules lead (rank 0: AQE skew + the tpch_extra3
+    trio), the four CHANGED queries follow with their modules, then
+    the ENTIRE r4 tail (text_analysis, windows, subqueries,
+    semistructured -- VERDICT r8 item 2), the ENTIRE r5 cohort
+    (relational, scalars, similarity incl. the manually-registered
+    bruteforce query, timeseries, text_extra), and the oldest r6
+    evidence; the cut lands mid-stats_extra after q_ntile_bucketing.
+    After this window nothing has evidence older than r6."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         "q_join_aqe_skew",
+        "q4_order_priority", "q8_market_share", "q12_priority_class",
         *sorted(R9_CHANGED),
         # the 15 r4-evidence queries, retired whole
         "q_text_quality", "q_text_langid", "q_text_token_regex",
@@ -133,11 +134,13 @@ def test_r9_window_contents():
         "q_ann_bruteforce_topk", "q_sessionize_events",
         "q_chunk_documents",
         # oldest r6 head
-        "q_stats_moments", "q_window_distribution",
+        "q_stats_moments", "q_ntile_bucketing",
     ):
         assert must in win, must
-    assert win[-1] == "q_window_distribution"  # the mid-module cut
-    for out in ("q_ratio_to_report", "q_scd2_merge", "q_cdc_apply",
+    assert win[-1] == "q_ntile_bucketing"  # the mid-module cut
+    for out in ("q_mode_per_group", "q_histogram_fixed",
+                "q_window_distribution", "q_ratio_to_report",
+                "q_scd2_merge", "q_cdc_apply",
                 "q_dedup_exact", "discogs_xml_conversion",
                 "q_fuzzy_blocked", "q13_customer_distribution",
                 "q_stats_mad", "q_pagerank_bipartite"):
