@@ -72,6 +72,10 @@ HEADLINE = [
     "q_cdc_apply",
     "q_bpe_pair_counts",
     "q_embedding_quantize",
+    # round-9: the Q7 dual-role star (single fact-fact shuffle) -- in
+    # the headline set so its sf1_spot entry gets a vs_headline_x
+    # ratio (VERDICT r8 item 5 asks the 10x cost model be pinned)
+    "q7_volume_shipping",
 ]
 
 
