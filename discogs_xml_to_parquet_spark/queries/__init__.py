@@ -23,27 +23,29 @@ window(changed=R9_CHANGED, max_round=8) with R9_CHANGED =
 awaitTermination timeout now raises, stale same-name sinks stopped,
 dedup watermark horizon derived from the corpus span -- ADVICE r8),
 q_join_bloom_dpp (staged-fact cache keyed by source fingerprint +
-atomic publish -- ADVICE r8)}. Four queries are NEW in
-r9: q_join_aqe_skew (AQE skew-join split showcase, VERDICT r8 item 7)
-and the tpch_extra3 trio (Q4 correlated-EXISTS semi-join, Q8
-share-of-total star, Q12 conditional class aggregation) -- rank 0
+atomic publish -- ADVICE r8)}. Five queries are NEW in
+r9: q_join_aqe_skew (AQE skew-join split showcase, VERDICT r8 item
+7), the tpch_extra3 trio (Q4 correlated-EXISTS semi-join, Q8
+share-of-total star, Q12 conditional class aggregation), and
+q_stream_join_attrib (the stream-stream interval join as a true
+readStream driver row, completing the streaming trio) -- rank 0
 pulls their modules to the head:
 
 - 1-5: runtime_filters (q_join_aqe_skew NEW; q_join_bloom_dpp
   CHANGED) + tpch_extra3 (all three NEW);
-- 6-11: streaming_queries (dedup_exact / cdc_state CHANGED; the four
-  r8 batch faces ride);
-- 12: layout (q_zorder_layout CHANGED);
-- 13-28: the ENTIRE remaining r4 tail, exactly as the r8 plan
+- 6-12: streaming_queries (q_stream_join_attrib NEW; dedup_exact /
+  cdc_state CHANGED; the four r8 batch faces ride);
+- 13: layout (q_zorder_layout CHANGED);
+- 14-29: the ENTIRE remaining r4 tail, exactly as the r8 plan
   promised -- text_analysis (q_text_stats r8 rides), windows,
   subqueries, semistructured;
-- 29-48: the ENTIRE r5 cohort -- relational, scalars, similarity
+- 30-49: the ENTIRE r5 cohort -- relational, scalars, similarity
   (incl. the manually-registered bruteforce query, which now
   registers right after its module so its slot matches the policy),
   timeseries, text_extra;
-- 49-50: the oldest r6 evidence -- the cut lands mid-stats_extra
-  after q_ntile_bucketing (its last two queries and windows_extra
-  slip to r10).
+- 50: the oldest r6 evidence -- the cut lands mid-stats_extra after
+  q_stats_moments (its last three queries and windows_extra slip to
+  r10).
 
 After this window NOTHING in the registry has evidence older than r6
 -- one round ahead of the retirement schedule (VERDICT r8 item 2
@@ -57,17 +59,18 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # 3-5: tpch_extra3 NEW (Q4 correlated-EXISTS semi-join, Q8
     # share-of-total star, Q12 conditional class aggregation)
     tpch_extra3,
-    # 6-11: dedup_exact / cdc_state CHANGED (drain hardening); the
-    # four r8 batch faces ride
+    # 6-12: q_stream_join_attrib NEW (stream-stream interval join);
+    # dedup_exact / cdc_state CHANGED (drain hardening); the four r8
+    # batch faces ride
     streaming_queries,
-    # 12: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
+    # 13: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
     layout,
-    # 13-28: the r4-evidence tail, retired whole
+    # 14-29: the r4-evidence tail, retired whole
     text_analysis,
     windows,
     subqueries,
     semistructured,
-    # 29-41: r5-green
+    # 30-42: r5-green
     relational,
     scalars,
     similarity,
@@ -76,18 +79,18 @@ from discogs_xml_to_parquet_spark.registry import query as _query
 
 # q_ann_bruteforce_topk is registered manually (demoted from the
 # similarity module in r3). It registers HERE -- directly after its
-# module -- so its registration slot (42) matches the policy order,
+# module -- so its registration slot (43) matches the policy order,
 # which groups it with similarity.
 _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
     similarity.q_ann_bruteforce_topk
 )
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
-    # 43-48: r5-green (rest)
+    # 44-49: r5-green (rest)
     timeseries,
     text_extra,
-    # 49-50: oldest r6; the cut lands mid-stats_extra after
-    # q_ntile_bucketing
+    # 50: oldest r6; the cut lands mid-stats_extra after
+    # q_stats_moments
     stats_extra,
     # --- 50-query window cut (mid-stats_extra) ---
     # r6-green remainder: first in line for round 10

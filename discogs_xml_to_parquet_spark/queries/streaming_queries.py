@@ -304,3 +304,90 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_ops")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_stream_join_attrib",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       epoch_us(CAST(p.ts AS TIMESTAMP))
+         - epoch_us(CAST(v.ts AS TIMESTAMP)) AS delay_micros
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY 1, 2, 3
+""",
+)
+def q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STREAM JOIN lane as a driver row, completing the
+    true-streaming trio (dedup: q_stream_dedup_exact; custom state:
+    q_stream_cdc_state; binary stateful op: this): every (view,
+    purchase) pair of the same user at most 30 minutes apart, computed
+    by a real readStream x readStream inner join with an event-time
+    interval condition, run to completion with an availableNow trigger
+    and hash-oracled against the plain relational join.
+
+    Scale shape: both sides carry watermarks and the join condition
+    bounds purchase time to [view, view + 30 min], so each side's join
+    state is evicted once the other side's watermark passes the bound
+    -- state is O(events per horizon), never O(stream). The join
+    itself shuffles both sides on user_id (the equi key); the interval
+    condition is the join residual, exactly like the batch as-of
+    family. The oracle casts DuckDB's nanosecond timestamps to
+    microseconds, matching Spark's parquet truncation, and the delay
+    is emitted in exact integer microseconds.
+
+    Both streams read the same events backfill (pathGlobFilter lane,
+    like q_stream_cdc_state); watermarks only bound state here --
+    availableNow drains the whole backfill, and an inner join emits a
+    match whenever both rows have arrived, so no pair is watermark-
+    dropped regardless of horizon."""
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def leg(event_type: str, prefix: str) -> DataFrame:
+        # watermarks require TimestampType; the session pins UTC so
+        # the NTZ -> timestamp cast preserves the wall-clock instant
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+            .withWatermark(f"{prefix}_ts", "31 minutes")
+        )
+
+    joined = leg("view", "v").join(
+        leg("purchase", "p"),
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return (
+        _drain_to_memory(spark, joined, "q_stream_join_attrib_sink",
+                         "append")
+        .select(
+            F.col("v_user").alias("user_id"),
+            F.col("v_id").alias("view_event_id"),
+            F.col("p_id").alias("purchase_event_id"),
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("purchase_ts"),
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+            .alias("delay_micros"),
+        )
+        .orderBy("user_id", "view_event_id", "purchase_event_id")
+    )

@@ -37,7 +37,8 @@ DERIVED_AT_ROUND = 8
 #   stopped, watermark horizon derived from the corpus span).
 # - q_join_bloom_dpp: r9 staged-fact cache fix (ADVICE r8 -- source
 #   fingerprint in the cache key, atomic publish).
-# q_join_aqe_skew is NEW in r9 (rank 0, no entry needed here).
+# The five r9-NEW queries (q_join_aqe_skew, tpch_extra3 trio,
+# q_stream_join_attrib) need no entry: rank 0 covers never-checked.
 R9_CHANGED = frozenset({
     "q_zorder_layout",
     "q_stream_dedup_exact",
@@ -107,19 +108,20 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r9_window_contents():
-    """The round-9 membership decisions, pinned explicitly: the four
-    NEW queries' modules lead (rank 0: AQE skew + the tpch_extra3
-    trio), the four CHANGED queries follow with their modules, then
-    the ENTIRE r4 tail (text_analysis, windows, subqueries,
+    """The round-9 membership decisions, pinned explicitly: the five
+    NEW queries' modules lead (rank 0: AQE skew, the tpch_extra3
+    trio, the stream-stream join), the four CHANGED queries follow
+    with their modules, then the ENTIRE r4 tail (text_analysis, windows, subqueries,
     semistructured -- VERDICT r8 item 2), the ENTIRE r5 cohort
     (relational, scalars, similarity incl. the manually-registered
     bruteforce query, timeseries, text_extra), and the oldest r6
-    evidence; the cut lands mid-stats_extra after q_ntile_bucketing.
+    evidence; the cut lands mid-stats_extra after q_stats_moments.
     After this window nothing has evidence older than r6."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         "q_join_aqe_skew",
         "q4_order_priority", "q8_market_share", "q12_priority_class",
+        "q_stream_join_attrib",
         *sorted(R9_CHANGED),
         # the 15 r4-evidence queries, retired whole
         "q_text_quality", "q_text_langid", "q_text_token_regex",
@@ -134,11 +136,12 @@ def test_r9_window_contents():
         "q_ann_bruteforce_topk", "q_sessionize_events",
         "q_chunk_documents",
         # oldest r6 head
-        "q_stats_moments", "q_ntile_bucketing",
+        "q_stats_moments",
     ):
         assert must in win, must
-    assert win[-1] == "q_ntile_bucketing"  # the mid-module cut
-    for out in ("q_mode_per_group", "q_histogram_fixed",
+    assert win[-1] == "q_stats_moments"  # the mid-module cut
+    for out in ("q_ntile_bucketing", "q_mode_per_group",
+                "q_histogram_fixed",
                 "q_window_distribution", "q_ratio_to_report",
                 "q_scd2_merge", "q_cdc_apply",
                 "q_dedup_exact", "discogs_xml_conversion",
