@@ -831,3 +831,35 @@ def test_q12_counts_are_one_conditional_pass(spark):
     assert tree.count("Scan parquet") == 2, tree  # lineitem + orders
     assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed
     assert "Window" not in plan
+
+
+def test_bucketed_query_join_has_no_exchange(spark):
+    """q_join_bucketed: with both facts written bucketBy(16) on their
+    join keys, the join subplan must read the bucketed layout on both
+    sides (Bucketed: true / SelectedBucketsCount) and contain NO
+    Exchange -- the shuffle every other join strategy still pays is
+    gone at read time. The only exchange in the full query is the
+    5-group priority aggregate above the join."""
+    from discogs_xml_to_parquet_spark.queries import runtime_filters as RT
+
+    lane = RT.bucketed_join_lane(RT.bucketed_session(spark), SF_SMOKE)
+    ep = lane._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in ep, ep
+    assert "Exchange" not in ep, f"bucketed join still shuffles:\n{ep}"
+    assert ep.count("Bucketed: true") == 2, ep
+
+
+def test_incremental_refresh_scans_fact_once(spark):
+    """q_incremental_rollup: the refresh plan must read the stored
+    base state as an RDD scan (localCheckpoint stand-in for the MV)
+    and the events parquet exactly TWICE at demo scale -- once for the
+    delta branch, once for the 1-row cutoff scalar (which a production
+    literal boundary eliminates); a full-recompute plan would
+    re-aggregate the corpus under the merge instead of an RDD read."""
+    from discogs_xml_to_parquet_spark import registry
+
+    df = registry.QUERIES["q_incremental_rollup"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 1, tree
+    assert tree.count("Scan parquet") == 2, tree

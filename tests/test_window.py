@@ -108,18 +108,20 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r9_window_contents():
-    """The round-9 membership decisions, pinned explicitly: the five
-    NEW queries' modules lead (rank 0: AQE skew, the tpch_extra3
-    trio, the stream-stream join), the four CHANGED queries follow
-    with their modules, then the ENTIRE r4 tail (text_analysis, windows, subqueries,
-    semistructured -- VERDICT r8 item 2), the ENTIRE r5 cohort
+    """The round-9 membership decisions, pinned explicitly: the seven
+    NEW queries' modules lead (rank 0: AQE skew, the bucketed join,
+    the IVM rollup, the tpch_extra3 trio, the stream-stream join),
+    the four CHANGED queries follow with their modules, then the
+    ENTIRE r4 tail (text_analysis, windows, subqueries,
+    semistructured -- VERDICT r8 item 2) and the r5 cohort
     (relational, scalars, similarity incl. the manually-registered
-    bruteforce query, timeseries, text_extra), and the oldest r6
-    evidence; the cut lands mid-stats_extra after q_stats_moments.
-    After this window nothing has evidence older than r6."""
+    bruteforce query, timeseries, text_extra); the cut lands
+    mid-text_extra after q_token_cooccurrence. After this window
+    nothing has evidence older than r5 (the one r5 leftover,
+    q_regex_extract_all, leads round 10)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
-        "q_join_aqe_skew",
+        "q_join_aqe_skew", "q_join_bucketed", "q_incremental_rollup",
         "q4_order_priority", "q8_market_share", "q12_priority_class",
         "q_stream_join_attrib",
         *sorted(R9_CHANGED),
@@ -131,16 +133,16 @@ def test_r9_window_contents():
         "q_window_range_frame", "q_window_rank_dense",
         "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
         "q_map_funcs", "q_json_struct",
-        # the full r5 cohort
+        # the r5 cohort (all but the one leftover below)
         "q1_pricing_summary", "q_string_funcs", "q_ann_lsh_buckets",
         "q_ann_bruteforce_topk", "q_sessionize_events",
-        "q_chunk_documents",
-        # oldest r6 head
-        "q_stats_moments",
+        "q_chunk_documents", "q_token_cooccurrence",
     ):
         assert must in win, must
-    assert win[-1] == "q_stats_moments"  # the mid-module cut
-    for out in ("q_ntile_bucketing", "q_mode_per_group",
+    assert win[-1] == "q_token_cooccurrence"  # the mid-module cut
+    for out in ("q_regex_extract_all",  # the r5 leftover -> r10 lead
+                "q_stats_moments",
+                "q_ntile_bucketing", "q_mode_per_group",
                 "q_histogram_fixed",
                 "q_window_distribution", "q_ratio_to_report",
                 "q_scd2_merge", "q_cdc_apply",
