@@ -863,3 +863,40 @@ def test_incremental_refresh_scans_fact_once(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan ExistingRDD") == 1, tree
     assert tree.count("Scan parquet") == 2, tree
+
+
+def test_registry_wide_plan_red_flag_sweep(spark):
+    """Fleet-wide scale-killer sweep, enforced instead of grepped: for
+    EVERY registered query (the three true-readStream rows excluded --
+    calling them runs a stream; their plans are gated in the streaming
+    tests), the physical plan contains
+
+    - no CartesianProduct: every pairwise operator must reach its pair
+      space through an equi/band/broadcast strategy (even the
+      exact-recall ANN baseline plans as a broadcast NLJ);
+    - no row-at-a-time BatchEvalPython, except the ONE registered
+      query whose purpose is to demonstrate the legacy UDTF surface
+      (q_python_udtf): Python in the hot path must be Arrow-batched
+      (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+
+    A new query that trips either flag fails here by name, so the
+    invariant holds for round N+1's additions, not just the audited
+    past."""
+    from discogs_xml_to_parquet_spark import registry
+
+    STREAM_RUNNERS = {"q_stream_dedup_exact", "q_stream_cdc_state",
+                      "q_stream_join_attrib"}
+    ROW_PYTHON_OK = {"q_python_udtf"}
+    bad: dict[str, list[str]] = {}
+    for name, fn in registry.QUERIES.items():
+        if name in STREAM_RUNNERS:
+            continue
+        plan = plan_of(fn(spark, SF_SMOKE))
+        hits = []
+        if "CartesianProduct" in plan:
+            hits.append("CartesianProduct")
+        if "BatchEvalPython" in plan and name not in ROW_PYTHON_OK:
+            hits.append("BatchEvalPython")
+        if hits:
+            bad[name] = hits
+    assert not bad, f"scale-killer red flags: {bad}"
