@@ -441,7 +441,7 @@ def main() -> None:
             ],
         }
 
-    print(json.dumps({
+    full = {
         "metric": "headline_query_wall_sec",
         "value": total,
         "unit": "sec",
@@ -471,7 +471,58 @@ def main() -> None:
         },
         "longtail": {"round": round_no, "queries": lt_timings},
         "sf1_spot": sf1_spot,
-    }))
+    }
+
+    # The driver records only the LAST 2000 chars of stdout (every
+    # BENCH_r1..r8 artifact holds a mid-line truncated 'tail' and
+    # 'parsed': None -- the full dict above has never survived into a
+    # round-of-record artifact). So: the full dict goes to a repo file,
+    # and stdout gets ONE COMPACT line (<= ~1900 chars) holding the
+    # contract keys (metric/value/unit/queries/sf) plus the adjudication
+    # essentials (eff-cores medians, conversion rates, sf1 lane, budget
+    # flag) so the recorded tail contains the complete, parseable line.
+    (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
+    )
+
+    def _med(xs: list[float]) -> float:
+        return round(sorted(xs)[len(xs) // 2], 2) if xs else 0.0
+
+    compact = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n": N_RUNS,
+        "sf": sf,
+        "eff_cores_median": _med(cpu_attr["eff_cores"]),
+        "os_cpus": os.cpu_count(),
+        "conversion": {
+            "rows": n_rel,
+            "f8_rows_per_sec": round(n_rel / conv_sec),
+            "f32_rows_per_sec": round(n_rel / conv32_sec),
+            "f8_eff_cores": _med([round(c / w, 2) for w, c in conv_runs]),
+            "f32_eff_cores": _med([round(c / w, 2) for w, c in conv32_runs]),
+            "interleaved": True,
+        },
+        "longtail": lt_timings,
+        "sf1": None if sf1_spot is None else {
+            "sf": sf1_spot["sf"],
+            "queries": sf1_spot["queries"],
+            "passes": sf1_spot["passes"],
+            "over_budget": sf1_spot["over_budget"],
+            "eff_cores_median": _med(sf1_spot["eff_cores"]),
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # trim ballast before precision
+        compact.pop("longtail", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
