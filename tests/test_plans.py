@@ -900,3 +900,16 @@ def test_registry_wide_plan_red_flag_sweep(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"scale-killer red flags: {bad}"
+
+
+def test_binaryfile_scan_is_single_stage(spark):
+    """q_source_binaryfile: the whole query is one binaryFile scan +
+    map-side projection -- the only exchange is the final doc_id sort.
+    At 100 TB the file listing prunes via pathGlobFilter and content
+    bytes are only materialized because the md5 projects them."""
+    from discogs_xml_to_parquet_spark import registry
+
+    plan = plan_of(registry.QUERIES["q_source_binaryfile"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert "binaryFile" in plan, plan
+    assert tree.count("Exchange") <= 2, tree  # rangepartition sort only

@@ -37,7 +37,8 @@ DERIVED_AT_ROUND = 8
 #   stopped, watermark horizon derived from the corpus span).
 # - q_join_bloom_dpp: r9 staged-fact cache fix (ADVICE r8 -- source
 #   fingerprint in the cache key, atomic publish).
-# The five r9-NEW queries (q_join_aqe_skew, tpch_extra3 trio,
+# The eight r9-NEW queries (q_join_aqe_skew, q_join_bucketed,
+# q_incremental_rollup, q_source_binaryfile, tpch_extra3 trio,
 # q_stream_join_attrib) need no entry: rank 0 covers never-checked.
 R9_CHANGED = frozenset({
     "q_zorder_layout",
@@ -108,20 +109,22 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r9_window_contents():
-    """The round-9 membership decisions, pinned explicitly: the seven
+    """The round-9 membership decisions, pinned explicitly: the eight
     NEW queries' modules lead (rank 0: AQE skew, the bucketed join,
-    the IVM rollup, the tpch_extra3 trio, the stream-stream join),
+    the IVM rollup, the binaryFile ingest, the tpch_extra3 trio, the
+    stream-stream join),
     the four CHANGED queries follow with their modules, then the
     ENTIRE r4 tail (text_analysis, windows, subqueries,
     semistructured -- VERDICT r8 item 2) and the r5 cohort
     (relational, scalars, similarity incl. the manually-registered
     bruteforce query, timeseries, text_extra); the cut lands
-    mid-text_extra after q_token_cooccurrence. After this window
-    nothing has evidence older than r5 (the one r5 leftover,
-    q_regex_extract_all, leads round 10)."""
+    mid-text_extra after q_chunk_documents. After this window
+    nothing has evidence older than r5 (the two r5 leftovers,
+    q_token_cooccurrence and q_regex_extract_all, lead round 10)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         "q_join_aqe_skew", "q_join_bucketed", "q_incremental_rollup",
+        "q_source_binaryfile",
         "q4_order_priority", "q8_market_share", "q12_priority_class",
         "q_stream_join_attrib",
         *sorted(R9_CHANGED),
@@ -136,11 +139,12 @@ def test_r9_window_contents():
         # the r5 cohort (all but the one leftover below)
         "q1_pricing_summary", "q_string_funcs", "q_ann_lsh_buckets",
         "q_ann_bruteforce_topk", "q_sessionize_events",
-        "q_chunk_documents", "q_token_cooccurrence",
+        "q_chunk_documents",
     ):
         assert must in win, must
-    assert win[-1] == "q_token_cooccurrence"  # the mid-module cut
-    for out in ("q_regex_extract_all",  # the r5 leftover -> r10 lead
+    assert win[-1] == "q_chunk_documents"  # the mid-module cut
+    for out in ("q_token_cooccurrence",  # r5 leftovers -> r10 lead
+                "q_regex_extract_all",
                 "q_stats_moments",
                 "q_ntile_bucketing", "q_mode_per_group",
                 "q_histogram_fixed",
