@@ -391,3 +391,94 @@ def q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_event_id", "purchase_event_id")
     )
+
+
+@query(
+    "q_stream_static_enrich",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+),
+ud AS (SELECT user_id, event_type AS cohort FROM ranked WHERE rn = 1)
+SELECT ud.cohort,
+       e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor((e.value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS total_value
+FROM events e JOIN ud ON e.user_id = ud.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STATIC JOIN lane as a driver row -- the most common
+    production streaming pattern (enrich a stream with a slowly-moving
+    dimension) and the fourth true-readStream lane (dedup / custom
+    state / stream-stream join / this): per acquisition cohort (each
+    user's FIRST event type) and event type, event counts and exact
+    total value, computed by a real readStream joined to a
+    batch-computed broadcast dimension and aggregated in complete
+    output mode, hash-oracled against the equivalent two-step batch
+    SQL.
+
+    Scale shape: the dimension is built once batch-side (one shuffle
+    over the changelog, staged via localCheckpoint) and BROADCAST into
+    every micro-batch -- the stream side never shuffles for the join,
+    which is the whole point of the pattern at 100 TB (a shuffled
+    stream-static join would re-partition every micro-batch). The
+    unwatermarked aggregate is legal in complete mode and its state is
+    the output domain (cohorts x event types, ~25 rows), not the
+    stream. Determinism: the cohort pick is min_by over the
+    (ts microseconds, event_id) total order -- replay-safe, same
+    convention as the CDC lane -- and the value sum rides the exact
+    scaled-decimal accumulator, so the hash compare is exact. (ts
+    reads as timestamp_ntz; a nanos-generation events.parquet would
+    need the tables._load_events legacy lane -- same documented caveat
+    as the other event-stream lanes.)"""
+    from discogs_xml_to_parquet_spark.functions.exact import (
+        scaled,
+        unscale,
+    )
+
+    e = load(spark, sf_dir, "events")
+    user_dim = (
+        e.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias(
+                "cohort"
+            )
+        )
+        .localCheckpoint()
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    enriched = (
+        stream.join(F.broadcast(user_dim), "user_id")
+        .groupBy("cohort", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(scaled("value").cast("decimal(38,0)")).alias(
+                "sum_scaled"
+            ),
+        )
+    )
+    sink = _drain_to_memory(
+        spark, enriched, "q_stream_static_enrich_sink", "complete"
+    )
+    return (
+        sink.select(
+            "cohort", "event_type", "n_events",
+            unscale(F.col("sum_scaled")).alias("total_value"),
+        )
+        .orderBy("cohort", "event_type")
+    )
