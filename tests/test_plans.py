@@ -867,7 +867,7 @@ def test_incremental_refresh_scans_fact_once(spark):
 
 def test_registry_wide_plan_red_flag_sweep(spark):
     """Fleet-wide scale-killer sweep, enforced instead of grepped: for
-    EVERY registered query (the three true-readStream rows excluded --
+    EVERY registered query (the four true-readStream rows excluded --
     calling them runs a stream; their plans are gated in the streaming
     tests), the physical plan contains
 
@@ -885,7 +885,7 @@ def test_registry_wide_plan_red_flag_sweep(spark):
     from discogs_xml_to_parquet_spark import registry
 
     STREAM_RUNNERS = {"q_stream_dedup_exact", "q_stream_cdc_state",
-                      "q_stream_join_attrib"}
+                      "q_stream_join_attrib", "q_stream_static_enrich"}
     ROW_PYTHON_OK = {"q_python_udtf"}
     bad: dict[str, list[str]] = {}
     for name, fn in registry.QUERIES.items():
