@@ -1,0 +1,108 @@
+"""Schema evolution at the scan: read a parquet directory whose older
+slices PREDATE a column and whose newer slices carry it, via
+mergeSchema, with NULL backfill for the missing column.
+
+The 100 TB reality this pins: long-lived ingestion pipelines accrete
+columns over time, so a fact directory is never one schema -- it is a
+timeline of schemas, and the engine must (a) union them without
+rewriting history, (b) surface pre-schema rows as NULLs, and
+(c) keep every downstream aggregate honest about the mixed lineage.
+Spark's mergeSchema=true reconciles the footers at listing time; the
+per-file reader projects absent columns as NULL, so the backfill is
+metadata-only -- no historical rewrite, which at 100 TB is the
+difference between a config flag and a petabyte compaction job.
+
+The staged directory derives from the orders table split at a fixed
+date (old slice written WITHOUT o_orderpriority, new slice with it),
+so the DuckDB oracle can express the same semantics relationally:
+priority is visible only for rows past the evolution boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.queries.runtime_filters import (
+    _source_fingerprint,
+    _staged,
+)
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load
+
+_VERSION = 1
+# the date the o_orderpriority column "started being captured"
+_EVOLVED_AT = "1995-07-01"
+
+_REV_SQL = ("CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) "
+            "AS BIGINT)) AS DOUBLE) / 1000000")
+
+
+def staged_evolving_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation parquet directory: gen=0 holds pre-boundary
+    orders WITHOUT the priority column, gen=1 holds the rest with it.
+    Fingerprinted build-once staging with atomic publish (same
+    contract as the DPP fact)."""
+    slug = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(sf_dir, "orders.parquet")
+
+    def build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        old = o.filter(F.col("o_orderdate") < _EVOLVED_AT).drop(
+            "o_orderpriority"
+        )
+        new = o.filter(F.col("o_orderdate") >= _EVOLVED_AT)
+        old.write.mode("overwrite").parquet(f"{tmp}/gen=0")
+        new.write.mode("overwrite").parquet(f"{tmp}/gen=1")
+
+    return _staged(
+        f"spark_graft_schemaevo_v{_VERSION}_{slug}_{fp}", build
+    )
+
+
+@query(
+    "q_schema_evolution_scan",
+    oracle="""
+SELECT CASE WHEN o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+            THEN o_orderpriority ELSE '(pre-schema)' END AS priority,
+       COUNT(*) AS n_orders,
+       """ + _REV_SQL + """ AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-schema directory scan: order counts and exact revenue per
+    priority, where every order written before the column existed
+    lands in an explicit '(pre-schema)' bucket via NULL backfill --
+    the aggregate is honest about lineage instead of silently
+    dropping or misclassifying history. The oracle derives the same
+    buckets from the live table's date split, so a hash match pins
+    that mergeSchema unioned both generations completely and
+    backfilled exactly the pre-boundary rows.
+
+    Scale shape: schema reconciliation happens once at listing
+    (mergeSchema reads footers, not data); the scan itself is one
+    map-side pass + a K-group aggregate. recursiveFileLookup picks up
+    the generation subdirs without treating gen= as a partition
+    column, mirroring a directory whose layout predates partition
+    discipline."""
+    src = staged_evolving_orders(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(pre-schema)"))
+            .alias("priority"),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("priority")
+    )

@@ -913,3 +913,17 @@ def test_binaryfile_scan_is_single_stage(spark):
     tree = plan.split("\n\n")[0]
     assert "binaryFile" in plan, plan
     assert tree.count("Exchange") <= 2, tree  # rangepartition sort only
+
+
+def test_schema_evolution_scan_is_one_pass(spark):
+    """q_schema_evolution_scan: the mixed-generation read must plan as
+    ONE parquet scan over the whole directory (mergeSchema reconciles
+    footers at listing time -- no per-generation union of scans) with
+    the NULL backfill absorbed into the scan's projection."""
+    from discogs_xml_to_parquet_spark import registry
+
+    df = registry.QUERIES["q_schema_evolution_scan"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Union" not in tree, tree
