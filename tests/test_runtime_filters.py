@@ -9,6 +9,8 @@ import os
 from pathlib import Path
 
 from discogs_xml_to_parquet_spark.queries import runtime_filters as RT
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_SMOKE
 
 
@@ -71,3 +73,69 @@ def test_scoped_session_isolates_conf(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
     assert s2 is not spark
     assert s2.sparkContext is spark.sparkContext
+
+
+def test_binary_corpus_staging_contract(spark):
+    """staged_binary_corpus: idempotent (same path twice, no rebuild),
+    one file per selected doc, selector keyed into the cache name so a
+    selectivity change can never serve a stale tree (the r9 build hit
+    exactly that with an unkeyed selector)."""
+    import os
+
+    from discogs_xml_to_parquet_spark.queries import binary_source as B
+    from discogs_xml_to_parquet_spark.tables import load
+
+    p1 = B.staged_binary_corpus(spark, SF_SMOKE)
+    p2 = B.staged_binary_corpus(spark, SF_SMOKE)
+    assert p1 == p2
+    assert f"m{B._SEL_MOD}_" in os.path.basename(p1)
+    n_files = len([f for f in os.listdir(p1) if f.endswith(".bin")])
+    expected = (
+        load(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") % B._SEL_MOD == 0)
+        .count()
+    )
+    assert n_files == expected
+
+
+def test_evolving_orders_generations_differ_in_schema(spark):
+    """staged_evolving_orders: gen=0 must NOT carry o_orderpriority,
+    gen=1 must -- the mixed-schema premise the mergeSchema query
+    demonstrates, pinned so a refactor cannot quietly write both
+    generations with the full schema (the query would still pass its
+    oracle but stop testing evolution)."""
+    from discogs_xml_to_parquet_spark.queries import schema_evolution as SE
+
+    root = SE.staged_evolving_orders(spark, SF_SMOKE)
+    old_cols = spark.read.parquet(f"{root}/gen=0").columns
+    new_cols = spark.read.parquet(f"{root}/gen=1").columns
+    assert "o_orderpriority" not in old_cols
+    assert "o_orderpriority" in new_cols
+    assert set(old_cols) == set(new_cols) - {"o_orderpriority"}
+
+
+def test_bucketed_fact_tables_reuse_within_app(spark):
+    """bucketed_fact_tables: the second call must short-circuit on
+    tableExists (no rewrite -- data files untouched), and the tables
+    must carry the co-bucketed spec (16 buckets on the join keys)."""
+    import os
+
+    from discogs_xml_to_parquet_spark.queries import runtime_filters as RT
+
+    li_t, o_t = RT.bucketed_fact_tables(spark, SF_SMOKE)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {li_t}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0].data_type
+    ).replace("file:", "")
+    before = max(os.path.getmtime(os.path.join(loc, f))
+                 for f in os.listdir(loc))
+    li_t2, o_t2 = RT.bucketed_fact_tables(spark, SF_SMOKE)
+    assert (li_t2, o_t2) == (li_t, o_t)
+    after = max(os.path.getmtime(os.path.join(loc, f))
+                for f in os.listdir(loc))
+    assert after == before, "second call rewrote the bucketed data"
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {li_t}").collect()
+    kv = {r.col_name: r.data_type for r in desc}
+    assert kv.get("Num Buckets") == "16"
+    assert "l_orderkey" in kv.get("Bucket Columns", "")
