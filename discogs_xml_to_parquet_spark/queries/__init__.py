@@ -23,13 +23,14 @@ window(changed=R9_CHANGED, max_round=8) with R9_CHANGED =
 awaitTermination timeout now raises, stale same-name sinks stopped,
 dedup watermark horizon derived from the corpus span -- ADVICE r8),
 q_join_bloom_dpp (staged-fact cache keyed by source fingerprint +
-atomic publish -- ADVICE r8)}. Ten queries are NEW in
+atomic publish -- ADVICE r8)}. Eleven queries are NEW in
 r9: q_join_aqe_skew (AQE skew-join split showcase, VERDICT r8 item
 7), q_join_bucketed (co-bucketed zero-shuffle join -- the write-time
 member of the join-strategy family), q_incremental_rollup
 (incremental view maintenance by partial-aggregate merge),
 q_source_binaryfile (binary-corpus ingestion round trip),
-q_schema_evolution_scan (mergeSchema mixed-generation scan), the
+q_schema_evolution_scan (mergeSchema mixed-generation scan),
+q_distribution_drift (snapshot drift in one scan), the
 tpch_extra3 trio (Q4 correlated-EXISTS semi-join, Q8 share-of-total
 star, Q12 conditional class aggregation), q_stream_join_attrib
 (the stream-stream interval join as a true readStream driver row),
@@ -37,25 +38,26 @@ and q_stream_static_enrich (the stream-static broadcast-dimension
 join, the fourth true-readStream lane) -- rank 0 pulls their modules
 to the head:
 
-- 1-9: runtime_filters (q_join_aqe_skew + q_join_bucketed NEW;
+- 1-10: runtime_filters (q_join_aqe_skew + q_join_bucketed NEW;
   q_join_bloom_dpp CHANGED) + incremental + binary_source +
-  schema_evolution (NEW) + tpch_extra3 (all three NEW);
-- 10-17: streaming_queries (q_stream_join_attrib +
+  schema_evolution + drift (NEW) + tpch_extra3 (all three NEW);
+- 11-18: streaming_queries (q_stream_join_attrib +
   q_stream_static_enrich NEW; dedup_exact / cdc_state CHANGED; the
   four r8 batch faces ride);
-- 18: layout (q_zorder_layout CHANGED);
-- 19-34: the ENTIRE remaining r4 tail, exactly as the r8 plan
+- 19: layout (q_zorder_layout CHANGED);
+- 20-35: the ENTIRE remaining r4 tail, exactly as the r8 plan
   promised -- text_analysis (q_text_stats r8 rides), windows,
   subqueries, semistructured;
-- 35-50: the r5 cohort -- relational, scalars, similarity (incl.
+- 36-50: the r5 cohort -- relational, scalars, similarity (incl.
   the manually-registered bruteforce query, which registers right
   after its module so its slot matches the policy), timeseries; the
-  cut lands mid-timeseries after q_gapfill_timeseries
-  (q_cumulative_distinct, text_extra and stats_extra slip to r10).
+  cut lands mid-timeseries after q_sessionize_events
+  (q_gapfill_timeseries, q_cumulative_distinct, text_extra and
+  stats_extra slip to r10).
 
 After this window NOTHING in the registry has evidence older than r5
 -- on the retirement schedule exactly (VERDICT r8 item 2 asked for
->= r5; the r5 leftovers, q_cumulative_distinct and text_extra,
+>= r5; the r5 leftovers -- two timeseries queries and text_extra --
 lead the r10 window).
 """
 
@@ -70,22 +72,24 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     binary_source,
     # 6: q_schema_evolution_scan NEW (mergeSchema mixed-generation scan)
     schema_evolution,
+    # 7: q_distribution_drift NEW (snapshot drift, one-scan L-inf)
+    drift,
     # 6-8: tpch_extra3 NEW (Q4 correlated-EXISTS semi-join, Q8
     # share-of-total star, Q12 conditional class aggregation)
     tpch_extra3,
-    # 10-17: q_stream_join_attrib + q_stream_static_enrich NEW
+    # 11-18: q_stream_join_attrib + q_stream_static_enrich NEW
     # (stream-stream interval join; stream-static broadcast enrich);
     # dedup_exact / cdc_state CHANGED (drain hardening); the four r8
     # batch faces ride
     streaming_queries,
-    # 18: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
+    # 19: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
     layout,
-    # 19-34: the r4-evidence tail, retired whole
+    # 20-35: the r4-evidence tail, retired whole
     text_analysis,
     windows,
     subqueries,
     semistructured,
-    # 35-47: r5-green
+    # 36-48: r5-green
     relational,
     scalars,
     similarity,
@@ -101,9 +105,9 @@ _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
 )
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
-    # 49-50: r5-green (rest); the cut lands mid-timeseries after
-    # q_gapfill_timeseries (q_cumulative_distinct + text_extra lead
-    # round 10)
+    # 50: r5-green (rest); the cut lands mid-timeseries after
+    # q_sessionize_events (gapfill + cumulative_distinct + text_extra
+    # lead round 10)
     timeseries,
     # --- 50-query window cut (mid-timeseries) ---
     # r5/r6-green remainder: first in line for round 10

@@ -927,3 +927,21 @@ def test_schema_evolution_scan_is_one_pass(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, tree
     assert "Union" not in tree, tree
+
+
+def test_drift_is_one_conditional_scan(spark):
+    """q_distribution_drift: BOTH snapshots' bin counts must come from
+    ONE corpus scan (conditional aggregation), never a per-snapshot
+    scan pair or a snapshot self-join; the share arithmetic is
+    integer-only, so no Window and no double accumulation appears."""
+    from discogs_xml_to_parquet_spark import registry
+
+    df = registry.QUERIES["q_distribution_drift"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    # the consumer plan reads the STAGED (groups x bins) table for both
+    # the totals and the drift compare -- zero parquet re-scans (the
+    # single corpus pass happened in the staging job)
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert "Window" not in plan
