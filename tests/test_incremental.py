@@ -64,3 +64,13 @@ def test_three_way_merge_is_associative(spark):
     d2 = _rollup(tagged.filter(F.col("ts") >= F.col("c2")))
     got = _final(merge_rollups(merge_rollups(base, d1), d2))
     assert got == want
+
+
+def test_merge_with_empty_delta_is_identity(spark):
+    """A refresh that finds no new rows must leave the stored state
+    bit-identical -- the no-op refresh a scheduled IVM job hits most
+    of the time."""
+    e = load(spark, SF_SMOKE, "events")
+    base = _rollup(e)
+    empty = _rollup(e.filter(F.lit(False)))
+    assert _final(merge_rollups(base, empty)) == _final(base)
