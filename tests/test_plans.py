@@ -877,16 +877,40 @@ def test_registry_wide_plan_red_flag_sweep(spark):
     - no row-at-a-time BatchEvalPython, except the ONE registered
       query whose purpose is to demonstrate the legacy UDTF surface
       (q_python_udtf): Python in the hot path must be Arrow-batched
-      (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+      (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas);
+    - no GLOBAL (partition-less) window outside the enumerated
+      provably-bounded set: q_cumulative_distinct (orders the ~30-row
+      day table), q_bm25_search (ranks TOP_N post-heap rows), and the
+      three prefix-scan consumers whose `_pid` carry window holds ONE
+      row per range partition (operators/prefix.py). Anything else
+      ordering a global window is a single-task funnel at 100 TB.
 
-    A new query that trips either flag fails here by name, so the
+    A new query that trips any flag fails here by name, so the
     invariant holds for round N+1's additions, not just the audited
     past."""
+    import re
+
     from discogs_xml_to_parquet_spark import registry
 
     STREAM_RUNNERS = {"q_stream_dedup_exact", "q_stream_cdc_state",
                       "q_stream_join_attrib", "q_stream_static_enrich"}
     ROW_PYTHON_OK = {"q_python_udtf"}
+    GLOBAL_WINDOW_OK = {
+        "q_cumulative_distinct",   # day-table window, ~30 rows
+        "q_bm25_search",           # TOP_N rows after the heap
+        "q_budget_select",         # _pid carry: 1 row per partition
+        "q_pareto_frontier",       # _pid carry: 1 row per partition
+        "q_histogram_equidepth",   # _pid carry: 1 row per partition
+    }
+
+    def global_window(plan: str) -> bool:
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0].strip()
+            if (" ASC" in first or " DESC" in first
+                    or first.startswith("specifiedwindowframe")):
+                return True
+        return False
+
     bad: dict[str, list[str]] = {}
     for name, fn in registry.QUERIES.items():
         if name in STREAM_RUNNERS:
@@ -897,6 +921,8 @@ def test_registry_wide_plan_red_flag_sweep(spark):
             hits.append("CartesianProduct")
         if "BatchEvalPython" in plan and name not in ROW_PYTHON_OK:
             hits.append("BatchEvalPython")
+        if name not in GLOBAL_WINDOW_OK and global_window(plan):
+            hits.append("global-window")
         if hits:
             bad[name] = hits
     assert not bad, f"scale-killer red flags: {bad}"
