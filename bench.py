@@ -485,45 +485,80 @@ def main() -> None:
         json.dumps(full, indent=1) + "\n"
     )
 
-    def _med(xs: list[float]) -> float:
-        return round(sorted(xs)[len(xs) // 2], 2) if xs else 0.0
+    print(compact_line(full))
+    spark.stop()
 
+
+# recorder tail cap is 2000 chars; leave headroom for a trailing newline
+# and any recorder-side framing
+_LINE_BUDGET = 1950
+
+
+def _med(xs: list[float]) -> float:
+    return round(sorted(xs)[len(xs) // 2], 2) if xs else 0.0
+
+
+def compact_line(full: dict) -> str:
+    """The single stdout line, guaranteed <= _LINE_BUDGET chars so the
+    recorder's 2000-char tail holds it WHOLE (and parseable). Trim
+    ladder, ballast before precision: drop longtail -> 1-dp query
+    medians -> drop per-query sf1 medians (lane summary stays). The
+    contract keys (metric/value/unit/queries/sf) always survive."""
+    sf1 = full.get("sf1_spot")
     compact = {
-        "metric": "headline_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "n": N_RUNS,
-        "sf": sf,
-        "eff_cores_median": _med(cpu_attr["eff_cores"]),
-        "os_cpus": os.cpu_count(),
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": dict(full["queries"]),
+        "n": full["n"],
+        "sf": full["sf"],
+        "eff_cores_median": _med(full["cpu_attribution"]["eff_cores"]),
+        "os_cpus": full["cpu_attribution"]["os_cpus"],
         "conversion": {
-            "rows": n_rel,
-            "f8_rows_per_sec": round(n_rel / conv_sec),
-            "f32_rows_per_sec": round(n_rel / conv32_sec),
-            "f8_eff_cores": _med([round(c / w, 2) for w, c in conv_runs]),
-            "f32_eff_cores": _med([round(c / w, 2) for w, c in conv32_runs]),
+            "rows": full["conversion"]["rows"],
+            "f8_rows_per_sec": full["conversion"]["rows_per_sec"],
+            "f32_rows_per_sec": full["conversion_scaleout"]["rows_per_sec"],
+            "f8_eff_cores": _med(full["conversion"]["eff_cores"]),
+            "f32_eff_cores": _med(
+                full["conversion_scaleout"]["eff_cores"]),
             "interleaved": True,
         },
-        "longtail": lt_timings,
-        "sf1": None if sf1_spot is None else {
-            "sf": sf1_spot["sf"],
-            "queries": sf1_spot["queries"],
-            "passes": sf1_spot["passes"],
-            "over_budget": sf1_spot["over_budget"],
-            "eff_cores_median": _med(sf1_spot["eff_cores"]),
+        "longtail": full["longtail"]["queries"],
+        "sf1": None if sf1 is None else {
+            "sf": sf1["sf"],
+            "queries": dict(sf1["queries"]),
+            "passes": sf1["passes"],
+            "over_budget": sf1["over_budget"],
+            "eff_cores_median": _med(sf1["eff_cores"]),
         },
         "detail": "BENCH_DETAIL.json",
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:  # trim ballast before precision
+
+    def dumps() -> str:
+        return json.dumps(compact, separators=(",", ":"))
+
+    line = dumps()
+    if len(line) > _LINE_BUDGET:  # trim ballast before precision
         compact.pop("longtail", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
-    spark.stop()
+        line = dumps()
+    if len(line) > _LINE_BUDGET:
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
+        line = dumps()
+    if len(line) > _LINE_BUDGET and compact.get("sf1"):
+        compact["sf1"].pop("queries", None)
+        line = dumps()
+    # last resort: keep the slowest K queries and SAY how many were
+    # omitted (never a silent cap) -- halve K until the line fits
+    k = len(compact["queries"])
+    by_cost = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
+    while len(line) > _LINE_BUDGET and k > 4:
+        k //= 2
+        compact["queries"] = dict(by_cost[:k])
+        compact["queries_omitted"] = len(by_cost) - k
+        line = dumps()
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,81 @@
+"""bench.py's stdout contract: the line the driver records must fit
+its 2000-char tail cap WHOLE, keep the contract keys, and degrade by
+the documented trim ladder -- the r1-r8 artifacts all hold mid-line
+truncated tails because this line had silently grown past the cap."""
+
+from __future__ import annotations
+
+import json
+
+from bench import _LINE_BUDGET, compact_line
+
+
+def _full(n_queries: int, n_sf1: int = 7, name_len: int = 16) -> dict:
+    qs = {f"q_{i:03d}_".ljust(name_len, "x"): 1.234 + i / 997
+          for i in range(n_queries)}
+    return {
+        "metric": "headline_query_wall_sec",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "n": 5,
+        "sf": "0.1",
+        "cpu_attribution": {
+            "eff_cores": [6.9, 7.1, 5.2], "os_cpus": 32,
+        },
+        "conversion": {"rows": 1000000, "rows_per_sec": 131822,
+                       "eff_cores": [10.1, 9.9, 10.2]},
+        "conversion_scaleout": {"rows": 1000000, "rows_per_sec": 241721,
+                                "eff_cores": [27.4, 27.3, 27.5]},
+        "longtail": {"round": 9, "queries": {
+            f"q_lt_{i}": 0.5 for i in range(5)}},
+        "sf1_spot": {
+            "sf": 1.0,
+            "queries": {f"q_sf1_{i:02d}x": 12.345 for i in range(n_sf1)},
+            "passes": 3, "over_budget": False,
+            "eff_cores": [17.0, 16.5, 18.2],
+        },
+    }
+
+
+def test_current_shape_fits_with_all_sections():
+    """Today's real shape (~31 headline queries, 7 sf1, 5 longtail)
+    must fit WITHOUT any trimming."""
+    line = compact_line(_full(31))
+    assert len(line) <= _LINE_BUDGET
+    d = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in d
+    assert d["longtail"] and d["sf1"]["queries"]  # nothing trimmed
+    assert "queries_omitted" not in d
+
+
+def test_trim_ladder_drops_ballast_before_queries():
+    """At ~2x growth the ballast goes (longtail, precision, per-query
+    sf1) while every headline median survives."""
+    line = compact_line(_full(60, n_sf1=20))
+    assert len(line) <= _LINE_BUDGET
+    d = json.loads(line)
+    assert "longtail" not in d
+    assert len(d["queries"]) == 60  # every query still present (1-dp)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in d
+    assert d["sf1"]["passes"] == 3  # lane summary survives trims
+
+
+def test_budget_holds_under_extreme_growth_with_explicit_omission():
+    """The last-resort cap is EXPLICIT, never silent: kept slowest-K
+    plus a queries_omitted count that accounts for every query."""
+    line = compact_line(_full(300, n_sf1=40, name_len=30))
+    assert len(line) <= _LINE_BUDGET
+    d = json.loads(line)
+    assert d["queries_omitted"] + len(d["queries"]) == 300
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in d
+
+
+def test_no_sf1_lane_is_allowed():
+    full = _full(31)
+    full["sf1_spot"] = None
+    d = json.loads(compact_line(full))
+    assert d["sf1"] is None
