@@ -12,12 +12,14 @@ reason scoring.py's tf-idf uses df-discounting); L-inf over exact
 integer shares keeps the driver's value-hash compare exact while
 ranking drifting groups the same way in practice.
 
-Scale shape: ONE corpus scan -- both snapshots' bin counts come from a
+Scale shape: ONE corpus pass -- both snapshots' bin counts come from a
 single conditional aggregation (sum(case when old)/sum(case when new)
-per (group, bin)), then a bins->group reduce over the tiny
-(groups x bins) table. No join between the snapshots, no second scan,
-no window. At 100 TB this is the cheapest possible drift pass: scan +
-two K-sized shuffles.
+per (group, bin)), then a bins->group reduce over the tiny staged
+(groups x bins) table. No join between the snapshots, no per-snapshot
+re-scan, no window. The only other input touch is the 1-row cutoff
+scalar (a ts-column-only aggregate that a literal production refresh
+boundary eliminates, as in queries/incremental.py). At 100 TB this is
+the cheapest possible drift pass: one scan + two K-sized shuffles.
 """
 
 from __future__ import annotations
