@@ -23,14 +23,15 @@ window(changed=R9_CHANGED, max_round=8) with R9_CHANGED =
 awaitTermination timeout now raises, stale same-name sinks stopped,
 dedup watermark horizon derived from the corpus span -- ADVICE r8),
 q_join_bloom_dpp (staged-fact cache keyed by source fingerprint +
-atomic publish -- ADVICE r8)}. Eleven queries are NEW in
+atomic publish -- ADVICE r8)}. Twelve queries are NEW in
 r9: q_join_aqe_skew (AQE skew-join split showcase, VERDICT r8 item
 7), q_join_bucketed (co-bucketed zero-shuffle join -- the write-time
 member of the join-strategy family), q_incremental_rollup
 (incremental view maintenance by partial-aggregate merge),
 q_source_binaryfile (binary-corpus ingestion round trip),
 q_schema_evolution_scan (mergeSchema mixed-generation scan),
-q_distribution_drift (snapshot drift in one scan), the
+q_distribution_drift (snapshot drift in one scan),
+q_setsim_prefix_join (exact-Jaccard prefix-filtered join), the
 tpch_extra3 trio (Q4 correlated-EXISTS semi-join, Q8 share-of-total
 star, Q12 conditional class aggregation), q_stream_join_attrib
 (the stream-stream interval join as a true readStream driver row),
@@ -38,27 +39,28 @@ and q_stream_static_enrich (the stream-static broadcast-dimension
 join, the fourth true-readStream lane) -- rank 0 pulls their modules
 to the head:
 
-- 1-10: runtime_filters (q_join_aqe_skew + q_join_bucketed NEW;
+- 1-11: runtime_filters (q_join_aqe_skew + q_join_bucketed NEW;
   q_join_bloom_dpp CHANGED) + incremental + binary_source +
-  schema_evolution + drift (NEW) + tpch_extra3 (all three NEW);
-- 11-18: streaming_queries (q_stream_join_attrib +
+  schema_evolution + drift + setsim (NEW) + tpch_extra3 (all three
+  NEW);
+- 12-19: streaming_queries (q_stream_join_attrib +
   q_stream_static_enrich NEW; dedup_exact / cdc_state CHANGED; the
   four r8 batch faces ride);
-- 19: layout (q_zorder_layout CHANGED);
-- 20-35: the ENTIRE remaining r4 tail, exactly as the r8 plan
+- 20: layout (q_zorder_layout CHANGED);
+- 21-36: the ENTIRE remaining r4 tail, exactly as the r8 plan
   promised -- text_analysis (q_text_stats r8 rides), windows,
   subqueries, semistructured;
-- 36-50: the r5 cohort -- relational, scalars, similarity (incl.
+- 37-50: the r5 cohort -- relational, scalars, similarity (incl.
   the manually-registered bruteforce query, which registers right
-  after its module so its slot matches the policy), timeseries; the
-  cut lands mid-timeseries after q_sessionize_events
-  (q_gapfill_timeseries, q_cumulative_distinct, text_extra and
+  after its module so its slot matches the policy); the cut lands ON
+  the similarity/timeseries module boundary after
+  q_ann_bruteforce_topk (all of timeseries, text_extra and
   stats_extra slip to r10).
 
 After this window NOTHING in the registry has evidence older than r5
 -- on the retirement schedule exactly (VERDICT r8 item 2 asked for
->= r5; the r5 leftovers -- two timeseries queries and text_extra --
-lead the r10 window).
+>= r5; the r5 leftover modules, timeseries and text_extra, lead the
+r10 window).
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
@@ -74,22 +76,24 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     schema_evolution,
     # 7: q_distribution_drift NEW (snapshot drift, one-scan L-inf)
     drift,
+    # 8: q_setsim_prefix_join NEW (exact Jaccard join, prefix filter)
+    setsim,
     # 6-8: tpch_extra3 NEW (Q4 correlated-EXISTS semi-join, Q8
     # share-of-total star, Q12 conditional class aggregation)
     tpch_extra3,
-    # 11-18: q_stream_join_attrib + q_stream_static_enrich NEW
+    # 12-19: q_stream_join_attrib + q_stream_static_enrich NEW
     # (stream-stream interval join; stream-static broadcast enrich);
     # dedup_exact / cdc_state CHANGED (drain hardening); the four r8
     # batch faces ride
     streaming_queries,
-    # 19: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
+    # 20: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
     layout,
-    # 20-35: the r4-evidence tail, retired whole
+    # 21-36: the r4-evidence tail, retired whole
     text_analysis,
     windows,
     subqueries,
     semistructured,
-    # 36-48: r5-green
+    # 37-49: r5-green
     relational,
     scalars,
     similarity,
@@ -105,12 +109,10 @@ _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
 )
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
-    # 50: r5-green (rest); the cut lands mid-timeseries after
-    # q_sessionize_events (gapfill + cumulative_distinct + text_extra
-    # lead round 10)
-    timeseries,
-    # --- 50-query window cut (mid-timeseries) ---
+    # --- 50-query window cut (similarity/timeseries boundary; the
+    # manually-registered bruteforce query is slot 50) ---
     # r5/r6-green remainder: first in line for round 10
+    timeseries,
     text_extra,
     stats_extra,
     windows_extra,

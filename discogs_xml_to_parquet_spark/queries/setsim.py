@@ -1,0 +1,154 @@
+"""Exact set-similarity join via prefix filtering (the AllPairs /
+PPJoin candidate-generation family): all document pairs with token-set
+Jaccard >= 0.95, EXACTLY -- no MinHash/SimHash approximation.
+
+This is the exactness-required counterpart of queries/dedup.py's LSH
+lanes. The lossless trick: order every document's distinct tokens by a
+GLOBAL rarity total order (document frequency, then token), and emit
+only each document's first |d| - ceil(t*|d|) + 1 tokens as join keys.
+For any pair with J >= t, the globally-smallest COMMON token provably
+falls inside BOTH prefixes (if it fell outside one, the >= ceil(t*|d|)
+common tokens would have to fit in the ceil(t*|d|) - 1 positions
+behind it), so the prefix equi-join misses nothing, while stopword-ish
+high-df tokens never become join keys.
+
+The oracle is the brute-force shared-token join (every pair sharing
+ANY token, exactly verified) -- a hash match therefore PINS the
+losslessness theorem on this corpus, not just the arithmetic.
+
+Scale shape: candidates come from an equi-join on prefix tokens only
+(candidate count ~ sum over prefix tokens of C(df, 2)), verification
+joins the doc-count-sized sorted-token-set table twice and computes
+|A intersect B| per candidate with a JVM array op. The threshold
+comparison is exact integer cross-multiplication (20*i >= 19*u), no
+floats anywhere.
+
+Honest pruning note: on THIS corpus the measured candidate reduction
+is modest (95,749 prefix candidates vs 124,745 brute-force pairs at
+sf0.01, ~1.3x) because the template-generated documents are near-
+duplicates BY CONSTRUCTION -- they share even their rarest tokens, the
+adversarial worst case for prefix filtering (57% of all pairs really
+do have J >= 0.6 here). On a heterogeneous real corpus, where df is
+Zipfian and true-pair density is tiny, the same plan prunes orders of
+magnitude; what this query pins is the COMPLETENESS of the filter and
+the exactness of the verification, which hold on any corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.tables import load
+
+# Jaccard threshold 0.95 = 19/20: selective on the template-generated
+# corpus (~1.6% of all pairs) where 0.6 would pass more than half
+_T_NUM, _T_DEN = 19, 20
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), "[^a-z0-9]+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+@query(
+    "q_setsim_prefix_join",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(i AS BIGINT) AS n_common,
+       CAST(sa.n + sb.n - i AS BIGINT) AS n_union
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE i * 20 >= 19 * (sa.n + sb.n - i)
+ORDER BY 1, 2
+""",
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with exact token-set Jaccard >= 0.95, found
+    through prefix-filtered candidate generation and exact integer
+    verification. The oracle enumerates candidates the brute-force way
+    (any shared token), so equality proves the prefix filter dropped
+    no qualifying pair."""
+    tok = _tokens(load(spark, sf_dir, "documents"))
+    df_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # global rarity order (df, tok); per-doc position under it
+    ranked = (
+        tok.join(df_tok, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+    )
+    # prefix length |d| - ceil(t*|d|) + 1, all-integer ceil
+    prefix = (
+        ranked.join(sz, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) DIV {_T_DEN}")
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("toks").alias("toks_a"),
+                     F.col("n").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("toks").alias("toks_b"),
+                     F.col("n").alias("n_b"))
+    verified = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
+        )
+        .withColumn(
+            "n_union",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("long"),
+        )
+        .filter(
+            F.col("n_common") * _T_DEN >= _T_NUM * F.col("n_union")
+        )
+    )
+    return (
+        verified.select("doc_a", "doc_b", "n_common", "n_union")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -971,3 +971,17 @@ def test_drift_is_one_conditional_scan(spark):
     assert tree.count("Scan parquet") == 0, tree
     assert tree.count("Scan ExistingRDD") == 2, tree
     assert "Window" not in plan
+
+
+def test_setsim_candidates_come_from_prefix_equi_join(spark):
+    """q_setsim_prefix_join: candidate generation must be an equi-join
+    on the prefix token (SortMergeJoin/ShuffledHash on tok with the
+    doc_id inequality as residual) -- never a theta/cartesian pair
+    enumeration -- and the per-doc rarity ranking must partition by
+    doc_id (bounded windows, no global sort)."""
+    from discogs_xml_to_parquet_spark import registry
+
+    plan = plan_of(registry.QUERIES["q_setsim_prefix_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(doc_id" in plan

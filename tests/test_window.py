@@ -37,10 +37,11 @@ DERIVED_AT_ROUND = 8
 #   stopped, watermark horizon derived from the corpus span).
 # - q_join_bloom_dpp: r9 staged-fact cache fix (ADVICE r8 -- source
 #   fingerprint in the cache key, atomic publish).
-# The eleven r9-NEW queries (q_join_aqe_skew, q_join_bucketed,
+# The twelve r9-NEW queries (q_join_aqe_skew, q_join_bucketed,
 # q_incremental_rollup, q_source_binaryfile, q_schema_evolution_scan,
-# q_distribution_drift, tpch_extra3 trio, q_stream_join_attrib,
-# q_stream_static_enrich) need no entry: rank 0 covers never-checked.
+# q_distribution_drift, q_setsim_prefix_join, tpch_extra3 trio,
+# q_stream_join_attrib, q_stream_static_enrich) need no entry: rank 0
+# covers never-checked.
 R9_CHANGED = frozenset({
     "q_zorder_layout",
     "q_stream_dedup_exact",
@@ -110,24 +111,25 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r9_window_contents():
-    """The round-9 membership decisions, pinned explicitly: the eleven
+    """The round-9 membership decisions, pinned explicitly: the twelve
     NEW queries' modules lead (rank 0: AQE skew, the bucketed join,
     the IVM rollup, the binaryFile ingest, the mergeSchema scan, the
-    drift monitor, the tpch_extra3 trio, the stream-stream join, the
-    stream-static enrich),
+    drift monitor, the exact-Jaccard prefix join, the tpch_extra3
+    trio, the stream-stream join, the stream-static enrich),
     the four CHANGED queries follow with their modules, then the
     ENTIRE r4 tail (text_analysis, windows, subqueries,
     semistructured -- VERDICT r8 item 2) and the r5 cohort
     (relational, scalars, similarity incl. the manually-registered
     bruteforce query, timeseries, text_extra); the cut lands
-    mid-timeseries after q_sessionize_events. After this window
-    nothing has evidence older than r5 (the r5 leftovers -- two
-    timeseries queries and text_extra -- lead round 10)."""
+    ON the similarity/timeseries boundary after
+    q_ann_bruteforce_topk. After this window nothing has evidence
+    older than r5 (the r5 leftover modules, timeseries and
+    text_extra, lead round 10)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         "q_join_aqe_skew", "q_join_bucketed", "q_incremental_rollup",
         "q_source_binaryfile", "q_schema_evolution_scan",
-        "q_distribution_drift",
+        "q_distribution_drift", "q_setsim_prefix_join",
         "q4_order_priority", "q8_market_share", "q12_priority_class",
         "q_stream_join_attrib", "q_stream_static_enrich",
         *sorted(R9_CHANGED),
@@ -141,11 +143,12 @@ def test_r9_window_contents():
         "q_map_funcs", "q_json_struct",
         # the r5 cohort (all but the text_extra leftovers)
         "q1_pricing_summary", "q_string_funcs", "q_ann_lsh_buckets",
-        "q_ann_bruteforce_topk", "q_sessionize_events",
+        "q_ann_bruteforce_topk",
     ):
         assert must in win, must
-    assert win[-1] == "q_sessionize_events"  # the mid-module cut
-    for out in ("q_gapfill_timeseries",  # r5 leftovers -> r10 lead
+    assert win[-1] == "q_ann_bruteforce_topk"  # module-boundary cut
+    for out in ("q_sessionize_events",  # r5 leftovers -> r10 lead
+                "q_gapfill_timeseries",
                 "q_cumulative_distinct",
                 "q_chunk_documents",
                 "q_token_cooccurrence",
