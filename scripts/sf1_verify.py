@@ -50,8 +50,16 @@ DEFAULT = [
     # r9: Q7 rides the new 10x orders/supplier tables -- its bench
     # timing lands in BENCH sf1_spot, this pins its VALUES at 10x
     "q7_volume_shipping",
+    # r9: the two new events-table operators at the 10x changelog --
+    # the IVM merge (exact scaled-decimal accumulators across a
+    # 100k-row boundary day) and the drift monitor (integer share
+    # arithmetic over 10x bin counts) must both stay hash-exact
+    "q_incremental_rollup",
+    "q_distribution_drift",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
-    # opt in with --queries
+    # opt in with --queries. q_setsim_prefix_join is deliberately NOT
+    # here: its brute-force oracle is quadratic in the near-dup corpus
+    # (~all 50k^2/2 pairs share a token at 10x).
 ]
 
 
