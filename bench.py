@@ -558,6 +558,21 @@ def compact_line(full: dict) -> str:
         compact["queries"] = dict(by_cost[:k])
         compact["queries_omitted"] = len(by_cost) - k
         line = dumps()
+    if len(line) > _LINE_BUDGET:
+        # terminal fallback (ADVICE r9): contract keys only -- the
+        # docstring's bound must hold unconditionally, even for
+        # pathological query-name lengths the K-halving can't absorb
+        compact = {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": full["unit"],
+            "queries": dict(by_cost[:4]),
+            "queries_omitted": len(by_cost) - 4,
+            "sf": full["sf"],
+            "detail": "BENCH_DETAIL.json",
+        }
+        line = dumps()
+    assert len(line) <= _LINE_BUDGET, len(line)  # fail loudly, never truncate
     return line
 
 

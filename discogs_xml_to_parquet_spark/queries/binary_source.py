@@ -74,12 +74,14 @@ def staged_binary_corpus(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "q_source_binaryfile",
-    oracle="""
+    # the selector is interpolated from _SEL_MOD so query and oracle can
+    # never desynchronize on it (ADVICE r9)
+    oracle=f"""
 SELECT doc_id,
        md5(text) AS content_md5,
        CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents
-WHERE doc_id % 17 = 0
+WHERE doc_id % {_SEL_MOD} = 0
 ORDER BY doc_id
 """,
 )

@@ -61,8 +61,8 @@ tot AS (
 SELECT b.event_type,
        CAST(t.t_old AS BIGINT) AS n_old,
        CAST(t.t_new AS BIGINT) AS n_new,
-       CAST(MAX(ABS(b.n_old * 1000000 // t.t_old
-                    - b.n_new * 1000000 // t.t_new)) AS BIGINT)
+       CAST(MAX(ABS(b.n_old * 1000000 // NULLIF(t.t_old, 0)
+                    - b.n_new * 1000000 // NULLIF(t.t_new, 0))) AS BIGINT)
          AS linf_drift_micro
 FROM binned b JOIN tot t USING (event_type)
 GROUP BY 1, 2, 3
@@ -111,9 +111,13 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.join(F.broadcast(w_tot), "event_type")
         .select(
             "event_type", "t_old", "t_new",
+            # NULLIF guards the zero-snapshot divisor (ADVICE r9): a
+            # group present in only one half yields NULL drift in BOTH
+            # engines (DuckDB's bare // would raise; Spark's DIV would
+            # silently NULL) instead of diverging.
             F.abs(
-                F.expr("n_old * 1000000 DIV t_old")
-                - F.expr("n_new * 1000000 DIV t_new")
+                F.expr("n_old * 1000000 DIV nullif(t_old, 0)")
+                - F.expr("n_new * 1000000 DIV nullif(t_new, 0)")
             ).alias("bin_drift"),
         )
         .groupBy("event_type")

@@ -29,6 +29,7 @@ test_bloom_query_injects_runtime_filter).
 from __future__ import annotations
 
 import tempfile
+import threading
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -316,6 +317,12 @@ def q_join_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETS = 16
 
+# serializes the tableExists-then-write below (ADVICE r9): sibling
+# sessions of one app share the catalog AND the app-scoped path, so two
+# in-process callers could race past the existence check and
+# concurrently overwrite the same table
+_BUCKET_LOCK = threading.Lock()
+
 
 def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage lineitem and orders as co-bucketed catalog tables
@@ -338,12 +345,13 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from discogs_xml_to_parquet_spark.operators.bucketing import (
         write_bucketed,
     )
-    if not spark.catalog.tableExists(li_t):
-        write_bucketed(load(spark, sf_dir, "lineitem"), li_t,
-                       str(root / li_t), ["l_orderkey"], _BUCKETS)
-    if not spark.catalog.tableExists(o_t):
-        write_bucketed(load(spark, sf_dir, "orders"), o_t,
-                       str(root / o_t), ["o_orderkey"], _BUCKETS)
+    with _BUCKET_LOCK:
+        if not spark.catalog.tableExists(li_t):
+            write_bucketed(load(spark, sf_dir, "lineitem"), li_t,
+                           str(root / li_t), ["l_orderkey"], _BUCKETS)
+        if not spark.catalog.tableExists(o_t):
+            write_bucketed(load(spark, sf_dir, "orders"), o_t,
+                           str(root / o_t), ["o_orderkey"], _BUCKETS)
     return li_t, o_t
 
 
