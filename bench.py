@@ -97,6 +97,15 @@ SF1_QUERIES = [
     # shuffle -- a 10x timing pins that broadcast-reducing both nation
     # roles holds the single-shuffle cost model at scale
     "q7_volume_shipping",
+    # VERDICT r9 item 3: the exact-Jaccard prefix join is the one r9
+    # operator whose candidate space could grow superlinearly on the
+    # near-duplicate template corpus (docstring admits 1.3x pruning) --
+    # a 10x wall ratio pins whether candidates stay subquadratic; and
+    # the IVM refresh's O(delta)+O(MV) cost model deserves a measured
+    # ~flat 10x pair like MAD/CMS got (its 10x correctness is already
+    # in scripts/sf1_verify.py DEFAULT)
+    "q_setsim_prefix_join",
+    "q_incremental_rollup",
 ]
 
 # table -> id columns to offset per shard

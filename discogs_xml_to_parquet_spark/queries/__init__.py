@@ -2,144 +2,95 @@
 
 Import order IS driver-check order (the registry dict preserves
 insertion order and the driver checks the first 50 registered queries
--- r01-r08 all cut at exactly 50). Rotation policy: queries with no
+-- r01-r09 all cut at exactly 50). Rotation policy: queries with no
 CORRECTNESS row anywhere go first, then fixed/changed queries, then
-the module whose passing evidence is oldest.
+pinned modules, then the module whose passing evidence is oldest.
 
 The policy is CODE, not prose: registry.window() derives this order
 from the CORRECTNESS_r*.json artifacts (VERDICT r6 item 6), and
 tests/test_window.py pins that the first 50 imports below agree with
-it. Since r9 the derivation is PINNED to the artifacts that existed
-when it was made (window(max_round=DERIVED_AT_ROUND) -- VERDICT r8
-item 1): the driver landing CORRECTNESS_r09.json can no longer flip
-the fixed-point test red; re-deriving for r10 is a deliberate commit
-that bumps DERIVED_AT_ROUND to 9 and pastes the order
-`python scripts/window_plan.py --max-round 9 --changed ...` prints.
+it. The derivation is PINNED to the artifacts that existed when it was
+made (window(max_round=DERIVED_AT_ROUND) -- VERDICT r8 item 1): the
+driver landing CORRECTNESS_r10.json cannot flip the fixed-point test
+red; re-deriving for r11 is a deliberate commit that bumps
+DERIVED_AT_ROUND to 10 and pastes the order
+`python scripts/window_plan.py --max-round 10 --changed ...` prints.
 
-Round-9 window (the first 50), derived by
-window(changed=R9_CHANGED, max_round=8) with R9_CHANGED =
-{q_zorder_layout (post-r8-window Morton magic-number rewrite, commit
-3969229), q_stream_dedup_exact + q_stream_cdc_state (r9 drain fixes:
-awaitTermination timeout now raises, stale same-name sinks stopped,
-dedup watermark horizon derived from the corpus span -- ADVICE r8),
-q_join_bloom_dpp (staged-fact cache keyed by source fingerprint +
-atomic publish -- ADVICE r8)}. Twelve queries are NEW in
-r9: q_join_aqe_skew (AQE skew-join split showcase, VERDICT r8 item
-7), q_join_bucketed (co-bucketed zero-shuffle join -- the write-time
-member of the join-strategy family), q_incremental_rollup
-(incremental view maintenance by partial-aggregate merge),
-q_source_binaryfile (binary-corpus ingestion round trip),
-q_schema_evolution_scan (mergeSchema mixed-generation scan),
-q_distribution_drift (snapshot drift in one scan),
-q_setsim_prefix_join (exact-Jaccard prefix-filtered join), the
-tpch_extra3 trio (Q4 correlated-EXISTS semi-join, Q8 share-of-total
-star, Q12 conditional class aggregation), q_stream_join_attrib
-(the stream-stream interval join as a true readStream driver row),
-and q_stream_static_enrich (the stream-static broadcast-dimension
-join, the fourth true-readStream lane) -- rank 0 pulls their modules
-to the head:
+Round-10 window (the first 50), derived by
+window(changed={q_distribution_drift}, pin=("conversion",),
+max_round=9):
 
-- 1-11: runtime_filters (q_join_aqe_skew + q_join_bucketed NEW;
-  q_join_bloom_dpp CHANGED) + incremental + binary_source +
-  schema_evolution + drift + setsim (NEW) + tpch_extra3 (all three
-  NEW);
-- 12-19: streaming_queries (q_stream_join_attrib +
-  q_stream_static_enrich NEW; dedup_exact / cdc_state CHANGED; the
-  four r8 batch faces ride);
-- 20: layout (q_zorder_layout CHANGED);
-- 21-36: the ENTIRE remaining r4 tail, exactly as the r8 plan
-  promised -- text_analysis (q_text_stats r8 rides), windows,
-  subqueries, semistructured;
-- 37-50: the r5 cohort -- relational, scalars, similarity (incl.
-  the manually-registered bruteforce query, which registers right
-  after its module so its slot matches the policy); the cut lands ON
-  the similarity/timeseries module boundary after
-  q_ann_bruteforce_topk (all of timeseries, text_extra and
-  stats_extra slip to r10).
+- 1-2: streaming_restart + compaction NEW (q_stream_restart, the
+  checkpointed kill/resume exactly-once lane -- VERDICT r9 item 2;
+  q_compact_files, the OPTIMIZE-style small-file bin-pack -- item 5);
+- 3-4: profiling (q_profile_columns_approx NEW, the no-Expand HLL
+  profile -- item 7; q_profile_columns r6 rides);
+- 5: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
+  the driver runs changed, so it re-enters);
+- 6-8: conversion PINNED (r7 evidence; the max-3-rounds-unverified
+  freshness pin from VERDICT r5 expires THIS round -- the one
+  scheduling constraint the artifact ranking cannot express);
+- 9-14: the six r5-evidence queries, exactly the set VERDICT r9
+  item 1 named -- timeseries + text_extra;
+- 15-41: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
+  quality_model, vocab, multimodal_audio, decontam, scoring,
+  formats_extra, sampling);
+- 42-50: the oldest r7 evidence -- tpch_extra, then the cut lands
+  MID-dedup after q_dedup_minhash_lsh (the module's other nine r7
+  queries lead the r11 window with the rest of the r7 cohort).
 
-After this window NOTHING in the registry has evidence older than r5
--- on the retirement schedule exactly (VERDICT r8 item 2 asked for
->= r5; the r5 leftover modules, timeseries and text_extra, lead the
-r10 window).
+After this window nothing in the registry has evidence older than r6,
+and the oldest unchecked evidence anywhere is r7.
+
+The staging helpers these modules share live in ../staging.py, OUTSIDE
+this package, so importing them cannot drag a query module forward in
+the window (the r9 layout cost runtime_filters three head slots via
+the dependency fold; r10 returns it to its evidence rank).
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # 1-3: q_join_aqe_skew + q_join_bucketed NEW (AQE skew split;
-    # co-bucketed zero-shuffle join); q_join_bloom_dpp CHANGED
-    # (fingerprinted staged-fact cache)
-    runtime_filters,
-    # 4: q_incremental_rollup NEW (IVM partial-aggregate merge)
-    incremental,
-    # 5: q_source_binaryfile NEW (binary-corpus ingestion round trip)
-    binary_source,
-    # 6: q_schema_evolution_scan NEW (mergeSchema mixed-generation scan)
-    schema_evolution,
-    # 7: q_distribution_drift NEW (snapshot drift, one-scan L-inf)
+    # 1: q_stream_restart NEW (checkpointed kill/resume exactly-once)
+    streaming_restart,
+    # 2: q_compact_files NEW (small-file bin-pack rewrite)
+    compaction,
+    # 3-4: q_profile_columns_approx NEW (HLL no-Expand profile);
+    # q_profile_columns (r6) rides
+    profiling,
+    # 5: q_distribution_drift CHANGED (NULLIF divisor guard)
     drift,
-    # 8: q_setsim_prefix_join NEW (exact Jaccard join, prefix filter)
-    setsim,
-    # 6-8: tpch_extra3 NEW (Q4 correlated-EXISTS semi-join, Q8
-    # share-of-total star, Q12 conditional class aggregation)
-    tpch_extra3,
-    # 12-19: q_stream_join_attrib + q_stream_static_enrich NEW
-    # (stream-stream interval join; stream-static broadcast enrich);
-    # dedup_exact / cdc_state CHANGED (drain hardening); the four r8
-    # batch faces ride
-    streaming_queries,
-    # 20: q_zorder_layout CHANGED (post-r8-window Morton rewrite)
-    layout,
-    # 21-36: the r4-evidence tail, retired whole
-    text_analysis,
-    windows,
-    subqueries,
-    semistructured,
-    # 37-49: r5-green
-    relational,
-    scalars,
-    similarity,
-)
-from discogs_xml_to_parquet_spark.registry import query as _query
-
-# q_ann_bruteforce_topk is registered manually (demoted from the
-# similarity module in r3). It registers HERE -- directly after its
-# module -- so its registration slot (43) matches the policy order,
-# which groups it with similarity.
-_query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
-    similarity.q_ann_bruteforce_topk
-)
-
-from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
-    # --- 50-query window cut (similarity/timeseries boundary; the
-    # manually-registered bruteforce query is slot 50) ---
-    # r5/r6-green remainder: first in line for round 10
+    # 6-8: conversion trio PINNED (freshness pin expires at r10)
+    conversion,
+    # 9-14: the six r5-evidence queries (VERDICT r9 item 1)
     timeseries,
     text_extra,
+    # 15-41: the entire r6 cohort
     stats_extra,
     windows_extra,
     scd,
     cdc,
     quality_model,
     vocab,
-    profiling,
     multimodal_audio,
     decontam,
     scoring,
     formats_extra,
     sampling,
-    # r7-green
+    # 42-48: oldest r7 evidence
     tpch_extra,
+    # 49-50: the cut lands mid-dedup after q_dedup_minhash_lsh
     dedup,
+    # --- 50-query window cut ---
+    # r7-green remainder: first in line for round 11
     packing,
     quality,
     curation_full,
-    conversion,
     aggregates,
     formats,
     reshaping,
     joins,
     nested,
     python_udfs,
-    # r8-green (freshest evidence, rotated out of the window)
+    # r8-green
     matching,
     sketches,
     tpch_extra2,
@@ -153,4 +104,29 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: E402,F401
     cohorts,
     setops,
     temporal,
+    # r9-green (freshest evidence, rotated out of the window)
+    runtime_filters,
+    incremental,
+    binary_source,
+    schema_evolution,
+    setsim,
+    tpch_extra3,
+    streaming_queries,
+    layout,
+    text_analysis,
+    windows,
+    subqueries,
+    semistructured,
+    relational,
+    scalars,
+    similarity,
+)
+from discogs_xml_to_parquet_spark.registry import query as _query
+
+# q_ann_bruteforce_topk is registered manually (demoted from the
+# similarity module in r3). It registers HERE -- directly after its
+# module -- so its registration slot matches the policy order, which
+# groups it with similarity.
+_query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
+    similarity.q_ann_bruteforce_topk
 )

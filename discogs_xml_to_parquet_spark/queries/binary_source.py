@@ -29,11 +29,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.queries.runtime_filters import (
-    _source_fingerprint,
-    _staged,
-)
 from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import (
+    source_fingerprint as _source_fingerprint,
+    staged as _staged,
+)
 from discogs_xml_to_parquet_spark.tables import load
 
 # one doc in 17 becomes a file: ~30 files at sf0.001/sf0.01 (500-doc

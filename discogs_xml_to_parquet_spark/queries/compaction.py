@@ -1,0 +1,149 @@
+"""Small-file compaction: the OPTIMIZE-style bin-packing rewrite --
+the most common maintenance job on a 100 TB lake.
+
+Streaming ingests, frequent small batch appends, and over-parallel
+writes all fragment a table into files far below the scan-efficient
+size; every downstream query then pays per-file open/footer/listing
+cost (and at cloud-store latencies, per-file round trips) that dwarfs
+the data read. The fix is a periodic compaction pass: read the
+fragmented data, rewrite it as ceil(total_bytes / target_size) files,
+swap the directory in. This module stages a deliberately fragmented
+copy of lineitem (64 shards), compacts it to target-size files, and
+proves BOTH halves of the contract: content equality (the relational
+oracle over the compacted output must hash-match the source table) and
+the layout bound (file count == the byte-derived target, every data
+file near the target size -- asserted in-lane and in
+tests/test_compaction.py).
+
+Scale shape: sizing comes from the file LISTING (driver-side metadata,
+exactly what table formats read from their manifests -- never a data
+scan); the rewrite is one round-robin repartition to the target file
+count, i.e. a single all-to-all whose output is perfectly even --
+compaction rewrites the bytes anyway, so the shuffle is the price of
+even files, not an extra pass. Partition-local variants (compact
+within each date partition; AQE `REBALANCE` for advisory sizing) drop
+the global shuffle when the table is partitioned; the staged corpus
+here is a single flat directory, so the global form is the honest
+plan. The swap is atomic-publish (build under a temp name, rename),
+same discipline as every staged artifact in this repo.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import (
+    source_fingerprint as _source_fingerprint,
+    staged as _staged,
+)
+from discogs_xml_to_parquet_spark.tables import load
+
+_FRAG_SHARDS = 64            # the staged fragmentation
+_TARGET_BYTES = 1 << 20      # 1 MiB target files at test scale
+                             # (production: 128 MiB-1 GiB)
+_VERSION = 1
+
+
+def staged_fragmented_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem shattered into _FRAG_SHARDS small parquet files --
+    the aftermath of an over-parallel ingest -- built once per
+    container per (sf_dir, source fingerprint), atomic publish."""
+    slug = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(sf_dir, "lineitem.parquet")
+    return _staged(
+        f"spark_graft_frag_v{_VERSION}_n{_FRAG_SHARDS}_{slug}_{fp}",
+        lambda tmp: (
+            load(spark, sf_dir, "lineitem")
+            .repartition(_FRAG_SHARDS)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        ),
+    )
+
+
+def _data_files(d: str) -> list[Path]:
+    return sorted(p for p in Path(d).glob("part-*") if p.is_file())
+
+
+def compact_files(spark: SparkSession, src: str,
+                  target_bytes: int = _TARGET_BYTES) -> tuple[str, dict]:
+    """Bin-pack `src` (a fragmented parquet directory) into
+    ceil(total_bytes / target_bytes) files; returns (compacted dir,
+    layout facts). Sizing reads only the listing; the rewrite is one
+    even repartition."""
+    before = _data_files(src)
+    total = sum(p.stat().st_size for p in before)
+    n_target = max(1, math.ceil(total / target_bytes))
+    out = tempfile.mkdtemp(prefix="spark_graft_compacted_")
+    (
+        spark.read.parquet(src)
+        .repartition(n_target)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    after = _data_files(out)
+    facts = {
+        "n_before": len(before),
+        "n_after": len(after),
+        "n_target": n_target,
+        "bytes_before": total,
+        "sizes_after": sorted(p.stat().st_size for p in after),
+    }
+    return out, facts
+
+
+@query(
+    "q_compact_files",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount))
+                     * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+         AS revenue,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       TRUE AS compacted,
+       TRUE AS evenly_sized
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round trip: shatter lineitem into 64 small files,
+    bin-pack them back to ~1 MiB files, and checksum the COMPACTED
+    output against the live table -- per (returnflag, linestatus) row
+    counts, exact revenue, and order-key cardinality, so a dropped,
+    duplicated, or corrupted row anywhere in the rewrite breaks the
+    hash. The two booleans carry the layout contract into the oracle
+    compare: `compacted` = the rewrite hit the byte-derived target
+    file count (a >=4x reduction here), `evenly_sized` = every output
+    file is within 2x of the mean (round-robin's evenness). The oracle
+    asserts both as TRUE -- a compaction that silently fragmented or
+    skewed would fail the driver row, not just a pytest."""
+    src = staged_fragmented_lineitem(spark, sf_dir)
+    out, facts = compact_files(spark, src)
+    sizes = facts["sizes_after"]
+    mean = sum(sizes) / len(sizes)
+    compacted = (facts["n_after"] == facts["n_target"]
+                 and facts["n_after"] * 4 <= facts["n_before"])
+    evenly = sizes[0] >= mean / 2 and sizes[-1] <= mean * 2
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice")
+                 * (1 - F.col("l_discount"))).alias("revenue"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .withColumn("compacted", F.lit(bool(compacted)))
+        .withColumn("evenly_sized", F.lit(bool(evenly)))
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -82,3 +82,75 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_COLS)}, {stack})"
         " AS (col, n, n_null, n_distinct, min_s, max_s)"
     ).orderBy("col")
+
+
+# the exact profile's COUNT(DISTINCT) per column routes the whole scan
+# through a grouping-id Expand -- one input replica PER distinct column.
+# At 100 TB x a wide schema that multiplier is the profiling cost, so
+# the production shape swaps the distincts for HLL++ sketches: constant
+# memory, map-side mergeable, ONE un-expanded pass no matter how many
+# columns. Band contract mirrors q_agg_approx_distinct (sketches.py):
+# both engines emit 'estimate within +-3 rsd of exact'; the oracle's
+# band over its own exact value is trivially TRUE, Spark's is TRUE iff
+# the live sketch honours its advertised bound.
+def _approx_union(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS col, COUNT(*) AS n,
+         COUNT(*) - COUNT({col}) AS n_null,
+         COUNT(DISTINCT {col}) AS n_distinct_exact,
+         COUNT(DISTINCT {col})
+           BETWEEN COUNT(DISTINCT {col}) * 0.94
+               AND COUNT(DISTINCT {col}) * 1.06 AS distinct_within_3rsd
+  FROM orders"""
+
+
+def approx_profile_sketch(o: DataFrame) -> DataFrame:
+    """The production plan: every column's (count, nulls, HLL++
+    distinct) from one pass with NO Expand (gated in
+    tests/test_plans.py::test_approx_profile_has_no_expand)."""
+    return o.agg(*[
+        a
+        for c in _COLS
+        for a in (
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__approx"),
+        )
+    ])
+
+
+@query(
+    "q_profile_columns_approx",
+    oracle="SELECT * FROM (" + "\nUNION ALL".join(
+        _approx_union(c) for c in _COLS
+    ) + "\n) ORDER BY col",
+)
+def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based table profile: per-column (count, nulls, approx
+    distinct) for every profiled column in ONE pass with NO Expand --
+    the at-width production variant of q_profile_columns. The sketch
+    aggregation alone is the plan being showcased; the exact-distinct
+    pass exists for the harness (it gives the band its reference and
+    the driver real values to hash), runs as a SEPARATE aggregation,
+    and joins back on nothing -- both are 1-row frames crossJoined
+    (1 x 1). At rsd=0.02 the 3-sigma band is +-6%; estimates are
+    deterministic for a given input (fixed hash seed), so the booleans
+    are stable, not flaky."""
+    o = load(spark, sf_dir, "orders")
+    sketch = approx_profile_sketch(o)
+    exact = o.agg(*[
+        F.countDistinct(c).alias(f"{c}__exact") for c in _COLS
+    ])
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__exact, "
+        f"{c}__approx BETWEEN {c}__exact * 0.94 AND {c}__exact * 1.06"
+        for c in _COLS
+    )
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            f"stack({len(_COLS)}, {stack}) AS (col, n, n_null, "
+            "n_distinct_exact, distinct_within_3rsd)"
+        )
+        .orderBy("col")
+    )

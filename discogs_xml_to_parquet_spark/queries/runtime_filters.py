@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.functions.exact import dsum
 from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import (
+    source_fingerprint,
+    staged,
+)
 from discogs_xml_to_parquet_spark.tables import load
 
 # bump when the staged-fact construction changes
@@ -46,44 +50,11 @@ _REV_SQL = ("CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) "
             "* 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000")
 
 
-def _source_fingerprint(sf_dir: str, table: str = "lineitem.parquet") -> str:
-    """Cheap content fingerprint of a source parquet table
-    (mtime_ns + size over its file(s)): a regenerated testdata file at
-    the same path must produce a different staged-fact cache key
-    (ADVICE r8 -- the slug-only key silently served stale data)."""
-    import hashlib
-
-    src = Path(sf_dir) / table
-    parts = []
-    for p in sorted(src.rglob("*")) if src.is_dir() else [src]:
-        st = p.stat()
-        parts.append(f"{p.name}:{st.st_mtime_ns}:{st.st_size}")
-    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
-
-
-def _staged(dest_name: str, build) -> str:
-    """Build-once staging with atomic publish (ADVICE r8): `build`
-    writes into a unique temp dir, which is renamed to the final name
-    -- a concurrent first build (pytest + driver) races to the rename
-    and the loser discards its copy; a reader can never observe a
-    half-written dest. Staleness is the CALLER's job: embed a source
-    fingerprint in `dest_name`."""
-    import os
-    import shutil
-    import uuid
-
-    dest = Path(tempfile.gettempdir()) / dest_name
-    if dest.exists():
-        return str(dest)
-    tmp = dest.with_name(dest.name + f".build-{uuid.uuid4().hex[:8]}")
-    build(str(tmp))
-    try:
-        os.rename(tmp, dest)
-    except OSError:
-        if not dest.exists():
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; theirs won
-    return str(dest)
+# moved to staging.py (shared harness utilities, outside the queries
+# package so consumers don't drag this module into the driver window);
+# re-bound here for the existing call sites and tests
+_source_fingerprint = source_fingerprint
+_staged = staged
 
 
 def month_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:

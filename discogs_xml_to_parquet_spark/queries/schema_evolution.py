@@ -24,11 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.functions.exact import dsum
-from discogs_xml_to_parquet_spark.queries.runtime_filters import (
-    _source_fingerprint,
-    _staged,
-)
 from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import (
+    source_fingerprint as _source_fingerprint,
+    staged as _staged,
+)
 from discogs_xml_to_parquet_spark.tables import load
 
 _VERSION = 1

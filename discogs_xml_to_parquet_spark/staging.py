@@ -1,0 +1,58 @@
+"""Build-once staging for derived test corpora (the DPP fact, bucketed
+tables, binary file trees, event shards, fragmented directories).
+
+Lives OUTSIDE the queries package: these are harness utilities shared
+by several query modules, and a queries-to-queries import would drag
+the helper's home module into the driver window with every consumer
+(the window planner folds import dependencies forward).
+
+Two contracts, both learned the hard way (ADVICE r8/r9):
+
+- staleness is the CALLER's job: embed `source_fingerprint(...)` AND
+  every construction parameter in the staged name, or a regenerated
+  source / changed selector silently serves the old corpus;
+- publication is ATOMIC: build under a unique temp name, rename into
+  place; concurrent first builders race to the rename and the loser
+  discards its copy, so a reader can never observe a half-written
+  directory.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+
+def source_fingerprint(sf_dir: str, table: str = "lineitem.parquet") -> str:
+    """Cheap content fingerprint of a source parquet table
+    (mtime_ns + size over its file(s)): a regenerated testdata file at
+    the same path must produce a different staged cache key."""
+    import hashlib
+
+    src = Path(sf_dir) / table
+    parts = []
+    for p in sorted(src.rglob("*")) if src.is_dir() else [src]:
+        st = p.stat()
+        parts.append(f"{p.name}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
+def staged(dest_name: str, build) -> str:
+    """Build-once staging with atomic publish: `build` writes into a
+    unique temp dir, which is renamed to the final name."""
+    import os
+    import shutil
+    import uuid
+
+    dest = Path(tempfile.gettempdir()) / dest_name
+    if dest.exists():
+        return str(dest)
+    tmp = dest.with_name(dest.name + f".build-{uuid.uuid4().hex[:8]}")
+    build(str(tmp))
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        if not dest.exists():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; theirs won
+    return str(dest)

@@ -56,6 +56,17 @@ DEFAULT = [
     # arithmetic over 10x bin counts) must both stay hash-exact
     "q_incremental_rollup",
     "q_distribution_drift",
+    # r10 (VERDICT r9 item 4): the two newest true-readStream lanes at
+    # the 10x changelog -- the stream-stream interval join's watermark-
+    # bounded state must still emit every (view, purchase) pair over
+    # 10x users (per-key history unchanged by the shard construction),
+    # and the stream-static broadcast enrich must aggregate the 10x
+    # stream against its 10x-key dimension hash-exactly
+    "q_stream_join_attrib",
+    "q_stream_static_enrich",
+    # r10: the checkpointed kill/resume lane at the 10x sharded
+    # backfill -- exactly-once must survive a restart over 10x rows
+    "q_stream_restart",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

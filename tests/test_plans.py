@@ -893,7 +893,11 @@ def test_registry_wide_plan_red_flag_sweep(spark):
     from discogs_xml_to_parquet_spark import registry
 
     STREAM_RUNNERS = {"q_stream_dedup_exact", "q_stream_cdc_state",
-                      "q_stream_join_attrib", "q_stream_static_enrich"}
+                      "q_stream_join_attrib", "q_stream_static_enrich",
+                      # runs TWO checkpointed streams (kill + resume);
+                      # its read-back plan is gated in
+                      # test_restart_readback_is_one_scan
+                      "q_stream_restart"}
     ROW_PYTHON_OK = {"q_python_udtf"}
     GLOBAL_WINDOW_OK = {
         "q_cumulative_distinct",   # day-table window, ~30 rows
@@ -971,6 +975,63 @@ def test_drift_is_one_conditional_scan(spark):
     assert tree.count("Scan parquet") == 0, tree
     assert tree.count("Scan ExistingRDD") == 2, tree
     assert "Window" not in plan
+
+
+def test_compaction_consumer_is_one_scan_two_phase(spark):
+    """q_compact_files: the checksum consumer reads the COMPACTED
+    directory exactly once (one parquet scan) and aggregates two-phase;
+    the rewrite itself is one round-robin repartition (the even-file
+    bin-pack), which already ran during staging."""
+    from discogs_xml_to_parquet_spark import registry
+
+    df = registry.QUERIES["q_compact_files"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "partial_count" in plan or "HashAggregate" in tree, plan
+
+
+def test_compaction_rewrite_is_round_robin(spark):
+    """The bin-pack rewrite plan: a RoundRobinPartitioning exchange to
+    the byte-derived target count -- even output files, no key skew by
+    construction."""
+    from discogs_xml_to_parquet_spark.queries.compaction import (
+        staged_fragmented_lineitem,
+    )
+
+    src = staged_fragmented_lineitem(spark, SF_SMOKE)
+    plan = plan_of(spark.read.parquet(src).repartition(2))
+    assert "RoundRobinPartitioning(2" in plan, plan
+
+
+def test_approx_profile_has_no_expand(spark):
+    """q_profile_columns_approx's production pass (the HLL sketch
+    aggregation) must plan WITHOUT the grouping-id Expand that exact
+    multi-distinct requires -- one un-replicated scan no matter how
+    many columns are profiled. (The registered query also runs the
+    exact pass, but only as the harness reference.)"""
+    from discogs_xml_to_parquet_spark.queries.profiling import (
+        approx_profile_sketch,
+    )
+
+    plan = plan_of(approx_profile_sketch(load(spark, SF_SMOKE, "orders")))
+    assert "Expand" not in plan, plan
+    assert "approx_count_distinct" in plan
+
+
+def test_restart_readback_is_one_scan(spark):
+    """q_stream_restart's result is read THROUGH the sink's
+    _spark_metadata log: one parquet scan whose file set the log
+    chose (orphans invisible), plus only the output sort."""
+    from discogs_xml_to_parquet_spark.queries.streaming_restart import (
+        run_restart_lane,
+    )
+
+    df, _ = run_restart_lane(spark, SF_SMOKE)
+    plan = plan_of(df.orderBy("event_id"))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") <= 1, tree  # rangepartition sort only
 
 
 def test_setsim_candidates_come_from_prefix_equi_join(spark):

@@ -10,10 +10,10 @@ and r8 suites both went red at judging time because the driver landing
 the round's artifact re-ranked the just-checked queries -- a designed
 tripwire that fired twice is a process bug. window(max_round=
 DERIVED_AT_ROUND) ignores artifacts newer than the pinned round, so
-landing CORRECTNESS_r09.json cannot flip this suite; re-deriving for
-r10 is one deliberate commit: bump DERIVED_AT_ROUND to 9, update
-CHANGED, and paste the order printed by
-`python scripts/window_plan.py --max-round 9 --changed <r10 changed>`.
+landing CORRECTNESS_r10.json cannot flip this suite; re-deriving for
+r11 is one deliberate commit: bump DERIVED_AT_ROUND to 10, update
+CHANGED/PIN, and paste the order printed by
+`python scripts/window_plan.py --max-round 10 --changed <r11 changed>`.
 """
 
 from __future__ import annotations
@@ -24,37 +24,28 @@ registry.load_all_queries()
 
 WINDOW_SIZE = 50
 
-# The round whose artifacts this derivation used (artifacts r1..r8;
-# CORRECTNESS_r09.json and later are ignored by the fixed-point test).
-DERIVED_AT_ROUND = 8
+# The round whose artifacts this derivation used (artifacts r1..r9;
+# CORRECTNESS_r10.json and later are ignored by the fixed-point test).
+DERIVED_AT_ROUND = 9
 
-# Round-9 policy inputs that artifacts cannot express: queries whose
-# code changed after their last green driver row.
-# - q_zorder_layout: rewritten AFTER the r8 window locked (Morton
-#   magic-number bit spread, commit 3969229; values identical).
-# - q_stream_dedup_exact / q_stream_cdc_state: r9 drain hardening
-#   (ADVICE r8 -- awaitTermination timeout raises, stale sinks
-#   stopped, watermark horizon derived from the corpus span).
-# - q_join_bloom_dpp: r9 staged-fact cache fix (ADVICE r8 -- source
-#   fingerprint in the cache key, atomic publish).
-# The twelve r9-NEW queries (q_join_aqe_skew, q_join_bucketed,
-# q_incremental_rollup, q_source_binaryfile, q_schema_evolution_scan,
-# q_distribution_drift, q_setsim_prefix_join, tpch_extra3 trio,
-# q_stream_join_attrib, q_stream_static_enrich) need no entry: rank 0
-# covers never-checked.
-R9_CHANGED = frozenset({
-    "q_zorder_layout",
-    "q_stream_dedup_exact",
-    "q_stream_cdc_state",
-    "q_join_bloom_dpp",
-})
-R9_PIN: tuple[str, ...] = ()
+# Round-10 policy inputs that artifacts cannot express:
+# - q_distribution_drift CHANGED: the ADVICE r9 NULLIF divisor guard
+#   changed both the Spark expression and the oracle SQL the driver
+#   runs (values identical on current data; latent-divergence fix).
+# - conversion PINNED: the trio's evidence is r7 and the
+#   max-3-rounds-unverified freshness pin (VERDICT r5) expires at r10
+#   -- a scheduling constraint older-evidence ranking alone would
+#   leave at slot ~64.
+# The three r10-NEW queries (q_stream_restart, q_compact_files,
+# q_profile_columns_approx) need no entry: rank 0 covers never-checked.
+R10_CHANGED = frozenset({"q_distribution_drift"})
+R10_PIN: tuple[str, ...] = ("conversion",)
 
 
 def test_import_order_is_policy_fixed_point():
     """The first 50 registered queries ARE the policy window."""
     want = registry.window(
-        size=WINDOW_SIZE, changed=R9_CHANGED, pin=R9_PIN,
+        size=WINDOW_SIZE, changed=R10_CHANGED, pin=R10_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     got = list(registry.QUERIES)[:WINDOW_SIZE]
@@ -86,10 +77,10 @@ def test_derivation_is_stable_under_new_artifacts(tmp_path):
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
     pinned = registry.window(
         size=WINDOW_SIZE, artifacts_dir=str(tmp_path),
-        changed=R9_CHANGED, max_round=DERIVED_AT_ROUND,
+        changed=R10_CHANGED, pin=R10_PIN, max_round=DERIVED_AT_ROUND,
     )
     baseline = registry.window(
-        size=WINDOW_SIZE, changed=R9_CHANGED,
+        size=WINDOW_SIZE, changed=R10_CHANGED, pin=R10_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     assert pinned == baseline
@@ -110,70 +101,70 @@ def test_window_contains_every_never_checked_query():
     assert not missing, f"never-checked queries outside window: {missing}"
 
 
-def test_r9_window_contents():
-    """The round-9 membership decisions, pinned explicitly: the twelve
-    NEW queries' modules lead (rank 0: AQE skew, the bucketed join,
-    the IVM rollup, the binaryFile ingest, the mergeSchema scan, the
-    drift monitor, the exact-Jaccard prefix join, the tpch_extra3
-    trio, the stream-stream join, the stream-static enrich),
-    the four CHANGED queries follow with their modules, then the
-    ENTIRE r4 tail (text_analysis, windows, subqueries,
-    semistructured -- VERDICT r8 item 2) and the r5 cohort
-    (relational, scalars, similarity incl. the manually-registered
-    bruteforce query, timeseries, text_extra); the cut lands
-    ON the similarity/timeseries boundary after
-    q_ann_bruteforce_topk. After this window nothing has evidence
-    older than r5 (the r5 leftover modules, timeseries and
-    text_extra, lead round 10)."""
+def test_r10_window_contents():
+    """The round-10 membership decisions, pinned explicitly: the three
+    NEW queries' modules lead (the checkpoint-restart lane, the
+    compaction pass, the approx profiler with q_profile_columns
+    riding), the CHANGED drift monitor follows, then the PINNED
+    conversion trio (freshness pin expiry -- VERDICT r9 item 1), the
+    six r5-evidence queries VERDICT r9 item 1 named, the ENTIRE r6
+    cohort, and the oldest r7 evidence (tpch_extra); the 50-cut lands
+    MID-dedup after q_dedup_minhash_lsh. Nothing in the window has
+    fresher evidence than r7 except the new/changed/riding heads."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
-        "q_join_aqe_skew", "q_join_bucketed", "q_incremental_rollup",
-        "q_source_binaryfile", "q_schema_evolution_scan",
-        "q_distribution_drift", "q_setsim_prefix_join",
-        "q4_order_priority", "q8_market_share", "q12_priority_class",
-        "q_stream_join_attrib", "q_stream_static_enrich",
-        *sorted(R9_CHANGED),
-        # the 15 r4-evidence queries, retired whole
-        "q_text_quality", "q_text_langid", "q_text_token_regex",
-        "q_text_fingerprint", "q_text_rolling_winnow",
-        "q_text_langid_ngram",
-        "q_window_topk_per_group", "q_window_running",
-        "q_window_range_frame", "q_window_rank_dense",
-        "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
-        "q_map_funcs", "q_json_struct",
-        # the r5 cohort (all but the text_extra leftovers)
-        "q1_pricing_summary", "q_string_funcs", "q_ann_lsh_buckets",
-        "q_ann_bruteforce_topk",
+        # new + riding + changed heads
+        "q_stream_restart", "q_compact_files",
+        "q_profile_columns_approx", "q_profile_columns",
+        "q_distribution_drift",
+        # the pinned conversion trio
+        "discogs_xml_conversion", "discogs_conversion_stats",
+        "discogs_explode_artists",
+        # the six r5-evidence queries
+        "q_sessionize_events", "q_gapfill_timeseries",
+        "q_cumulative_distinct", "q_chunk_documents",
+        "q_token_cooccurrence", "q_regex_extract_all",
+        # r6 cohort spot checks (first/last of each family)
+        "q_stats_moments", "q_histogram_fixed",
+        "q_window_distribution", "q_ratio_to_report",
+        "q_scd2_merge", "q_cdc_apply", "q_time_weighted_avg",
+        "q_quality_classifier", "q_bpe_pair_counts",
+        "q_multimodal_audio_energy", "q_decontaminate_bloom",
+        "q_bm25_search", "q_source_orc_roundtrip",
+        "q_reservoir_per_group",
+        # oldest r7 + the cut pair
+        "q10_returned_items", "q21_suppliers_waiting",
+        "q_dedup_exact", "q_dedup_minhash_lsh",
     ):
         assert must in win, must
-    assert win[-1] == "q_ann_bruteforce_topk"  # module-boundary cut
-    for out in ("q_sessionize_events",  # r5 leftovers -> r10 lead
-                "q_gapfill_timeseries",
-                "q_cumulative_distinct",
-                "q_chunk_documents",
-                "q_token_cooccurrence",
-                "q_regex_extract_all",
-                "q_stats_moments",
-                "q_ntile_bucketing", "q_mode_per_group",
-                "q_histogram_fixed",
-                "q_window_distribution", "q_ratio_to_report",
-                "q_scd2_merge", "q_cdc_apply",
-                "q_dedup_exact", "discogs_xml_conversion",
-                "q_fuzzy_blocked", "q13_customer_distribution",
-                "q_stats_mad", "q_pagerank_bipartite"):
+    assert win[-1] == "q_dedup_minhash_lsh"  # mid-dedup cut
+    for out in (
+        # r7 dedup remainder and cohort -> r11 leaders
+        "q_dedup_components", "q_pack_sequences",
+        "q_quality_repetition", "q_curation_pipeline",
+        "q_agg_distinct", "q_join_star_revenue",
+        # r9-green stays out
+        "q_join_aqe_skew", "q_incremental_rollup",
+        "q_setsim_prefix_join", "q_stream_dedup_exact",
+        "q_zorder_layout", "q1_pricing_summary",
+        "q_ann_bruteforce_topk",
+    ):
         assert out not in win, out
-    # q_text_stats (r8) rides with its module -- in-window by design
-    assert "q_text_stats" in win
 
 
 def test_module_deps_reflect_imports():
     """The dependency scan that lets window() fold import-dragged
     modules forward must see the known edges (ast-based since r8 --
     ADVICE r7: the old regex dropped all but the first name of a
-    multi-module import)."""
+    multi-module import) -- and must NOT see edges to the shared
+    staging helpers, which live outside the queries package precisely
+    so consumers don't drag a query module into the window."""
     deps = registry._module_deps()
     assert set(deps["curation_full"]) >= {"dedup", "packing", "quality"}
     assert "clustering" in deps["curation_extra"]
+    for consumer in ("binary_source", "schema_evolution",
+                     "streaming_restart", "compaction"):
+        assert "runtime_filters" not in deps.get(consumer, []), consumer
 
 
 def test_module_deps_multi_import(tmp_path, monkeypatch):
