@@ -20,24 +20,25 @@ Round-10 window (the first 50), derived by
 window(changed={q_distribution_drift}, pin=("conversion",),
 max_round=9):
 
-- 1-2: streaming_restart + compaction NEW (q_stream_restart, the
+- 1-3: streaming_restart + compaction NEW (q_stream_restart, the
   checkpointed kill/resume exactly-once lane -- VERDICT r9 item 2;
-  q_compact_files, the OPTIMIZE-style small-file bin-pack -- item 5);
-- 3-4: profiling (q_profile_columns_approx NEW, the no-Expand HLL
+  q_compact_partitioned + q_compact_files, the partition-local and
+  global OPTIMIZE-style bin-packs -- item 5);
+- 4-5: profiling (q_profile_columns_approx NEW, the no-Expand HLL
   profile -- item 7; q_profile_columns r6 rides);
-- 5: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
+- 6: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
   the driver runs changed, so it re-enters);
-- 6-8: conversion PINNED (r7 evidence; the max-3-rounds-unverified
+- 7-9: conversion PINNED (r7 evidence; the max-3-rounds-unverified
   freshness pin from VERDICT r5 expires THIS round -- the one
   scheduling constraint the artifact ranking cannot express);
-- 9-14: the six r5-evidence queries, exactly the set VERDICT r9
+- 10-15: the six r5-evidence queries, exactly the set VERDICT r9
   item 1 named -- timeseries + text_extra;
-- 15-41: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
+- 16-42: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
   quality_model, vocab, multimodal_audio, decontam, scoring,
   formats_extra, sampling);
-- 42-50: the oldest r7 evidence -- tpch_extra, then the cut lands
-  MID-dedup after q_dedup_minhash_lsh (the module's other nine r7
-  queries lead the r11 window with the rest of the r7 cohort).
+- 43-50: the oldest r7 evidence -- tpch_extra, then the cut lands
+  MID-dedup after q_dedup_exact (the module's other ten r7 queries
+  lead the r11 window with the rest of the r7 cohort).
 
 After this window nothing in the registry has evidence older than r6,
 and the oldest unchecked evidence anywhere is r7.
@@ -51,19 +52,20 @@ the dependency fold; r10 returns it to its evidence rank).
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # 1: q_stream_restart NEW (checkpointed kill/resume exactly-once)
     streaming_restart,
-    # 2: q_compact_files NEW (small-file bin-pack rewrite)
+    # 2-3: q_compact_partitioned + q_compact_files NEW (partition-local
+    # and global small-file bin-pack rewrites)
     compaction,
-    # 3-4: q_profile_columns_approx NEW (HLL no-Expand profile);
+    # 4-5: q_profile_columns_approx NEW (HLL no-Expand profile);
     # q_profile_columns (r6) rides
     profiling,
-    # 5: q_distribution_drift CHANGED (NULLIF divisor guard)
+    # 6: q_distribution_drift CHANGED (NULLIF divisor guard)
     drift,
-    # 6-8: conversion trio PINNED (freshness pin expires at r10)
+    # 7-9: conversion trio PINNED (freshness pin expires at r10)
     conversion,
-    # 9-14: the six r5-evidence queries (VERDICT r9 item 1)
+    # 10-15: the six r5-evidence queries (VERDICT r9 item 1)
     timeseries,
     text_extra,
-    # 15-41: the entire r6 cohort
+    # 16-42: the entire r6 cohort
     stats_extra,
     windows_extra,
     scd,
@@ -75,9 +77,9 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     scoring,
     formats_extra,
     sampling,
-    # 42-48: oldest r7 evidence
+    # 43-49: oldest r7 evidence
     tpch_extra,
-    # 49-50: the cut lands mid-dedup after q_dedup_minhash_lsh
+    # 50: the cut lands mid-dedup after q_dedup_exact
     dedup,
     # --- 50-query window cut ---
     # r7-green remainder: first in line for round 11

@@ -48,6 +48,7 @@ from discogs_xml_to_parquet_spark.tables import load
 _FRAG_SHARDS = 64            # the staged fragmentation
 _TARGET_BYTES = 1 << 20      # 1 MiB target files at test scale
                              # (production: 128 MiB-1 GiB)
+_PART_FRAG = 16              # files per month in the partitioned tree
 _VERSION = 1
 
 
@@ -97,6 +98,123 @@ def compact_files(spark: SparkSession, src: str,
         "sizes_after": sorted(p.stat().st_size for p in after),
     }
     return out, facts
+
+
+def staged_fragmented_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem as a ship_month-PARTITIONED tree with _PART_FRAG small
+    files inside every partition directory (a round-robin write under
+    partitionBy: each of the 16 tasks holds rows of every month, so
+    each month dir collects 16 fragments) -- the aftermath every
+    micro-batch-appended date-partitioned fact accumulates."""
+    slug = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(sf_dir, "lineitem.parquet")
+    return _staged(
+        f"spark_graft_pfrag_v{_VERSION}_n{_PART_FRAG}_{slug}_{fp}",
+        lambda tmp: (
+            load(spark, sf_dir, "lineitem")
+            .withColumn("ship_month",
+                        F.date_format("l_shipdate", "yyyy-MM"))
+            .repartition(_PART_FRAG)
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(tmp)
+        ),
+    )
+
+
+def compact_partitioned(spark: SparkSession, src: str) -> tuple[str, dict]:
+    """Partition-LOCAL compaction: rewrite a partitioned tree so every
+    partition directory collapses to one file, without ever mixing
+    rows across partitions -- the shuffle key IS the partition column,
+    so each partition's rows land in exactly one task and partitionBy
+    re-emits the directory scheme unchanged (a hash collision merges
+    two partitions into one task, but they still write separate
+    files). Downstream partition pruning (the DPP family) keeps
+    working on the compacted table; global round-robin
+    (compact_files) would destroy it.
+
+    One-file-per-partition is the correct OPTIMIZE output whenever
+    partitions sit below the target file size, as date partitions of
+    a fragmented ingest do here. A partition ABOVE the target splits
+    by adding a listing-derived bucket column to the shuffle key
+    (ceil(partition_bytes / target) salts for the hot months only) or
+    capping with spark.sql.files.maxRecordsPerFile -- both keep the
+    single-shuffle property; range-partitioning on (month, sort key)
+    does NOT (measured here: 83 range tasks left a boundary sliver in
+    nearly every month dir, 165 files for 83 partitions)."""
+    dirs = sorted(p for p in Path(src).glob("ship_month=*")
+                  if p.is_dir())
+    files_before = [f for d in dirs for f in d.glob("part-*")]
+    total = sum(f.stat().st_size for f in files_before)
+    n_target = len(dirs)
+    out = tempfile.mkdtemp(prefix="spark_graft_pcompact_")
+    (
+        spark.read.parquet(src)
+        .repartition(n_target, "ship_month")
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(out)
+    )
+    out_dirs = sorted(p for p in Path(out).glob("ship_month=*")
+                      if p.is_dir())
+    per_dir = {d.name: len(list(d.glob("part-*"))) for d in out_dirs}
+    facts = {
+        "n_before": len(files_before),
+        "n_after": sum(per_dir.values()),
+        "n_target": n_target,
+        "bytes_before": total,
+        "months_before": [d.name for d in dirs],
+        "months_after": [d.name for d in out_dirs],
+        "files_per_month": per_dir,
+    }
+    return out, facts
+
+
+@query(
+    "q_compact_partitioned",
+    oracle="""
+SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS ship_month,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount))
+                     * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+         AS revenue,
+       TRUE AS compacted,
+       TRUE AS partitions_preserved
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-preserving compaction round trip: a ship_month tree
+    fragmented to 16 files per month is rewritten partition-locally
+    (one range shuffle keyed on the partition column) and checksummed
+    per month against the live table, so a row that leaked into the
+    wrong month, got dropped, or duplicated breaks the hash. The
+    booleans carry the layout contract: `compacted` = EVERY partition
+    directory collapsed to exactly one file (a 16x reduction), and
+    `partitions_preserved` = the directory scheme survived exactly --
+    the property that keeps every downstream partition-pruned scan
+    (q_join_bloom_dpp's family) working on the compacted table."""
+    src = staged_fragmented_partitioned(spark, sf_dir)
+    out, facts = compact_partitioned(spark, src)
+    compacted = (
+        all(n == 1 for n in facts["files_per_month"].values())
+        and facts["n_after"] * 4 <= facts["n_before"]
+    )
+    preserved = facts["months_after"] == facts["months_before"]
+    return (
+        spark.read.parquet(out)
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice")
+                 * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .withColumn("compacted", F.lit(bool(compacted)))
+        .withColumn("partitions_preserved", F.lit(bool(preserved)))
+        .orderBy("ship_month")
+    )
 
 
 @query(

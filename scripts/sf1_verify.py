@@ -67,6 +67,14 @@ DEFAULT = [
     # r10: the checkpointed kill/resume lane at the 10x sharded
     # backfill -- exactly-once must survive a restart over 10x rows
     "q_stream_restart",
+    # r10: compaction at the 10x fact (the byte-derived target count
+    # lands ~100x higher than at sf0.01 -- the bin-pack contract and
+    # the content checksum must both hold), its partition-local twin
+    # (per-month purity over ~1300 10x fragments), and the no-Expand
+    # profile over 10x orders (the HLL band at 10x cardinalities)
+    "q_compact_files",
+    "q_compact_partitioned",
+    "q_profile_columns_approx",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

@@ -42,6 +42,57 @@ def test_compaction_layout_and_content(spark):
     )
 
 
+def test_partitioned_compaction_layout_and_purity(spark):
+    from discogs_xml_to_parquet_spark.queries.compaction import (
+        _PART_FRAG,
+        compact_partitioned,
+        staged_fragmented_partitioned,
+    )
+
+    src = staged_fragmented_partitioned(spark, SF_SMOKE)
+    out, facts = compact_partitioned(spark, src)
+
+    # every partition dir collapsed to exactly one file; the scheme
+    # survived exactly (no month appeared, vanished, or renamed)
+    assert facts["months_after"] == facts["months_before"]
+    assert all(n == 1 for n in facts["files_per_month"].values())
+    # every month heavily fragmented before (a sparse month can miss a
+    # few of the 16 round-robin tasks at the smoke SF, so <= not ==)
+    n_months = len(facts["months_before"])
+    assert (4 * n_months <= facts["n_before"]
+            <= _PART_FRAG * n_months)
+
+    # partition purity: per-month content identical to the source
+    # (a row that crossed a partition boundary would break both sides)
+    a = spark.read.parquet(src).groupBy("ship_month").count()
+    b = spark.read.parquet(out).groupBy("ship_month").count()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_partitioned_compaction_keeps_pruning(spark):
+    """The point of partition-LOCAL compaction: a partition-filtered
+    scan of the compacted tree still prunes at the listing (one month
+    dir read, not a post-scan filter)."""
+    from pyspark.sql import functions as F
+
+    from discogs_xml_to_parquet_spark.queries.compaction import (
+        compact_partitioned,
+        staged_fragmented_partitioned,
+    )
+    from tests.test_plans import plan_of
+
+    src = staged_fragmented_partitioned(spark, SF_SMOKE)
+    out, _ = compact_partitioned(spark, src)
+    month = spark.read.parquet(out).select("ship_month").first()[0]
+    df = spark.read.parquet(out).filter(F.col("ship_month") == month)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "ship_month" in plan, plan
+    one = spark.read.parquet(out).filter(
+        F.col("ship_month") == month
+    ).count()
+    assert 0 < one < spark.read.parquet(out).count()
+
+
 def test_compaction_single_file_floor(spark, tmp_path):
     """A corpus below one target size compacts to exactly one file."""
     src = str(tmp_path / "tiny")

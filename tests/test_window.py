@@ -36,8 +36,9 @@ DERIVED_AT_ROUND = 9
 #   max-3-rounds-unverified freshness pin (VERDICT r5) expires at r10
 #   -- a scheduling constraint older-evidence ranking alone would
 #   leave at slot ~64.
-# The three r10-NEW queries (q_stream_restart, q_compact_files,
-# q_profile_columns_approx) need no entry: rank 0 covers never-checked.
+# The four r10-NEW queries (q_stream_restart, q_compact_partitioned,
+# q_compact_files, q_profile_columns_approx) need no entry: rank 0
+# covers never-checked.
 R10_CHANGED = frozenset({"q_distribution_drift"})
 R10_PIN: tuple[str, ...] = ("conversion",)
 
@@ -102,19 +103,19 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r10_window_contents():
-    """The round-10 membership decisions, pinned explicitly: the three
-    NEW queries' modules lead (the checkpoint-restart lane, the
-    compaction pass, the approx profiler with q_profile_columns
+    """The round-10 membership decisions, pinned explicitly: the four
+    NEW queries' modules lead (the checkpoint-restart lane, the two
+    compaction passes, the approx profiler with q_profile_columns
     riding), the CHANGED drift monitor follows, then the PINNED
     conversion trio (freshness pin expiry -- VERDICT r9 item 1), the
     six r5-evidence queries VERDICT r9 item 1 named, the ENTIRE r6
     cohort, and the oldest r7 evidence (tpch_extra); the 50-cut lands
-    MID-dedup after q_dedup_minhash_lsh. Nothing in the window has
-    fresher evidence than r7 except the new/changed/riding heads."""
+    MID-dedup after q_dedup_exact. Nothing in the window has fresher
+    evidence than r7 except the new/changed/riding heads."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         # new + riding + changed heads
-        "q_stream_restart", "q_compact_files",
+        "q_stream_restart", "q_compact_partitioned", "q_compact_files",
         "q_profile_columns_approx", "q_profile_columns",
         "q_distribution_drift",
         # the pinned conversion trio
@@ -132,15 +133,15 @@ def test_r10_window_contents():
         "q_multimodal_audio_energy", "q_decontaminate_bloom",
         "q_bm25_search", "q_source_orc_roundtrip",
         "q_reservoir_per_group",
-        # oldest r7 + the cut pair
+        # oldest r7 + the cut query
         "q10_returned_items", "q21_suppliers_waiting",
-        "q_dedup_exact", "q_dedup_minhash_lsh",
+        "q_dedup_exact",
     ):
         assert must in win, must
-    assert win[-1] == "q_dedup_minhash_lsh"  # mid-dedup cut
+    assert win[-1] == "q_dedup_exact"  # mid-dedup cut
     for out in (
         # r7 dedup remainder and cohort -> r11 leaders
-        "q_dedup_components", "q_pack_sequences",
+        "q_dedup_minhash_lsh", "q_dedup_components", "q_pack_sequences",
         "q_quality_repetition", "q_curation_pipeline",
         "q_agg_distinct", "q_join_star_revenue",
         # r9-green stays out
