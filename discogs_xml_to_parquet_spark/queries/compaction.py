@@ -45,24 +45,43 @@ from discogs_xml_to_parquet_spark.staging import (
 )
 from discogs_xml_to_parquet_spark.tables import load
 
-_FRAG_SHARDS = 64            # the staged fragmentation
+_FRAG_SHARDS = 64            # fragmentation floor
 _TARGET_BYTES = 1 << 20      # 1 MiB target files at test scale
                              # (production: 128 MiB-1 GiB)
+_FRAG_DIV = 16               # fragments sized ~1/16 of the target
 _PART_FRAG = 16              # files per month in the partitioned tree
-_VERSION = 1
+_VERSION = 2                 # v2: fragmentation scales with the corpus
+
+
+def _table_bytes(sf_dir: str, table: str) -> int:
+    src = Path(sf_dir) / table
+    files = sorted(src.rglob("*.parquet")) if src.is_dir() else [src]
+    return sum(p.stat().st_size for p in files)
 
 
 def staged_fragmented_lineitem(spark: SparkSession, sf_dir: str) -> str:
-    """lineitem shattered into _FRAG_SHARDS small parquet files --
-    the aftermath of an over-parallel ingest -- built once per
-    container per (sf_dir, source fingerprint), atomic publish."""
+    """lineitem shattered into small parquet files well BELOW the
+    compaction target (~1/_FRAG_DIV of it, _FRAG_SHARDS minimum) --
+    the aftermath of an over-parallel ingest, which is the scenario
+    compaction exists for. The count scales with the corpus (a fixed
+    64 shards at 10x data yields files ABOVE target, where a real
+    OPTIMIZE would skip the rewrite -- the sf1_verify lane caught
+    exactly that). Built once per container per (sf_dir, source
+    fingerprint, shard count), atomic publish."""
+    import math
+
     slug = sf_dir.strip("/").replace("/", "_")
     fp = _source_fingerprint(sf_dir, "lineitem.parquet")
+    n_frag = max(
+        _FRAG_SHARDS,
+        math.ceil(_table_bytes(sf_dir, "lineitem.parquet")
+                  / (_TARGET_BYTES // _FRAG_DIV)),
+    )
     return _staged(
-        f"spark_graft_frag_v{_VERSION}_n{_FRAG_SHARDS}_{slug}_{fp}",
+        f"spark_graft_frag_v{_VERSION}_n{n_frag}_{slug}_{fp}",
         lambda tmp: (
             load(spark, sf_dir, "lineitem")
-            .repartition(_FRAG_SHARDS)
+            .repartition(n_frag)
             .write.mode("overwrite")
             .parquet(tmp)
         ),
@@ -234,14 +253,15 @@ ORDER BY 1, 2
 """,
 )
 def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compaction round trip: shatter lineitem into 64 small files,
-    bin-pack them back to ~1 MiB files, and checksum the COMPACTED
-    output against the live table -- per (returnflag, linestatus) row
-    counts, exact revenue, and order-key cardinality, so a dropped,
-    duplicated, or corrupted row anywhere in the rewrite breaks the
-    hash. The two booleans carry the layout contract into the oracle
+    """Compaction round trip: shatter lineitem into corpus-scaled
+    sub-target fragments (64 at the small SFs, ~2300 at the 10x
+    corpus), bin-pack them back to ~1 MiB files, and checksum the
+    COMPACTED output against the live table -- per (returnflag,
+    linestatus) row counts, exact revenue, and order-key cardinality,
+    so a dropped, duplicated, or corrupted row anywhere in the rewrite
+    breaks the hash. The two booleans carry the layout contract into the oracle
     compare: `compacted` = the rewrite hit the byte-derived target
-    file count (a >=4x reduction here), `evenly_sized` = every output
+    file count (a >=4x reduction at every SF), `evenly_sized` = every output
     file is within 2x of the mean (round-robin's evenness). The oracle
     asserts both as TRUE -- a compaction that silently fragmented or
     skewed would fail the driver row, not just a pytest."""
