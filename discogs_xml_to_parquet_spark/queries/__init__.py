@@ -17,8 +17,8 @@ DERIVED_AT_ROUND to 10 and pastes the order
 `python scripts/window_plan.py --max-round 10 --changed ...` prints.
 
 Round-10 window (the first 50), derived by
-window(changed={q_distribution_drift}, pin=("conversion",),
-max_round=9):
+window(changed={q_distribution_drift, q_setsim_prefix_join},
+pin=("conversion",), max_round=9):
 
 - 1-3: streaming_restart + compaction NEW (q_stream_restart, the
   checkpointed kill/resume exactly-once lane -- VERDICT r9 item 2;
@@ -28,17 +28,20 @@ max_round=9):
   profile -- item 7; q_profile_columns r6 rides);
 - 6: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
   the driver runs changed, so it re-enters);
-- 7-9: conversion PINNED (r7 evidence; the max-3-rounds-unverified
+- 7: setsim CHANGED (r10 verification rewrite: length + positional
+  PPJoin residual filters and broadcast set tables -- values
+  identical, plan 5x faster at sf0.1);
+- 8-10: conversion PINNED (r7 evidence; the max-3-rounds-unverified
   freshness pin from VERDICT r5 expires THIS round -- the one
   scheduling constraint the artifact ranking cannot express);
-- 10-15: the six r5-evidence queries, exactly the set VERDICT r9
+- 11-16: the six r5-evidence queries, exactly the set VERDICT r9
   item 1 named -- timeseries + text_extra;
-- 16-42: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
+- 17-43: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
   quality_model, vocab, multimodal_audio, decontam, scoring,
   formats_extra, sampling);
-- 43-50: the oldest r7 evidence -- tpch_extra, then the cut lands
-  MID-dedup after q_dedup_exact (the module's other ten r7 queries
-  lead the r11 window with the rest of the r7 cohort).
+- 44-50: the oldest r7 evidence -- tpch_extra; the cut lands ON the
+  tpch_extra/dedup module boundary after q21_suppliers_waiting (the
+  whole dedup module leads the r11 window with the r7 cohort).
 
 After this window nothing in the registry has evidence older than r6,
 and the oldest unchecked evidence anywhere is r7.
@@ -60,12 +63,15 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     profiling,
     # 6: q_distribution_drift CHANGED (NULLIF divisor guard)
     drift,
-    # 7-9: conversion trio PINNED (freshness pin expires at r10)
+    # 7: q_setsim_prefix_join CHANGED (residual filters + broadcast
+    # verification)
+    setsim,
+    # 8-10: conversion trio PINNED (freshness pin expires at r10)
     conversion,
-    # 10-15: the six r5-evidence queries (VERDICT r9 item 1)
+    # 11-16: the six r5-evidence queries (VERDICT r9 item 1)
     timeseries,
     text_extra,
-    # 16-42: the entire r6 cohort
+    # 17-43: the entire r6 cohort
     stats_extra,
     windows_extra,
     scd,
@@ -77,12 +83,11 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     scoring,
     formats_extra,
     sampling,
-    # 43-49: oldest r7 evidence
+    # 44-50: oldest r7 evidence; the cut lands on the module boundary
     tpch_extra,
-    # 50: the cut lands mid-dedup after q_dedup_exact
-    dedup,
     # --- 50-query window cut ---
     # r7-green remainder: first in line for round 11
+    dedup,
     packing,
     quality,
     curation_full,
@@ -111,7 +116,6 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     incremental,
     binary_source,
     schema_evolution,
-    setsim,
     tpch_extra3,
     streaming_queries,
     layout,

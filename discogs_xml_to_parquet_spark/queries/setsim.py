@@ -17,21 +17,39 @@ ANY token, exactly verified) -- a hash match therefore PINS the
 losslessness theorem on this corpus, not just the arithmetic.
 
 Scale shape: candidates come from an equi-join on prefix tokens only
-(candidate count ~ sum over prefix tokens of C(df, 2)), verification
-joins the doc-count-sized sorted-token-set table twice and computes
-|A intersect B| per candidate with a JVM array op. The threshold
-comparison is exact integer cross-multiplication (20*i >= 19*u), no
-floats anywhere.
+(candidate count ~ sum over prefix tokens of C(df, 2)), pruned IN the
+join by the two other lossless AllPairs/PPJoin filters as residuals --
+the LENGTH filter (J >= t forces t*|B| <= |A|, so size-incompatible
+pairs can never qualify) and the POSITIONAL filter (tokens behind the
+matched prefix positions bound the achievable overlap above:
+1 + min(|A|-pos_a, |B|-pos_b) >= ceil(t/(1+t) * (|A|+|B|)) must hold)
+-- both provable drops, both integer arithmetic, both evaluated
+before any pair materializes past the join. Verification then joins
+the doc-count-sized sorted-token-set table twice, BROADCAST: the set
+table is one row per document (~|docs| x avg tokens), orders of
+magnitude smaller than the candidate pair space, so the arrays ship
+once per executor and |A intersect B| is computed map-side -- the r10
+rewrite; the first spelling shuffled every candidate row through two
+sort-merge joins CARRYING both token arrays, which dominated the wall
+at sf0.1 (measured ~200 s -> ~3 s). Where the doc dimension outgrows
+the broadcast budget, the same plan degrades to a sort-merge join and
+the residual filters are what keep the shuffled candidate set small.
+The threshold comparison is exact integer cross-multiplication
+(20*i >= 19*u), no floats anywhere.
 
-Honest pruning note: on THIS corpus the measured candidate reduction
-is modest (95,749 prefix candidates vs 124,745 brute-force pairs at
+Honest pruning note: on THIS corpus the measured PREFIX reduction is
+modest (95,749 prefix candidates vs 124,745 brute-force pairs at
 sf0.01, ~1.3x) because the template-generated documents are near-
 duplicates BY CONSTRUCTION -- they share even their rarest tokens, the
 adversarial worst case for prefix filtering (57% of all pairs really
-do have J >= 0.6 here). On a heterogeneous real corpus, where df is
-Zipfian and true-pair density is tiny, the same plan prunes orders of
-magnitude; what this query pins is the COMPLETENESS of the filter and
-the exactness of the verification, which hold on any corpus.
+do have J >= 0.6 here). The length+positional residuals recover the
+pruning the prefix cannot: measured 13.4M raw prefix-join rows ->
+1.8M surviving candidate pairs at sf0.1 (7.4x, and the drop happens
+INSIDE the join, before the distinct's shuffle). On a heterogeneous
+real corpus, where df is Zipfian and
+true-pair density is tiny, the same plan prunes orders of magnitude
+further; what this query pins is the COMPLETENESS of the filter stack
+and the exactness of the verification, which hold on any corpus.
 """
 
 from __future__ import annotations
@@ -103,7 +121,9 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # prefix length |d| - ceil(t*|d|) + 1, all-integer ceil
+    # prefix length |d| - ceil(t*|d|) + 1, all-integer ceil; keep
+    # (pos, n) so the candidate join can evaluate the positional and
+    # length filters as residuals
     prefix = (
         ranked.join(sz, "doc_id")
         .filter(
@@ -112,12 +132,35 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) DIV {_T_DEN}")
             + 1
         )
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "pos", "n")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # LENGTH filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
+    # POSITIONAL filter: overlap <= 1 + min(|A|-pos_a, |B|-pos_b)
+    # (the matched token plus whatever follows it on both sides), and
+    # J >= t needs overlap >= t/(1+t)*(|A|+|B|); a qualifying pair's
+    # globally-smallest common token is in both prefixes AND satisfies
+    # this bound, so keeping a pair when ANY matched row passes is
+    # lossless. Integer form throughout.
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * _T_DEN >= _T_NUM * F.col("b.n"))
+            & (F.col("b.n") * _T_DEN >= _T_NUM * F.col("a.n"))
+            & (
+                (
+                    F.least(
+                        F.col("a.n") - F.col("a.pos"),
+                        F.col("b.n") - F.col("b.pos"),
+                    )
+                    + 1
+                )
+                * (_T_NUM + _T_DEN)
+                >= _T_NUM * (F.col("a.n") + F.col("b.n"))
+            ),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -134,8 +177,11 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sets.select(F.col("doc_id").alias("doc_b"),
                      F.col("toks").alias("toks_b"),
                      F.col("n").alias("n_b"))
+    # the set table is one row per DOCUMENT -- broadcast it so the
+    # candidate pairs (the big side) never shuffle and the token
+    # arrays ship once per executor instead of once per candidate
     verified = (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+        cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
         .withColumn(
             "n_common",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),

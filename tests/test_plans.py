@@ -1046,3 +1046,13 @@ def test_setsim_candidates_come_from_prefix_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition(doc_id" in plan
+    # r10 rewrite properties: the length/positional residuals ride ON
+    # the candidate join (never a post-join filter -- they must prune
+    # before rows materialize), and BOTH verification joins broadcast
+    # the doc-count-sized set table so candidate pairs never shuffle
+    # carrying token arrays
+    import re
+
+    join_conds = re.findall(r"Join condition:.*", plan)
+    assert any("least" in c for c in join_conds), join_conds
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -32,6 +32,10 @@ DERIVED_AT_ROUND = 9
 # - q_distribution_drift CHANGED: the ADVICE r9 NULLIF divisor guard
 #   changed both the Spark expression and the oracle SQL the driver
 #   runs (values identical on current data; latent-divergence fix).
+# - q_setsim_prefix_join CHANGED: r10 verification rewrite (lossless
+#   length + positional PPJoin residuals in the candidate join,
+#   broadcast set tables) -- values identical, plan 5x faster at
+#   sf0.1.
 # - conversion PINNED: the trio's evidence is r7 and the
 #   max-3-rounds-unverified freshness pin (VERDICT r5) expires at r10
 #   -- a scheduling constraint older-evidence ranking alone would
@@ -39,7 +43,7 @@ DERIVED_AT_ROUND = 9
 # The four r10-NEW queries (q_stream_restart, q_compact_partitioned,
 # q_compact_files, q_profile_columns_approx) need no entry: rank 0
 # covers never-checked.
-R10_CHANGED = frozenset({"q_distribution_drift"})
+R10_CHANGED = frozenset({"q_distribution_drift", "q_setsim_prefix_join"})
 R10_PIN: tuple[str, ...] = ("conversion",)
 
 
@@ -106,18 +110,19 @@ def test_r10_window_contents():
     """The round-10 membership decisions, pinned explicitly: the four
     NEW queries' modules lead (the checkpoint-restart lane, the two
     compaction passes, the approx profiler with q_profile_columns
-    riding), the CHANGED drift monitor follows, then the PINNED
-    conversion trio (freshness pin expiry -- VERDICT r9 item 1), the
-    six r5-evidence queries VERDICT r9 item 1 named, the ENTIRE r6
-    cohort, and the oldest r7 evidence (tpch_extra); the 50-cut lands
-    MID-dedup after q_dedup_exact. Nothing in the window has fresher
-    evidence than r7 except the new/changed/riding heads."""
+    riding), the CHANGED drift monitor and setsim join follow, then
+    the PINNED conversion trio (freshness pin expiry -- VERDICT r9
+    item 1), the six r5-evidence queries VERDICT r9 item 1 named, the
+    ENTIRE r6 cohort, and the oldest r7 evidence (tpch_extra); the
+    50-cut lands ON the tpch_extra/dedup module boundary after
+    q21_suppliers_waiting. Nothing in the window has fresher evidence
+    than r7 except the new/changed/riding heads."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         # new + riding + changed heads
         "q_stream_restart", "q_compact_partitioned", "q_compact_files",
         "q_profile_columns_approx", "q_profile_columns",
-        "q_distribution_drift",
+        "q_distribution_drift", "q_setsim_prefix_join",
         # the pinned conversion trio
         "discogs_xml_conversion", "discogs_conversion_stats",
         "discogs_explode_artists",
@@ -135,18 +140,18 @@ def test_r10_window_contents():
         "q_reservoir_per_group",
         # oldest r7 + the cut query
         "q10_returned_items", "q21_suppliers_waiting",
-        "q_dedup_exact",
     ):
         assert must in win, must
-    assert win[-1] == "q_dedup_exact"  # mid-dedup cut
+    assert win[-1] == "q21_suppliers_waiting"  # module-boundary cut
     for out in (
-        # r7 dedup remainder and cohort -> r11 leaders
+        # r7 dedup and cohort -> r11 leaders
+        "q_dedup_exact",
         "q_dedup_minhash_lsh", "q_dedup_components", "q_pack_sequences",
         "q_quality_repetition", "q_curation_pipeline",
         "q_agg_distinct", "q_join_star_revenue",
         # r9-green stays out
         "q_join_aqe_skew", "q_incremental_rollup",
-        "q_setsim_prefix_join", "q_stream_dedup_exact",
+        "q_stream_dedup_exact",
         "q_zorder_layout", "q1_pricing_summary",
         "q_ann_bruteforce_topk",
     ):
