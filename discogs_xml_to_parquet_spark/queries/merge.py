@@ -1,0 +1,270 @@
+"""Copy-on-write MERGE (upsert) into a partitioned table, rewriting
+only the partitions the delta touches.
+
+The production shape behind every lakehouse MERGE INTO: a partitioned
+base table receives a batch of updates + inserts whose keys fall in a
+known partition range (here: a backfill window, 1995-H1 -- in Delta /
+Iceberg the range comes from the delta's file statistics). The engine
+must NOT rewrite the table; it must
+
+  1. read ONLY the affected partitions (static partition pruning on
+     the partition column -- at 100 TB this is the difference between
+     scanning 6 months and scanning 80),
+  2. anti-join the survivors against the delta keys with the delta
+     BROADCAST (a MERGE delta is update-batch-sized, never
+     fact-sized),
+  3. write the merged partitions as NEW files and commit by an atomic
+     partition swap (the manifest/pointer flip of a real table
+     format, spelled as directory renames on a filesystem) -- rows in
+     untouched partitions are never read, never rewritten, and their
+     files stay byte-identical.
+
+Both halves of the contract ride in the driver row: the relational
+oracle reconstructs the merged table from `orders` in pure SQL (so a
+dropped survivor, a double-applied update, or a lost insert breaks
+the hash), and the layout booleans carry the copy-on-write proof --
+`untouched_preserved` (every file outside the affected months is
+byte-identical, none added or removed) and `affected_rewritten`
+(every affected month's file set was fully replaced).
+
+Scale shape: the only data pass is over the AFFECTED partitions
+(plan-gated PartitionFilters in tests/test_merge.py); the anti-join
+is a BroadcastHashJoin LeftAnti (no shuffle of the base); the commit
+is driver-side metadata. Cost is O(affected bytes) + O(delta), never
+O(table). The per-run scratch copy of the staged base is harness
+isolation only (the lane mutates its table; staged artifacts are
+build-once-shared), not part of the operator's cost model.
+
+SCD2 (queries/scd.py) and CDC compaction (queries/cdc.py) cover the
+*semantic* merge variants; this lane is the *physical* one -- which
+files a MERGE may touch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import (
+    source_fingerprint as _source_fingerprint,
+    staged as _staged,
+)
+from discogs_xml_to_parquet_spark.tables import load
+
+_UPD_MOD = 7             # update keys: o_orderkey % 7 == 0 in-window
+_INS_MOD = 13            # insert seeds: o_orderkey % 13 == 0 in-window
+_INS_OFFSET = 100_000_000  # insert key offset, far above any base key
+_WIN_LO, _WIN_HI = "1995-01-01", "1995-07-01"   # delta backfill window
+_MONTH_LO, _MONTH_HI = "1995-01", "1995-06"     # its partition range
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority", "o_month"]
+_VERSION = 1
+
+
+def staged_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders as an o_month-partitioned tree (the base table a MERGE
+    targets). Built once per container per (sf_dir, fingerprint),
+    atomic publish."""
+    slug = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(sf_dir, "orders.parquet")
+    return _staged(
+        f"spark_graft_merge_base_v{_VERSION}_{slug}_{fp}",
+        lambda tmp: (
+            load(spark, sf_dir, "orders")
+            .withColumn("o_month",
+                        F.date_format("o_orderdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(tmp)
+        ),
+    )
+
+
+def delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE source: deterministic updates (+10.00 price, status
+    'U') and inserts (offset keys, status 'I') confined to the
+    1995-H1 backfill window, derived from the live orders table so
+    the DuckDB oracle can re-derive it in SQL."""
+    o = load(spark, sf_dir, "orders")
+    win = (
+        (F.col("o_orderdate") >= F.lit(_WIN_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_WIN_HI).cast("timestamp"))
+    )
+    upd = o.filter(win & (F.col("o_orderkey") % _UPD_MOD == 0)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    ins = o.filter(win & (F.col("o_orderkey") % _INS_MOD == 0)).select(
+        (F.col("o_orderkey") + F.lit(_INS_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return upd.unionByName(ins).withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM"))
+
+
+def _inventory(root: str) -> dict[str, tuple[int, str]]:
+    """Visible data files under `root` -> (size, md5). Hidden
+    sidecars (.crc, _SUCCESS) excluded: the contract is about data
+    files, the things a table format's manifest points at."""
+    out: dict[str, tuple[int, str]] = {}
+    for p in sorted(Path(root).rglob("*")):
+        if not p.is_file() or p.name.startswith(("_", ".")):
+            continue
+        out[str(p.relative_to(root))] = (
+            p.stat().st_size, hashlib.md5(p.read_bytes()).hexdigest())
+    return out
+
+
+def affected_read(spark: SparkSession, scratch: str) -> DataFrame:
+    """The pruned base read: only the delta's partition range. The
+    month predicate is on the PARTITION column, so the scan carries
+    PartitionFilters and never opens the other ~74 month dirs
+    (plan-gated in tests/test_merge.py)."""
+    return spark.read.parquet(scratch).filter(
+        (F.col("o_month") >= _MONTH_LO) & (F.col("o_month") <= _MONTH_HI))
+
+
+def merge_upsert(spark: SparkSession, scratch: str,
+                 delta: DataFrame) -> list[str]:
+    """Execute the copy-on-write MERGE against the table at `scratch`
+    in place: write merged affected partitions as new files under a
+    temp version dir, then commit by swapping those partition dirs.
+    Returns the list of swapped partition dir names."""
+    survivors = affected_read(spark, scratch).join(
+        F.broadcast(delta.select("o_orderkey")),
+        on="o_orderkey", how="left_anti")
+    merged = survivors.select(*_COLS).unionByName(delta.select(*_COLS))
+    newver = tempfile.mkdtemp(prefix="spark_graft_merge_newver_")
+    merged.write.mode("overwrite").partitionBy("o_month").parquet(newver)
+    months = sorted(
+        d.name for d in Path(newver).glob("o_month=*") if d.is_dir())
+    for m in months:  # the "manifest flip": driver-side renames only
+        dst = Path(scratch) / m
+        if dst.exists():
+            shutil.rmtree(dst)
+        shutil.move(str(Path(newver) / m), str(dst))
+    shutil.rmtree(newver, ignore_errors=True)
+    return months
+
+
+def _month_of(relpath: str) -> str:
+    return relpath.split("/", 1)[0]
+
+
+def run_merge(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Stage base, copy a per-run scratch table, MERGE, and audit the
+    file inventory. Returns (scratch dir, layout facts)."""
+    base = staged_partitioned_orders(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_merge_scratch_")
+    shutil.rmtree(scratch)
+    shutil.copytree(base, scratch)
+    before = _inventory(scratch)
+    months = merge_upsert(spark, scratch, delta_frame(spark, sf_dir))
+    after = _inventory(scratch)
+    window = set(months)
+    out_b = {r: v for r, v in before.items()
+             if _month_of(r) not in window}
+    out_a = {r: v for r, v in after.items()
+             if _month_of(r) not in window}
+    in_b = {r for r in before if _month_of(r) in window}
+    in_a = {r for r in after if _month_of(r) in window}
+    facts = {
+        "months": months,
+        # untouched partitions: identical file set, sizes, and bytes
+        "untouched_preserved": out_b == out_a,
+        # affected partitions: completely new files, every month
+        # in the delta's range that exists in base was swapped
+        "affected_rewritten": (
+            bool(in_a) and not (in_b & in_a)
+            and all(_MONTH_LO <= m.split("=", 1)[1] <= _MONTH_HI
+                    for m in months)
+        ),
+    }
+    return scratch, facts
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+WITH delta AS (
+  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+         'U' AS o_orderstatus,
+         strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS o_month
+  FROM orders
+  WHERE o_orderkey % {_UPD_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+  UNION ALL
+  SELECT o_orderkey + {_INS_OFFSET}, o_totalprice, 'I',
+         strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+  FROM orders
+  WHERE o_orderkey % {_INS_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+),
+merged AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS o_month,
+         o_totalprice, o_orderstatus
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+  UNION ALL
+  SELECT o_month, o_totalprice, o_orderstatus FROM delta
+)
+SELECT o_month,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000 AS revenue,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'U') AS n_updated,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'I') AS n_inserted,
+       TRUE AS untouched_preserved,
+       TRUE AS affected_rewritten
+FROM merged
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE round trip: the o_month-partitioned orders
+    table absorbs a 1995-H1 update+insert delta by rewriting ONLY the
+    six affected month partitions, then the WHOLE merged table is
+    checksummed per month against the SQL reconstruction -- a row
+    dropped from an untouched month, a survivor lost to the
+    anti-join, a double-applied update, or a missing insert all break
+    the hash. The booleans carry the layout half of the contract:
+    `untouched_preserved` = every file outside the affected months is
+    byte-identical (none added, removed, or rewritten), and
+    `affected_rewritten` = every affected month's file set was fully
+    replaced and stayed inside the delta's partition range."""
+    scratch, facts = run_merge(spark, sf_dir)
+    return (
+        spark.read.parquet(scratch)
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.when(F.col("o_orderstatus") == "U", 1)).alias(
+                "n_updated"),
+            F.count(F.when(F.col("o_orderstatus") == "I", 1)).alias(
+                "n_inserted"),
+        )
+        .withColumn("untouched_preserved",
+                    F.lit(bool(facts["untouched_preserved"])))
+        .withColumn("affected_rewritten",
+                    F.lit(bool(facts["affected_rewritten"])))
+        .orderBy("o_month")
+    )

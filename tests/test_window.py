@@ -107,20 +107,22 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r10_window_contents():
-    """The round-10 membership decisions, pinned explicitly: the four
-    NEW queries' modules lead (the checkpoint-restart lane, the two
-    compaction passes, the approx profiler with q_profile_columns
-    riding), the CHANGED drift monitor and setsim join follow, then
-    the PINNED conversion trio (freshness pin expiry -- VERDICT r9
-    item 1), the six r5-evidence queries VERDICT r9 item 1 named, the
-    ENTIRE r6 cohort, and the oldest r7 evidence (tpch_extra); the
-    50-cut lands ON the tpch_extra/dedup module boundary after
-    q21_suppliers_waiting. Nothing in the window has fresher evidence
-    than r7 except the new/changed/riding heads."""
+    """The round-10 membership decisions, pinned explicitly: the NEW
+    queries' modules lead (the checkpoint-restart lane, the two
+    compaction passes, the copy-on-write MERGE, the approx profiler
+    with q_profile_columns riding), the CHANGED drift monitor and
+    setsim join follow, then the PINNED conversion trio (freshness pin
+    expiry -- VERDICT r9 item 1), the six r5-evidence queries VERDICT
+    r9 item 1 named, the ENTIRE r6 cohort, and the oldest r7 evidence
+    (tpch_extra); the 50-cut lands one short of the module boundary,
+    so q21_suppliers_waiting leads the r11 remainder with dedup.
+    Nothing in the window has fresher evidence than r7 except the
+    new/changed/riding heads."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         # new + riding + changed heads
         "q_stream_restart", "q_compact_partitioned", "q_compact_files",
+        "q_merge_upsert",
         "q_profile_columns_approx", "q_profile_columns",
         "q_distribution_drift", "q_setsim_prefix_join",
         # the pinned conversion trio
@@ -139,12 +141,14 @@ def test_r10_window_contents():
         "q_bm25_search", "q_source_orc_roundtrip",
         "q_reservoir_per_group",
         # oldest r7 + the cut query
-        "q10_returned_items", "q21_suppliers_waiting",
+        "q10_returned_items", "q19_discounted_revenue",
     ):
         assert must in win, must
-    assert win[-1] == "q21_suppliers_waiting"  # module-boundary cut
+    assert win[-1] == "q19_discounted_revenue"  # cut one short of the
+    # tpch_extra/dedup boundary (q_merge_upsert took the slot)
     for out in (
-        # r7 dedup and cohort -> r11 leaders
+        # the cut query and the r7 dedup cohort -> r11 leaders
+        "q21_suppliers_waiting",
         "q_dedup_exact",
         "q_dedup_minhash_lsh", "q_dedup_components", "q_pack_sequences",
         "q_quality_repetition", "q_curation_pipeline",
