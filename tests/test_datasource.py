@@ -1,0 +1,83 @@
+"""The Python DataSource conversion lane
+(sources/discogs_datasource.py): parity with the native lane,
+per-file partitioning, and the strict error model through the
+connector surface."""
+
+from __future__ import annotations
+
+import gzip
+import tempfile
+
+import pytest
+
+from discogs_xml_to_parquet_spark.sources.discogs_datasource import (
+    register_discogs_source,
+)
+from discogs_xml_to_parquet_spark.sources.discogs_xml import read_releases
+from discogs_xml_to_parquet_spark.sources.fixture import (
+    write_fixture_gz,
+    write_synthetic_releases,
+)
+
+
+def _corpus_paths() -> tuple[str, str]:
+    small = write_fixture_gz(
+        f"{tempfile.gettempdir()}/discogs_fixture/releases.xml.gz")
+    big = write_synthetic_releases(
+        f"{tempfile.gettempdir()}/discogs_synth150", 150, n_files=2,
+        start_id=1001)
+    return small, big
+
+
+def test_datasource_matches_native_lane(spark):
+    """Row-identical nested output vs the native XML source on the
+    full 153-release fixture corpus -- the connector is a fourth
+    conformance lane, not a new dialect."""
+    register_discogs_source(spark)
+    small, big = _corpus_paths()
+    ds = (
+        spark.read.format("discogs_releases").load(small)
+        .unionByName(spark.read.format("discogs_releases").load(big))
+    )
+    native = read_releases(spark, small).unionByName(
+        read_releases(spark, f"{big}/*.xml.gz"))
+    # same names and types; nullability flags differ by construction
+    # (the Python DataSource surface marks every field nullable)
+    assert [(f.name, f.dataType) for f in ds.schema.fields] == [
+        (f.name, f.dataType) for f in native.schema.fields]
+    assert ds.count() == 153
+    assert ds.exceptAll(native).count() == 0
+    assert native.exceptAll(ds).count() == 0
+
+
+def test_datasource_one_partition_per_file(spark):
+    """gzip is unsplittable: the connector must plan exactly one
+    input partition per dump file (the listing is driver-side
+    metadata; the parse runs where the partition runs)."""
+    register_discogs_source(spark)
+    _, big = _corpus_paths()
+    df = spark.read.format("discogs_releases").load(big)
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_datasource_strict_error_model(spark, tmp_path):
+    """The reference's FAILFAST semantics survive the connector: a
+    malformed release (unknown attribute, main.rs:496-500) fails the
+    read instead of yielding a row."""
+    register_discogs_source(spark)
+    bad = tmp_path / "bad.xml.gz"
+    bad.write_bytes(gzip.compress(
+        b'<releases>\n<release id="9" status="Draft" foo="bar">'
+        b"<title>t</title></release>\n</releases>"))
+    with pytest.raises(Exception, match="unknown attribute"):
+        spark.read.format("discogs_releases").load(str(bad)).collect()
+
+
+def test_datasource_empty_listing_raises(spark, tmp_path):
+    """An empty input directory is a planning-time error, not an
+    empty DataFrame -- matching the strict lane's contract."""
+    register_discogs_source(spark)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(Exception, match="no input files"):
+        spark.read.format("discogs_releases").load(str(empty)).collect()
