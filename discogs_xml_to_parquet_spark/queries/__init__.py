@@ -20,31 +20,34 @@ Round-10 window (the first 50), derived by
 window(changed={q_distribution_drift, q_setsim_prefix_join},
 pin=("conversion",), max_round=9):
 
-- 1-4: streaming_restart + compaction + merge NEW (q_stream_restart,
-  the checkpointed kill/resume exactly-once lane -- VERDICT r9 item 2;
+- 1-6: the NEW rank-0 block (q_stream_restart, the checkpointed
+  kill/resume exactly-once lane -- VERDICT r9 item 2;
   q_compact_partitioned + q_compact_files, the partition-local and
-  global OPTIMIZE-style bin-packs -- item 5; q_merge_upsert, the
-  copy-on-write partition-pruned MERGE, added mid-round after the
-  derivation and slotted into the rank-0 block);
-- 5-6: profiling (q_profile_columns_approx NEW, the no-Expand HLL
+  global OPTIMIZE-style bin-packs -- item 5; then the three mid-round
+  additions: q_merge_upsert, the copy-on-write partition-pruned
+  MERGE; q_source_python_datasource, the Spark 4 Python DataSource
+  conversion lane; q_hll_union_rollup, the stored mergeable-sketch
+  distinct rollup);
+- 7-8: profiling (q_profile_columns_approx NEW, the no-Expand HLL
   profile -- item 7; q_profile_columns r6 rides);
-- 7: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
+- 9: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
   the driver runs changed, so it re-enters);
-- 8: setsim CHANGED (r10 verification rewrite: length + positional
+- 10: setsim CHANGED (r10 verification rewrite: length + positional
   PPJoin residual filters and broadcast set tables -- values
   identical, plan 5x faster at sf0.1);
-- 9-11: conversion PINNED (r7 evidence; the max-3-rounds-unverified
+- 11-13: conversion PINNED (r7 evidence; the max-3-rounds-unverified
   freshness pin from VERDICT r5 expires THIS round -- the one
   scheduling constraint the artifact ranking cannot express);
-- 12-17: the six r5-evidence queries, exactly the set VERDICT r9
+- 14-19: the six r5-evidence queries, exactly the set VERDICT r9
   item 1 named -- timeseries + text_extra;
-- 18-44: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
+- 20-46: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
   quality_model, vocab, multimodal_audio, decontam, scoring,
   formats_extra, sampling);
-- 45-50: the oldest r7 evidence -- tpch_extra; the cut lands one
+- 47-50: the oldest r7 evidence -- tpch_extra; the cut lands three
   short of the tpch_extra/dedup module boundary (after
-  q19_discounted_revenue), so q21_suppliers_waiting leads the r11
-  window with the dedup module and the r7 cohort.
+  q5_local_supplier_volume -- the mid-round additions took those
+  slots), so q6/q19/q21 lead the r11 window with the dedup module
+  and the r7 cohort.
 
 After this window nothing in the registry has evidence older than r6,
 and the oldest unchecked evidence anywhere is r7.
@@ -64,6 +67,12 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # q_merge_upsert NEW (copy-on-write partition-pruned MERGE; joins
     # the rank-0 block, so every slot below shifts by one)
     merge,
+    # q_source_python_datasource NEW (the Spark 4 Python DataSource
+    # conversion lane -- rank-0 block)
+    python_datasource,
+    # q_hll_union_rollup NEW (stored mergeable day sketches, two-level
+    # distinct rollup -- rank-0 block)
+    sketch_rollup,
     # 4-5: q_profile_columns_approx NEW (HLL no-Expand profile);
     # q_profile_columns (r6) rides
     profiling,

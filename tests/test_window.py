@@ -122,7 +122,8 @@ def test_r10_window_contents():
     for must in (
         # new + riding + changed heads
         "q_stream_restart", "q_compact_partitioned", "q_compact_files",
-        "q_merge_upsert",
+        "q_merge_upsert", "q_source_python_datasource",
+        "q_hll_union_rollup",
         "q_profile_columns_approx", "q_profile_columns",
         "q_distribution_drift", "q_setsim_prefix_join",
         # the pinned conversion trio
@@ -141,13 +142,16 @@ def test_r10_window_contents():
         "q_bm25_search", "q_source_orc_roundtrip",
         "q_reservoir_per_group",
         # oldest r7 + the cut query
-        "q10_returned_items", "q19_discounted_revenue",
+        "q10_returned_items", "q5_local_supplier_volume",
     ):
         assert must in win, must
-    assert win[-1] == "q19_discounted_revenue"  # cut one short of the
-    # tpch_extra/dedup boundary (q_merge_upsert took the slot)
+    assert win[-1] == "q5_local_supplier_volume"  # cut three short of
+    # the tpch_extra/dedup boundary: the three mid-round additions
+    # (merge, python_datasource, sketch_rollup) took the tail slots
     for out in (
-        # the cut query and the r7 dedup cohort -> r11 leaders
+        # the displaced tpch_extra tail and the r7 dedup cohort ->
+        # r11 leaders
+        "q6_forecast_revenue", "q19_discounted_revenue",
         "q21_suppliers_waiting",
         "q_dedup_exact",
         "q_dedup_minhash_lsh", "q_dedup_components", "q_pack_sequences",
