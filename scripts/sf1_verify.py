@@ -75,6 +75,14 @@ DEFAULT = [
     "q_compact_files",
     "q_compact_partitioned",
     "q_profile_columns_approx",
+    # r10 mid-round: the copy-on-write MERGE at the 10x partitioned
+    # orders (10x delta keys, same six affected months -- both the
+    # SQL-reconstructed hash and the file-inventory booleans must
+    # hold over ~10x files), and the sketch rollup at 10x user
+    # cardinalities (the union band tightens in relative terms as n
+    # grows; exact per-cell counts must stay lossless)
+    "q_merge_upsert",
+    "q_hll_union_rollup",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus
