@@ -83,6 +83,10 @@ DEFAULT = [
     # grows; exact per-cell counts must stay lossless)
     "q_merge_upsert",
     "q_hll_union_rollup",
+    # r10 mid-round: the expectations audit over the 10x fact (exact
+    # violation counts at 10x: ~10x cap-rule violations, still zero
+    # orphans/dupes by the shard construction)
+    "q_constraint_audit",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

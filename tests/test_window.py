@@ -123,7 +123,7 @@ def test_r10_window_contents():
         # new + riding + changed heads
         "q_stream_restart", "q_compact_partitioned", "q_compact_files",
         "q_merge_upsert", "q_source_python_datasource",
-        "q_hll_union_rollup",
+        "q_hll_union_rollup", "q_constraint_audit",
         "q_profile_columns_approx", "q_profile_columns",
         "q_distribution_drift", "q_setsim_prefix_join",
         # the pinned conversion trio
@@ -142,17 +142,18 @@ def test_r10_window_contents():
         "q_bm25_search", "q_source_orc_roundtrip",
         "q_reservoir_per_group",
         # oldest r7 + the cut query
-        "q10_returned_items", "q5_local_supplier_volume",
+        "q10_returned_items", "q18_large_volume",
     ):
         assert must in win, must
-    assert win[-1] == "q5_local_supplier_volume"  # cut three short of
-    # the tpch_extra/dedup boundary: the three mid-round additions
-    # (merge, python_datasource, sketch_rollup) took the tail slots
+    assert win[-1] == "q18_large_volume"  # cut four short of the
+    # tpch_extra/dedup boundary: the four mid-round additions (merge,
+    # python_datasource, sketch_rollup, constraints) took the tail
+    # slots
     for out in (
         # the displaced tpch_extra tail and the r7 dedup cohort ->
         # r11 leaders
-        "q6_forecast_revenue", "q19_discounted_revenue",
-        "q21_suppliers_waiting",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q19_discounted_revenue", "q21_suppliers_waiting",
         "q_dedup_exact",
         "q_dedup_minhash_lsh", "q_dedup_components", "q_pack_sequences",
         "q_quality_repetition", "q_curation_pipeline",
