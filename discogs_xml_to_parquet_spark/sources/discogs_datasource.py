@@ -28,6 +28,13 @@ package. Parity with the native lane is pinned by
 tests/test_datasource.py (row-identical output on the full fixture
 corpus) and by the q_source_python_datasource driver row
 (hash-matched against the generator-derived expected parquet).
+
+The SAME registration also serves `spark.readStream` (the
+`streamReader` below): an append-only drop directory ingested
+incrementally through a checkpoint, one microbatch partition per
+newly arrived dump file -- the continuous-ingest twin of the batch
+read, restart-exactness pinned in
+tests/test_datasource.py::test_datasource_streaming_incremental_ingest.
 """
 
 from __future__ import annotations
@@ -38,6 +45,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import StructType
@@ -81,8 +89,56 @@ class _ReleasesReader(DataSourceReader):
         yield from _parse_file_stream(partition.path)
 
 
+class _ReleasesStreamReader(DataSourceStreamReader):
+    """Incremental dump ingest: the offset is a position in the
+    SORTED file listing of an append-only drop directory -- exactly
+    how new Discogs dumps arrive (a new dated file lands; existing
+    files are never rewritten). Each microbatch plans one partition
+    per newly arrived file; the parse is the same executor-side
+    streaming parse as the batch lane.
+
+    Determinism contract (what makes restart/replay exact): the drop
+    dir is append-only and the listing is sorted, so a given
+    [start, end) offset range always names the same files --
+    `partitions(start, end)` is a pure function of the directory
+    state at/after `end` was minted, which Spark's commit log
+    guarantees exists. A retention-pruned directory would need
+    filename-set offsets instead; the listing is cheap driver-side
+    metadata either way."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "discogs_releases: a path is required -- "
+                ".load('/dir/of/dumps')")
+        self._path = path
+
+    def _listing(self) -> list[str]:
+        return _list_input_files(self._path)
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._listing())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._listing()[start["index"]:end["index"]]
+        return [_ReleaseFilePartition(p) for p in files]
+
+    def read(self, partition: _ReleaseFilePartition) -> Iterator[tuple]:
+        yield from _parse_file_stream(partition.path)
+
+    def commit(self, end: dict) -> None:
+        # Nothing to clean up: offsets are listing positions and the
+        # checkpoint's own offset log is the source of truth.
+        pass
+
+
 class DiscogsReleasesDataSource(DataSource):
-    """`USING discogs_releases` -- the strict conversion as a source."""
+    """`USING discogs_releases` -- the strict conversion as a source,
+    batch (`spark.read`) and streaming (`spark.readStream`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -93,6 +149,9 @@ class DiscogsReleasesDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _ReleasesReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _ReleasesStreamReader(self.options)
 
 
 def register_discogs_source(spark: SparkSession) -> None:

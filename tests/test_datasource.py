@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import gzip
 import tempfile
+from pathlib import Path
 
 import pytest
 
@@ -81,3 +82,52 @@ def test_datasource_empty_listing_raises(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(Exception, match="no input files"):
         spark.read.format("discogs_releases").load(str(empty)).collect()
+
+
+def test_datasource_streaming_incremental_ingest(spark, tmp_path):
+    """The connector's readStream lane: an append-only drop directory
+    ingested incrementally through a checkpoint. Run 1 (availableNow)
+    processes the two initial dump files into a parquet sink; a third
+    file lands; run 2 resumes from the checkpoint and processes ONLY
+    the new file -- no re-parse, no duplicate rows, offsets carried by
+    the checkpoint's own log."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register_discogs_source(spark)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    gen1 = write_synthetic_releases(
+        str(tmp_path / "gen1"), 40, n_files=2, start_id=5001)
+    for i, f in enumerate(sorted(Path(gen1).glob("*.xml.gz"))):
+        shutil.copy(f, drop / f"a{i}-releases.xml.gz")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("discogs_releases")
+            .load(str(drop))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+
+    run_once()
+    first = spark.read.parquet(sink)
+    assert first.count() == 40
+    assert first.select(F.min("id")).first()[0] == 5001
+
+    gen2 = write_synthetic_releases(
+        str(tmp_path / "gen2"), 10, n_files=1, start_id=9001)
+    shutil.copy(next(iter(Path(gen2).glob("*.xml.gz"))),
+                drop / "z-new-releases.xml.gz")
+    run_once()
+    final = spark.read.parquet(sink)
+    assert final.count() == 50  # 40 + 10, nothing reprocessed
+    assert final.filter(F.col("id") >= 9001).count() == 10
+    assert final.select("id").distinct().count() == 50
