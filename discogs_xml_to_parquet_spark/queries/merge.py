@@ -144,10 +144,22 @@ def merge_upsert(spark: SparkSession, scratch: str,
     """Execute the copy-on-write MERGE against the table at `scratch`
     in place: write merged affected partitions as new files under a
     temp version dir, then commit by swapping those partition dirs.
-    Returns the list of swapped partition dir names."""
-    survivors = affected_read(spark, scratch).join(
-        F.broadcast(delta.select("o_orderkey")),
-        on="o_orderkey", how="left_anti")
+    Returns the list of swapped partition dir names.
+
+    The rewrite set is DELTA-DRIVEN: the statically-pruned window
+    read is further restricted (broadcast semi join) to the months
+    the delta actually touches, so a window month with no delta rows
+    -- and in the limit an EMPTY delta -- is never rewritten
+    (pytest: test_merge_empty_delta_is_noop). This is the two-level
+    pruning a real MERGE runs: coarse static range from the job spec,
+    exact partition set from the delta's own stats."""
+    delta_months = delta.select("o_month").distinct()
+    survivors = (
+        affected_read(spark, scratch)
+        .join(F.broadcast(delta_months), on="o_month", how="left_semi")
+        .join(F.broadcast(delta.select("o_orderkey")),
+              on="o_orderkey", how="left_anti")
+    )
     merged = survivors.select(*_COLS).unionByName(delta.select(*_COLS))
     newver = tempfile.mkdtemp(prefix="spark_graft_merge_newver_")
     merged.write.mode("overwrite").partitionBy("o_month").parquet(newver)

@@ -106,3 +106,25 @@ def test_merge_counts(spark):
     assert merged.filter(F.col("o_orderstatus") == "I").count() == n_ins
     assert merged.filter(F.col("o_orderstatus") == "U").count() == n_upd
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_empty_delta_is_noop(spark):
+    """A delta with zero rows must leave the table byte-identical --
+    no partition rewritten, no file touched (the guard a scheduled
+    MERGE job relies on when a feed goes quiet)."""
+    from discogs_xml_to_parquet_spark.queries.merge import (
+        _COLS,
+        _inventory,
+    )
+
+    base = staged_partitioned_orders(spark, SF_SMOKE)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_merge_empty_")
+    shutil.rmtree(scratch)
+    shutil.copytree(base, scratch)
+    before = _inventory(scratch)
+    empty = delta_frame(spark, SF_SMOKE).filter(F.lit(False))
+    months = merge_upsert(spark, scratch, empty)
+    assert months == []
+    assert _inventory(scratch) == before
+    assert set(empty.columns) == set(_COLS)
+    shutil.rmtree(scratch, ignore_errors=True)
