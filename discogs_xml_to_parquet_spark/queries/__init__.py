@@ -20,35 +20,36 @@ Round-10 window (the first 50), derived by
 window(changed={q_distribution_drift, q_setsim_prefix_join},
 pin=("conversion",), max_round=9):
 
-- 1-7: the NEW rank-0 block (q_stream_restart, the checkpointed
+- 1-8: the NEW rank-0 block (q_stream_restart, the checkpointed
   kill/resume exactly-once lane -- VERDICT r9 item 2;
   q_compact_partitioned + q_compact_files, the partition-local and
-  global OPTIMIZE-style bin-packs -- item 5; then the four mid-round
-  additions: q_merge_upsert, the copy-on-write partition-pruned
-  MERGE; q_source_python_datasource, the Spark 4 Python DataSource
+  global OPTIMIZE-style bin-packs -- item 5; then the five mid-round
+  additions: q_merge_upsert + q_time_travel, the copy-on-write
+  partition-pruned MERGE and its versioned-manifest snapshot reads;
+  q_source_python_datasource, the Spark 4 Python DataSource
   conversion lane; q_hll_union_rollup, the stored mergeable-sketch
   distinct rollup; q_constraint_audit, the one-scan declarative
   expectations engine);
-- 8-9: profiling (q_profile_columns_approx NEW, the no-Expand HLL
+- 9-10: profiling (q_profile_columns_approx NEW, the no-Expand HLL
   profile -- item 7; q_profile_columns r6 rides);
 - 10: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
   the driver runs changed, so it re-enters);
 - 11: setsim CHANGED (r10 verification rewrite: length + positional
   PPJoin residual filters and broadcast set tables -- values
   identical, plan 5x faster at sf0.1);
-- 12-14: conversion PINNED (r7 evidence; the max-3-rounds-unverified
+- 13-15: conversion PINNED (r7 evidence; the max-3-rounds-unverified
   freshness pin from VERDICT r5 expires THIS round -- the one
   scheduling constraint the artifact ranking cannot express);
-- 15-20: the six r5-evidence queries, exactly the set VERDICT r9
+- 16-21: the six r5-evidence queries, exactly the set VERDICT r9
   item 1 named -- timeseries + text_extra;
-- 21-47: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
+- 22-48: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
   quality_model, vocab, multimodal_audio, decontam, scoring,
   formats_extra, sampling);
-- 48-50: the oldest r7 evidence -- tpch_extra; the cut lands four
+- 49-50: the oldest r7 evidence -- tpch_extra; the cut lands five
   short of the tpch_extra/dedup module boundary (after
-  q18_large_volume -- the mid-round additions took those slots), so
-  q5/q6/q19/q21 lead the r11 window with the dedup module and the
-  r7 cohort.
+  q14_promo_revenue -- the mid-round additions took those slots), so
+  q18/q5/q6/q19/q21 lead the r11 window with the dedup module and
+  the r7 cohort.
 
 After this window nothing in the registry has evidence older than r6,
 and the oldest unchecked evidence anywhere is r7.
@@ -65,31 +66,32 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # 2-3: q_compact_partitioned + q_compact_files NEW (partition-local
     # and global small-file bin-pack rewrites)
     compaction,
-    # 4: q_merge_upsert NEW (copy-on-write partition-pruned MERGE)
+    # 4-5: q_merge_upsert + q_time_travel NEW (copy-on-write
+    # partition-pruned MERGE; versioned-manifest snapshot reads)
     merge,
-    # 5: q_source_python_datasource NEW (the Spark 4 Python DataSource
+    # 6: q_source_python_datasource NEW (the Spark 4 Python DataSource
     # conversion lane)
     python_datasource,
-    # 6: q_hll_union_rollup NEW (stored mergeable day sketches,
+    # 7: q_hll_union_rollup NEW (stored mergeable day sketches,
     # two-level distinct rollup)
     sketch_rollup,
-    # 7: q_constraint_audit NEW (declarative expectations: six rules,
+    # 8: q_constraint_audit NEW (declarative expectations: six rules,
     # one scan)
     constraints,
-    # 8-9: q_profile_columns_approx NEW (HLL no-Expand profile);
+    # 9-10: q_profile_columns_approx NEW (HLL no-Expand profile);
     # q_profile_columns (r6) rides
     profiling,
-    # 10: q_distribution_drift CHANGED (NULLIF divisor guard)
+    # 11: q_distribution_drift CHANGED (NULLIF divisor guard)
     drift,
-    # 11: q_setsim_prefix_join CHANGED (residual filters + broadcast
+    # 12: q_setsim_prefix_join CHANGED (residual filters + broadcast
     # verification)
     setsim,
-    # 12-14: conversion trio PINNED (freshness pin expires at r10)
+    # 13-15: conversion trio PINNED (freshness pin expires at r10)
     conversion,
-    # 15-20: the six r5-evidence queries (VERDICT r9 item 1)
+    # 16-21: the six r5-evidence queries (VERDICT r9 item 1)
     timeseries,
     text_extra,
-    # 21-47: the entire r6 cohort
+    # 22-48: the entire r6 cohort
     stats_extra,
     windows_extra,
     scd,
@@ -101,8 +103,8 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     scoring,
     formats_extra,
     sampling,
-    # 48-50: oldest r7 evidence; the cut lands four short of the
-    # module boundary (after q18_large_volume)
+    # 49-50: oldest r7 evidence; the cut lands five short of the
+    # module boundary (after q14_promo_revenue)
     tpch_extra,
     # --- 50-query window cut ---
     # r7-green remainder: first in line for round 11

@@ -280,3 +280,149 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(bool(facts["affected_rewritten"])))
         .orderBy("o_month")
     )
+
+
+# --- time travel: versioned manifests over the same COW merge --------
+
+def versioned_merge(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """The MERGE as a real table format runs it: version v0 is a
+    MANIFEST (a directory of per-partition pointers -- symlinks here,
+    manifest entries in Delta/Iceberg) over the staged base's files;
+    the merge writes its affected partitions as NEW directories and
+    publishes version v1 as a second manifest that points at the new
+    dirs for affected months and at THE SAME underlying dirs as v0
+    for everything else. Readers resolve the `_current` pointer file
+    (flipped atomically: write-temp + rename); old readers keep v0.
+
+    What this buys at 100 TB: storage for a new version is O(affected
+    bytes) (`n_shared` months cost nothing -- pinned by symlink
+    identity), publish is one metadata rename, and time travel /
+    snapshot isolation fall out: v0 remains a complete, immutable,
+    readable table. Returns (table root, facts)."""
+    base = staged_partitioned_orders(spark, sf_dir)
+    table = Path(tempfile.mkdtemp(prefix="spark_graft_ttable_"))
+    months = sorted(p.name for p in Path(base).glob("o_month=*")
+                    if p.is_dir())
+    v0 = table / "v0"
+    v0.mkdir()
+    for m in months:
+        (v0 / m).symlink_to(Path(base) / m)
+
+    delta = delta_frame(spark, sf_dir)
+    delta_months = delta.select("o_month").distinct()
+    survivors = (
+        spark.read.parquet(str(v0))
+        .filter((F.col("o_month") >= _MONTH_LO)
+                & (F.col("o_month") <= _MONTH_HI))
+        .join(F.broadcast(delta_months), on="o_month", how="left_semi")
+        .join(F.broadcast(delta.select("o_orderkey")),
+              on="o_orderkey", how="left_anti")
+    )
+    merged = survivors.select(*_COLS).unionByName(delta.select(*_COLS))
+    newver = tempfile.mkdtemp(prefix="spark_graft_ttable_new_")
+    merged.write.mode("overwrite").partitionBy("o_month").parquet(newver)
+    rewritten = sorted(
+        d.name for d in Path(newver).glob("o_month=*") if d.is_dir())
+
+    v1 = table / "v1"
+    v1.mkdir()
+    for m in rewritten:
+        shutil.move(str(Path(newver) / m), str(v1 / m))
+    for m in months:
+        if m not in rewritten:
+            (v1 / m).symlink_to((v0 / m).resolve())
+    shutil.rmtree(newver, ignore_errors=True)
+    # atomic publish: readers see either the old or the new pointer
+    ptr_tmp = table / "_current.tmp"
+    ptr_tmp.write_text("v1")
+    ptr_tmp.rename(table / "_current")
+
+    shared = [m for m in months if m not in rewritten]
+    facts = {
+        "rewritten": rewritten,
+        "n_shared": len(shared),
+        # storage sharing: every untouched month in v1 resolves to the
+        # exact directory v0 reads -- zero new bytes for those months
+        "storage_shared": all(
+            (v1 / m).resolve() == (v0 / m).resolve() for m in shared),
+        # snapshot isolation: v0 still lists every month as before
+        "v0_intact": sorted(
+            p.name for p in v0.glob("o_month=*")) == months,
+        "current": (table / "_current").read_text(),
+    }
+    return str(table), facts
+
+
+@query(
+    "q_time_travel",
+    oracle=f"""
+WITH delta AS (
+  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM orders
+  WHERE o_orderkey % {_UPD_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+  UNION ALL
+  SELECT o_orderkey + {_INS_OFFSET}, o_totalprice, 'I'
+  FROM orders
+  WHERE o_orderkey % {_INS_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+),
+merged AS (
+  SELECT o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+  UNION ALL
+  SELECT o_totalprice, o_orderstatus FROM delta
+)
+SELECT 'v0' AS version, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000 AS revenue,
+       0 AS n_changed, TRUE AS storage_shared, TRUE AS v0_intact
+FROM orders
+UNION ALL
+SELECT 'v1', COUNT(*),
+       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000,
+       COUNT(*) FILTER (WHERE o_orderstatus IN ('U', 'I')),
+       TRUE, TRUE
+FROM merged
+ORDER BY version
+""",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation over the COW merge: version v0 (the
+    pre-merge table) and version v1 (post-merge, resolved through the
+    `_current` pointer) are BOTH read back and checksummed -- v0
+    against the raw orders table (time travel must see the world
+    before the merge), v1 against the SQL-reconstructed merged table.
+    The booleans pin the format properties: `storage_shared` = every
+    untouched month in v1 resolves to v0's exact directory (new
+    version costs O(affected) bytes), `v0_intact` = the old manifest
+    still lists every partition."""
+    table, facts = versioned_merge(spark, sf_dir)
+    cur = facts["current"]
+
+    def snap(version: str, tag: str) -> DataFrame:
+        return (
+            spark.read.parquet(str(Path(table) / version))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(F.col("o_totalprice")).alias("revenue"),
+                F.count(F.when(
+                    F.col("o_orderstatus").isin("U", "I"), 1)).alias(
+                        "n_changed"),
+            )
+            .withColumn("version", F.lit(tag))
+        )
+
+    return (
+        snap("v0", "v0").unionByName(snap(cur, "v1"))
+        .withColumn("storage_shared",
+                    F.lit(bool(facts["storage_shared"])))
+        .withColumn("v0_intact", F.lit(bool(facts["v0_intact"])))
+        .select("version", "n_rows", "revenue", "n_changed",
+                "storage_shared", "v0_intact")
+        .orderBy("version")
+    )

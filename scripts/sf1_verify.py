@@ -82,6 +82,9 @@ DEFAULT = [
     # cardinalities (the union band tightens in relative terms as n
     # grows; exact per-cell counts must stay lossless)
     "q_merge_upsert",
+    # ... and its versioned-manifest twin: v0 must still equal the
+    # raw 10x orders AFTER v1 publishes, v1 the merged reconstruction
+    "q_time_travel",
     "q_hll_union_rollup",
     # r10 mid-round: the expectations audit over the 10x fact (exact
     # violation counts at 10x: ~10x cap-rule violations, still zero

@@ -128,3 +128,35 @@ def test_merge_empty_delta_is_noop(spark):
     assert _inventory(scratch) == before
     assert set(empty.columns) == set(_COLS)
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_time_travel_versions(spark):
+    """Versioned-manifest properties: v0 readable and equal to the
+    base AFTER v1 publishes (snapshot isolation), untouched months
+    resolve to the same directories in both versions (O(affected)
+    storage), the pointer names v1, and the two snapshots differ by
+    exactly the insert count."""
+    from pathlib import Path
+
+    from discogs_xml_to_parquet_spark.queries.merge import (
+        versioned_merge,
+    )
+    from discogs_xml_to_parquet_spark.tables import load
+
+    table, facts = versioned_merge(spark, SF_SMOKE)
+    assert facts["current"] == "v1"
+    assert facts["v0_intact"]
+    assert facts["storage_shared"]
+    assert facts["n_shared"] > len(facts["rewritten"])  # most months shared
+
+    v0 = spark.read.parquet(str(Path(table) / "v0"))
+    v1 = spark.read.parquet(str(Path(table) / "v1"))
+    o = load(spark, SF_SMOKE, "orders")
+    n_base = o.count()
+    assert v0.count() == n_base  # time travel sees the pre-merge world
+    n_ins = v1.filter(F.col("o_orderstatus") == "I").count()
+    assert v1.count() == n_base + n_ins
+    # v0 content equals base orders exactly (checksum columns)
+    assert v0.filter(
+        F.col("o_orderstatus").isin("U", "I")).count() == 0
+    shutil.rmtree(table, ignore_errors=True)
