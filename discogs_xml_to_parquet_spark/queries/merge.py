@@ -139,6 +139,23 @@ def affected_read(spark: SparkSession, scratch: str) -> DataFrame:
         (F.col("o_month") >= _MONTH_LO) & (F.col("o_month") <= _MONTH_HI))
 
 
+def merged_affected(window_read: DataFrame,
+                    delta: DataFrame) -> DataFrame:
+    """The MERGE dataflow shared by the in-place swap and the
+    versioned publish: restrict the statically-pruned window read to
+    the delta's months (broadcast semi join -- the delta-stats
+    pruning level), drop rows the delta replaces (broadcast
+    LeftAnti), union the delta in."""
+    delta_months = delta.select("o_month").distinct()
+    survivors = (
+        window_read
+        .join(F.broadcast(delta_months), on="o_month", how="left_semi")
+        .join(F.broadcast(delta.select("o_orderkey")),
+              on="o_orderkey", how="left_anti")
+    )
+    return survivors.select(*_COLS).unionByName(delta.select(*_COLS))
+
+
 def merge_upsert(spark: SparkSession, scratch: str,
                  delta: DataFrame) -> list[str]:
     """Execute the copy-on-write MERGE against the table at `scratch`
@@ -153,14 +170,7 @@ def merge_upsert(spark: SparkSession, scratch: str,
     (pytest: test_merge_empty_delta_is_noop). This is the two-level
     pruning a real MERGE runs: coarse static range from the job spec,
     exact partition set from the delta's own stats."""
-    delta_months = delta.select("o_month").distinct()
-    survivors = (
-        affected_read(spark, scratch)
-        .join(F.broadcast(delta_months), on="o_month", how="left_semi")
-        .join(F.broadcast(delta.select("o_orderkey")),
-              on="o_orderkey", how="left_anti")
-    )
-    merged = survivors.select(*_COLS).unionByName(delta.select(*_COLS))
+    merged = merged_affected(affected_read(spark, scratch), delta)
     newver = tempfile.mkdtemp(prefix="spark_graft_merge_newver_")
     merged.write.mode("overwrite").partitionBy("o_month").parquet(newver)
     months = sorted(
@@ -309,16 +319,7 @@ def versioned_merge(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
         (v0 / m).symlink_to(Path(base) / m)
 
     delta = delta_frame(spark, sf_dir)
-    delta_months = delta.select("o_month").distinct()
-    survivors = (
-        spark.read.parquet(str(v0))
-        .filter((F.col("o_month") >= _MONTH_LO)
-                & (F.col("o_month") <= _MONTH_HI))
-        .join(F.broadcast(delta_months), on="o_month", how="left_semi")
-        .join(F.broadcast(delta.select("o_orderkey")),
-              on="o_orderkey", how="left_anti")
-    )
-    merged = survivors.select(*_COLS).unionByName(delta.select(*_COLS))
+    merged = merged_affected(affected_read(spark, str(v0)), delta)
     newver = tempfile.mkdtemp(prefix="spark_graft_ttable_new_")
     merged.write.mode("overwrite").partitionBy("o_month").parquet(newver)
     rewritten = sorted(
