@@ -20,36 +20,37 @@ Round-10 window (the first 50), derived by
 window(changed={q_distribution_drift, q_setsim_prefix_join},
 pin=("conversion",), max_round=9):
 
-- 1-8: the NEW rank-0 block (q_stream_restart, the checkpointed
+- 1-9: the NEW rank-0 block (q_stream_restart, the checkpointed
   kill/resume exactly-once lane -- VERDICT r9 item 2;
   q_compact_partitioned + q_compact_files, the partition-local and
   global OPTIMIZE-style bin-packs -- item 5; then the five mid-round
-  additions: q_merge_upsert + q_time_travel, the copy-on-write
-  partition-pruned MERGE and its versioned-manifest snapshot reads;
+  additions: q_merge_upsert + q_time_travel + q_table_diff, the
+  copy-on-write partition-pruned MERGE, its versioned-manifest
+  snapshot reads, and the manifest-driven change data feed;
   q_source_python_datasource, the Spark 4 Python DataSource
   conversion lane; q_hll_union_rollup, the stored mergeable-sketch
   distinct rollup; q_constraint_audit, the one-scan declarative
   expectations engine);
-- 9-10: profiling (q_profile_columns_approx NEW, the no-Expand HLL
+- 10-11: profiling (q_profile_columns_approx NEW, the no-Expand HLL
   profile -- item 7; q_profile_columns r6 rides);
 - 10: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
   the driver runs changed, so it re-enters);
 - 11: setsim CHANGED (r10 verification rewrite: length + positional
   PPJoin residual filters and broadcast set tables -- values
   identical, plan 5x faster at sf0.1);
-- 13-15: conversion PINNED (r7 evidence; the max-3-rounds-unverified
+- 14-16: conversion PINNED (r7 evidence; the max-3-rounds-unverified
   freshness pin from VERDICT r5 expires THIS round -- the one
   scheduling constraint the artifact ranking cannot express);
-- 16-21: the six r5-evidence queries, exactly the set VERDICT r9
+- 17-22: the six r5-evidence queries, exactly the set VERDICT r9
   item 1 named -- timeseries + text_extra;
-- 22-48: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
+- 23-49: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
   quality_model, vocab, multimodal_audio, decontam, scoring,
   formats_extra, sampling);
-- 49-50: the oldest r7 evidence -- tpch_extra; the cut lands five
-  short of the tpch_extra/dedup module boundary (after
-  q14_promo_revenue -- the mid-round additions took those slots), so
-  q18/q5/q6/q19/q21 lead the r11 window with the dedup module and
-  the r7 cohort.
+- 50: the oldest r7 evidence -- tpch_extra; the cut lands six short
+  of the tpch_extra/dedup module boundary (after q10_returned_items
+  -- the mid-round additions took those slots), so q14/q18/q5/q6/
+  q19/q21 lead the r11 window with the dedup module and the r7
+  cohort.
 
 After this window nothing in the registry has evidence older than r6,
 and the oldest unchecked evidence anywhere is r7.
@@ -66,32 +67,33 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # 2-3: q_compact_partitioned + q_compact_files NEW (partition-local
     # and global small-file bin-pack rewrites)
     compaction,
-    # 4-5: q_merge_upsert + q_time_travel NEW (copy-on-write
-    # partition-pruned MERGE; versioned-manifest snapshot reads)
+    # 4-6: q_merge_upsert + q_time_travel + q_table_diff NEW
+    # (copy-on-write partition-pruned MERGE; versioned-manifest
+    # snapshot reads; manifest-driven change data feed)
     merge,
-    # 6: q_source_python_datasource NEW (the Spark 4 Python DataSource
+    # 7: q_source_python_datasource NEW (the Spark 4 Python DataSource
     # conversion lane)
     python_datasource,
-    # 7: q_hll_union_rollup NEW (stored mergeable day sketches,
+    # 8: q_hll_union_rollup NEW (stored mergeable day sketches,
     # two-level distinct rollup)
     sketch_rollup,
-    # 8: q_constraint_audit NEW (declarative expectations: six rules,
+    # 9: q_constraint_audit NEW (declarative expectations: six rules,
     # one scan)
     constraints,
-    # 9-10: q_profile_columns_approx NEW (HLL no-Expand profile);
+    # 10-11: q_profile_columns_approx NEW (HLL no-Expand profile);
     # q_profile_columns (r6) rides
     profiling,
-    # 11: q_distribution_drift CHANGED (NULLIF divisor guard)
+    # 12: q_distribution_drift CHANGED (NULLIF divisor guard)
     drift,
-    # 12: q_setsim_prefix_join CHANGED (residual filters + broadcast
+    # 13: q_setsim_prefix_join CHANGED (residual filters + broadcast
     # verification)
     setsim,
-    # 13-15: conversion trio PINNED (freshness pin expires at r10)
+    # 14-16: conversion trio PINNED (freshness pin expires at r10)
     conversion,
-    # 16-21: the six r5-evidence queries (VERDICT r9 item 1)
+    # 17-22: the six r5-evidence queries (VERDICT r9 item 1)
     timeseries,
     text_extra,
-    # 22-48: the entire r6 cohort
+    # 23-49: the entire r6 cohort
     stats_extra,
     windows_extra,
     scd,
@@ -103,8 +105,8 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     scoring,
     formats_extra,
     sampling,
-    # 49-50: oldest r7 evidence; the cut lands five short of the
-    # module boundary (after q14_promo_revenue)
+    # 50: oldest r7 evidence; the cut lands six short of the module
+    # boundary (after q10_returned_items)
     tpch_extra,
     # --- 50-query window cut ---
     # r7-green remainder: first in line for round 11

@@ -60,7 +60,12 @@ from discogs_xml_to_parquet_spark.tables import load
 
 _UPD_MOD = 7             # update keys: o_orderkey % 7 == 0 in-window
 _INS_MOD = 13            # insert seeds: o_orderkey % 13 == 0 in-window
-_INS_OFFSET = 100_000_000  # insert key offset, far above any base key
+# Insert keys are seed keys offset by 1 + MAX(o_orderkey), derived
+# from the DATA (broadcast 1-row scalar, same subquery in the oracle):
+# a fixed literal offset collided with the 10x corpus's 1e8-spaced
+# shard keys, silently turning inserts into updates -- caught by
+# q_table_diff's 10x lane, where the "inserts" classified as changed.
+_INS_OFFSET_SQL = "1 + (SELECT MAX(o_orderkey) FROM orders)"
 _WIN_LO, _WIN_HI = "1995-01-01", "1995-07-01"   # delta backfill window
 _MONTH_LO, _MONTH_HI = "1995-01", "1995-06"     # its partition range
 _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -97,6 +102,7 @@ def delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit(_WIN_LO).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(_WIN_HI).cast("timestamp"))
     )
+    ins_base = o.agg((F.max("o_orderkey") + 1).alias("_ins_base"))
     upd = o.filter(win & (F.col("o_orderkey") % _UPD_MOD == 0)).select(
         "o_orderkey",
         "o_custkey",
@@ -105,13 +111,17 @@ def delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
-    ins = o.filter(win & (F.col("o_orderkey") % _INS_MOD == 0)).select(
-        (F.col("o_orderkey") + F.lit(_INS_OFFSET)).alias("o_orderkey"),
-        "o_custkey",
-        F.lit("I").alias("o_orderstatus"),
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
+    ins = (
+        o.filter(win & (F.col("o_orderkey") % _INS_MOD == 0))
+        .crossJoin(F.broadcast(ins_base))
+        .select(
+            (F.col("o_orderkey") + F.col("_ins_base")).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("I").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
     return upd.unionByName(ins).withColumn(
         "o_month", F.date_format("o_orderdate", "yyyy-MM"))
@@ -232,7 +242,7 @@ WITH delta AS (
     AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
     AND o_orderdate < TIMESTAMP '{_WIN_HI}'
   UNION ALL
-  SELECT o_orderkey + {_INS_OFFSET}, o_totalprice, 'I',
+  SELECT o_orderkey + {_INS_OFFSET_SQL}, o_totalprice, 'I',
          strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
   FROM orders
   WHERE o_orderkey % {_INS_MOD} = 0
@@ -365,7 +375,7 @@ WITH delta AS (
     AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
     AND o_orderdate < TIMESTAMP '{_WIN_HI}'
   UNION ALL
-  SELECT o_orderkey + {_INS_OFFSET}, o_totalprice, 'I'
+  SELECT o_orderkey + {_INS_OFFSET_SQL}, o_totalprice, 'I'
   FROM orders
   WHERE o_orderkey % {_INS_MOD} = 0
     AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
@@ -426,4 +436,117 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "n_rows", "revenue", "n_changed",
                 "storage_shared", "v0_intact")
         .orderBy("version")
+    )
+
+
+# --- table diff: change data feed from the manifest diff -------------
+
+def manifest_diff(table: str) -> tuple[list[str], list[str]]:
+    """Driver-side metadata pass: which partitions CAN differ between
+    v0 and v1? Exactly those whose manifest entries resolve to
+    different directories -- under copy-on-write, a shared pointer is
+    a proof of byte-equality, so the diff never has to read those
+    partitions at all. Returns (differing months, shared months)."""
+    t = Path(table)
+    months = sorted(p.name for p in (t / "v0").glob("o_month=*"))
+    diff, same = [], []
+    for m in months:
+        a, b = (t / "v0" / m).resolve(), (t / "v1" / m).resolve()
+        (diff if a != b else same).append(m)
+    return diff, same
+
+
+def snapshot_diff(spark: SparkSession, table: str,
+                  months: list[str]) -> DataFrame:
+    """The data pass of the diff, restricted to the months the
+    manifest diff named: full-outer join v0 x v1 on the key within
+    those partitions only, classifying each key as added / removed /
+    changed (any non-key column differs) / unchanged. At 100 TB this
+    is the whole trick: the join is over O(affected) bytes, and the
+    change classification is a row-local struct compare."""
+    keys = [m.split("=", 1)[1] for m in months]
+    lo, hi = min(keys), max(keys)
+
+    def side(version: str, tag: str) -> DataFrame:
+        df = spark.read.parquet(str(Path(table) / version)).filter(
+            (F.col("o_month") >= lo) & (F.col("o_month") <= hi)
+        ).filter(F.col("o_month").isin(keys))
+        return df.select(
+            "o_orderkey", "o_month",
+            F.struct(*(c for c in _COLS
+                       if c not in ("o_orderkey", "o_month"))).alias(tag),
+        )
+    old = side("v0", "old")
+    new = side("v1", "new")
+    return (
+        old.join(new, on=["o_orderkey", "o_month"], how="full_outer")
+        .select(
+            "o_month",
+            F.when(F.col("old").isNull(), F.lit("added"))
+            .when(F.col("new").isNull(), F.lit("removed"))
+            .when(F.col("old") != F.col("new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")).alias("change"),
+        )
+    )
+
+
+@query(
+    "q_table_diff",
+    oracle=f"""
+WITH months AS (
+  SELECT DISTINCT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+           AS o_month
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+    AND (o_orderkey % {_UPD_MOD} = 0 OR o_orderkey % {_INS_MOD} = 0)
+),
+classified AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS o_month,
+         CASE WHEN o_orderkey % {_UPD_MOD} = 0 THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM orders
+  WHERE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+          IN (SELECT o_month FROM months)
+  UNION ALL
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m'), 'added'
+  FROM orders
+  WHERE o_orderkey % {_INS_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+)
+SELECT o_month, change, COUNT(*) AS n_keys, TRUE AS metadata_pruned
+FROM classified
+GROUP BY o_month, change
+ORDER BY o_month, change
+""",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two published snapshots, driven by
+    the MANIFEST diff: partitions whose v0/v1 pointers resolve to the
+    same directory are byte-equal by construction and never read;
+    only the differing months pay a full-outer key join, whose rows
+    are classified added / removed / changed / unchanged and counted
+    per month. The oracle reconstructs the expected feed from the
+    delta definition (updates -> changed, inserts -> added, window
+    survivors -> unchanged, nothing removed), so a key mis-classified,
+    lost, or duplicated by the diff breaks the hash;
+    `metadata_pruned` pins that the manifest diff named ONLY months
+    inside the delta's range (every shared month skipped)."""
+    table, _ = versioned_merge(spark, sf_dir)
+    diff_months, shared = manifest_diff(table)
+    # every differing month inside the delta's range, and most of the
+    # table proven byte-equal without reading it
+    pruned = (
+        bool(diff_months)
+        and all(_MONTH_LO <= m.split("=", 1)[1] <= _MONTH_HI
+                for m in diff_months)
+        and len(shared) > len(diff_months)
+    )
+    return (
+        snapshot_diff(spark, table, diff_months)
+        .groupBy("o_month", "change")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .withColumn("metadata_pruned", F.lit(bool(pruned)))
+        .orderBy("o_month", "change")
     )

@@ -85,6 +85,10 @@ DEFAULT = [
     # ... and its versioned-manifest twin: v0 must still equal the
     # raw 10x orders AFTER v1 publishes, v1 the merged reconstruction
     "q_time_travel",
+    # ... and the manifest-driven change feed: at 10x the shared
+    # months are still proven byte-equal without a read, and every
+    # per-month added/changed/unchanged count must stay exact
+    "q_table_diff",
     "q_hll_union_rollup",
     # r10 mid-round: the expectations audit over the 10x fact (exact
     # violation counts at 10x: ~10x cap-rule violations, still zero

@@ -160,3 +160,35 @@ def test_time_travel_versions(spark):
     assert v0.filter(
         F.col("o_orderstatus").isin("U", "I")).count() == 0
     shutil.rmtree(table, ignore_errors=True)
+
+
+def test_table_diff_manifest_pruning(spark):
+    """The diff's scan set comes from METADATA: every month whose
+    v0/v1 manifest pointers coincide is skipped (byte-equal by
+    copy-on-write construction), every differing month lies in the
+    delta's range, and a self-diff (v0 vs v0 semantics: no differing
+    months) reads nothing."""
+    from discogs_xml_to_parquet_spark.queries.merge import (
+        manifest_diff,
+        snapshot_diff,
+        versioned_merge,
+    )
+
+    table, _ = versioned_merge(spark, SF_SMOKE)
+    diff_months, shared = manifest_diff(table)
+    assert diff_months and shared
+    assert len(shared) > len(diff_months)
+    months = [m.split("=", 1)[1] for m in diff_months]
+    assert all(_MONTH_LO <= m <= _MONTH_HI for m in months)
+
+    # no false diffs: within the differing months, every key the
+    # delta did NOT touch classifies as unchanged
+    rows = (
+        snapshot_diff(spark, table, diff_months)
+        .groupBy("change").count().collect()
+    )
+    by = {r["change"]: r["count"] for r in rows}
+    assert "removed" not in by  # the merge never deletes
+    assert by.get("added", 0) > 0 and by.get("changed", 0) > 0
+    assert by.get("unchanged", 0) > by.get("changed", 0)
+    shutil.rmtree(table, ignore_errors=True)

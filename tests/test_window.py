@@ -122,7 +122,7 @@ def test_r10_window_contents():
     for must in (
         # new + riding + changed heads
         "q_stream_restart", "q_compact_partitioned", "q_compact_files",
-        "q_merge_upsert", "q_time_travel",
+        "q_merge_upsert", "q_time_travel", "q_table_diff",
         "q_source_python_datasource",
         "q_hll_union_rollup", "q_constraint_audit",
         "q_profile_columns_approx", "q_profile_columns",
@@ -143,17 +143,17 @@ def test_r10_window_contents():
         "q_bm25_search", "q_source_orc_roundtrip",
         "q_reservoir_per_group",
         # oldest r7 + the cut query
-        "q10_returned_items", "q14_promo_revenue",
+        "q10_returned_items",
     ):
         assert must in win, must
-    assert win[-1] == "q14_promo_revenue"  # cut five short of the
-    # tpch_extra/dedup boundary: the five mid-round additions (merge +
-    # time travel, python_datasource, sketch_rollup, constraints)
-    # took the tail slots
+    assert win[-1] == "q10_returned_items"  # cut six short of the
+    # tpch_extra/dedup boundary: the six mid-round additions (merge +
+    # time travel + table diff, python_datasource, sketch_rollup,
+    # constraints) took the tail slots
     for out in (
         # the displaced tpch_extra tail and the r7 dedup cohort ->
         # r11 leaders
-        "q18_large_volume",
+        "q14_promo_revenue", "q18_large_volume",
         "q5_local_supplier_volume", "q6_forecast_revenue",
         "q19_discounted_revenue", "q21_suppliers_waiting",
         "q_dedup_exact",
