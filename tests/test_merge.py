@@ -192,3 +192,23 @@ def test_table_diff_manifest_pruning(spark):
     assert by.get("added", 0) > 0 and by.get("changed", 0) > 0
     assert by.get("unchanged", 0) > by.get("changed", 0)
     shutil.rmtree(table, ignore_errors=True)
+
+
+def test_table_diff_reads_are_partition_pruned(spark):
+    """The diff's two snapshot reads carry the differing months as
+    PartitionFilters -- the shared ~74 month dirs are pruned at
+    listing time on BOTH sides of the full-outer join."""
+    from discogs_xml_to_parquet_spark.queries.merge import (
+        manifest_diff,
+        snapshot_diff,
+        versioned_merge,
+    )
+    from tests.test_plans import plan_of
+
+    table, _ = versioned_merge(spark, SF_SMOKE)
+    diff_months, _shared = manifest_diff(table)
+    plan = plan_of(snapshot_diff(spark, table, diff_months))
+    assert plan.count("PartitionFilters") >= 2, plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "1995-0" in pf, pf
+    shutil.rmtree(table, ignore_errors=True)
