@@ -4,10 +4,14 @@ registerable `format("discogs_releases")` connector.
 The repo's other three conversion lanes are FUNCTIONS a caller must
 import (`read_releases`, `read_releases_permissive`,
 `read_releases_strict`); this one is a CONNECTOR: after
-`register_discogs_source(spark)`, any consumer -- including plain SQL
-via `CREATE TABLE ... USING discogs_releases` -- reads the dump with
+`register_discogs_source(spark)`, any consumer reads the dump with
 
     spark.read.format("discogs_releases").load("/path/to/dumps")
+
+(SQL consumers go through a view over that reader -- Spark 4.1's
+`CREATE TABLE ... USING <python-datasource>` does not forward OPTIONS
+to the Python reader, verified empirically, so the path-bearing load
+must happen DataFrame-side; tests pin the view route.)
 
 and gets OUTPUT_SCHEMA rows with the reference's strict rejection
 semantics (main.rs:32-55 error model), because the executor-side

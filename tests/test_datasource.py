@@ -131,3 +131,21 @@ def test_datasource_streaming_incremental_ingest(spark, tmp_path):
     assert final.count() == 50  # 40 + 10, nothing reprocessed
     assert final.filter(F.col("id") >= 9001).count() == 10
     assert final.select("id").distinct().count() == 50
+
+
+def test_datasource_sql_consumption_via_view(spark):
+    """SQL consumers: the connector read registered as a view is
+    fully queryable from spark.sql. (CREATE TABLE ... USING a Python
+    DataSource does NOT forward OPTIONS to the reader in Spark 4.1 --
+    the docstring documents the view route instead of claiming DDL.)"""
+    register_discogs_source(spark)
+    _, big = _corpus_paths()
+    spark.read.format("discogs_releases").load(big).createOrReplaceTempView(
+        "releases_v")
+    row = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(id) AS hi, "
+        "SUM(size(artists)) AS a FROM releases_v").first()
+    assert (row["n"], row["lo"], row["hi"]) == (150, 1001, 1150)
+    assert row["a"] > 0
+    assert spark.sql(
+        "SELECT COUNT(DISTINCT status) FROM releases_v").first()[0] >= 2
