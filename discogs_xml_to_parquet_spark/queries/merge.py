@@ -38,6 +38,17 @@ build-once-shared), not part of the operator's cost model.
 SCD2 (queries/scd.py) and CDC compaction (queries/cdc.py) cover the
 *semantic* merge variants; this lane is the *physical* one -- which
 files a MERGE may touch.
+
+Measured at sf0.1 (150k orders, 80 month partitions, local[16]):
+the COW merge writes 0.2 MB across 6 partitions vs 2.5 MB for a
+naive full-table rewrite of the same upsert -- 12.5x less I/O, the
+ratio that scales (affected/total partitions); wall clock at this
+toy scale is scheduling-bound and the full rewrite's single job even
+wins it (1.9 s vs 2.8 s), exactly the fixed-cost regime README's
+scaling section documents for sub-second queries. The manifest-
+pruned diff routes 12k rows through its full-outer join vs 148k for
+a diff of all 80 months (1.3 s vs 1.7 s) -- at 100 TB those row and
+byte ratios are the whole cost model.
 """
 
 from __future__ import annotations
