@@ -14,6 +14,14 @@ sketch table (staged parquet, the binary column round-trips), then
 rolls it up through TWO union levels (day -> type-month -> ALL) to
 pin that re-merging merged sketches stays sound.
 
+Measured: at the 10x corpus (1M events) the MV rollup answers in
+0.39 s vs 0.94 s for the same rollup over the fact -- and the MV
+side's input is ~1.5k kilobyte-rows regardless of how many events
+the days hold, so the gap is the fact's size: at 100 TB the fact
+rollup is a full scan, the MV rollup is unchanged. (At sf0.1 both
+sides are scheduling-bound sub-second walls, per README's fixed-cost
+note.)
+
 The exact-distinct pass over the fact exists for the harness only
 (it gives the driver real values and the error band its reference),
 exactly like q_agg_approx_distinct; the sketch union alone is the
