@@ -561,3 +561,76 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("metadata_pruned", F.lit(bool(pruned)))
         .orderBy("o_month", "change")
     )
+
+
+# --- retention: multi-generation publish + reference-counted VACUUM --
+
+def publish_next_version(spark: SparkSession, table: str,
+                         delta: DataFrame) -> str:
+    """Apply `delta` on top of the CURRENT version and publish the
+    result as the next manifest: new directories for the months the
+    delta touches, pointers to the previous version's targets for
+    everything else, `_current` flipped atomically. Generalizes the
+    v0->v1 step of versioned_merge to any chain length -- each
+    generation costs O(its affected months), and every historical
+    version stays a complete readable table until vacuumed."""
+    t = Path(table)
+    prev = (t / "_current").read_text()
+    n = int(prev[1:]) + 1
+    cur = f"v{n}"
+    merged = merged_affected(affected_read(spark, str(t / prev)), delta)
+    newver = tempfile.mkdtemp(prefix="spark_graft_ttable_next_")
+    merged.write.mode("overwrite").partitionBy("o_month").parquet(newver)
+    rewritten = sorted(
+        d.name for d in Path(newver).glob("o_month=*") if d.is_dir())
+    (t / cur).mkdir()
+    for m in rewritten:
+        shutil.move(str(Path(newver) / m), str(t / cur / m))
+    for d in sorted((t / prev).glob("o_month=*")):
+        if d.name not in rewritten:
+            (t / cur / d.name).symlink_to(d.resolve())
+    shutil.rmtree(newver, ignore_errors=True)
+    ptr = t / "_current.tmp"
+    ptr.write_text(cur)
+    ptr.rename(t / "_current")
+    return cur
+
+
+def vacuum(table: str, keep: list[str]) -> dict:
+    """Reference-counted retention: delete every partition directory
+    OWNED by this table (a real dir under an expired version -- never
+    a pointer target outside the table, which belongs to the shared
+    base) that no KEPT manifest references, then drop the expired
+    manifests themselves. This is a table format's VACUUM: kept
+    snapshots stay byte-identical (their pointers resolve to the same
+    inodes), expired snapshots stop being readable, and reclaimed
+    bytes are exactly the re-rewritten months' old generations.
+    Returns {'deleted_dirs': [...], 'bytes_reclaimed': int}."""
+    t = Path(table)
+    versions = sorted(p.name for p in t.glob("v*") if p.is_dir())
+    referenced = {
+        (t / v / m.name).resolve()
+        for v in keep for m in (t / v).glob("o_month=*")
+    }
+    deleted, reclaimed = [], 0
+    for v in versions:
+        if v in keep:
+            continue
+        for m in sorted((t / v).glob("o_month=*")):
+            if m.is_symlink():
+                m.unlink()  # a pointer, not data -- always droppable
+                continue
+            target = m.resolve()
+            if target not in referenced:
+                reclaimed += sum(
+                    f.stat().st_size for f in target.rglob("*")
+                    if f.is_file())
+                shutil.rmtree(target)
+                deleted.append(f"{v}/{m.name}")
+            # else: a KEPT manifest points at this dir -- the data
+            # file outlives the snapshot that created it (exactly a
+            # real format's file/manifest split); the expired version
+            # dir survives as an unreadable husk holding it
+        if not any((t / v).iterdir()):
+            (t / v).rmdir()
+    return {"deleted_dirs": deleted, "bytes_reclaimed": reclaimed}

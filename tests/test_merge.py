@@ -212,3 +212,71 @@ def test_table_diff_reads_are_partition_pruned(spark):
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "1995-0" in pf, pf
     shutil.rmtree(table, ignore_errors=True)
+
+
+def test_multi_generation_publish_and_vacuum(spark):
+    """Three-generation chain + reference-counted VACUUM: v2 applies a
+    second, narrower delta on top of v1; vacuuming everything but v2
+    deletes EXACTLY the table-owned dirs no kept manifest references
+    (v1's first-generation copies of the re-rewritten months), never
+    the shared base's storage, and v2's content survives vacuum
+    byte-identically."""
+    from pathlib import Path
+
+    from discogs_xml_to_parquet_spark.queries.merge import (
+        publish_next_version,
+        vacuum,
+        versioned_merge,
+    )
+
+    table, _ = versioned_merge(spark, SF_SMOKE)
+    # v1's OWNED months = the dirs the first merge actually rewrote
+    # (a delta-free window month stays a pointer, e.g. 1995-05 at
+    # this SF)
+    v1_owned = sorted(
+        p.name for p in (Path(table) / "v1").glob("o_month=*")
+        if not p.is_symlink())
+    # second delta: re-touch a SUBSET of the window months (narrower
+    # range), so v2 rewrites some of v1's months and shares the rest
+    delta2 = delta_frame(spark, SF_SMOKE).filter(
+        (F.col("o_month") >= "1995-02") & (F.col("o_month") <= "1995-03")
+    ).withColumn("o_orderstatus", F.lit("W"))
+    cur = publish_next_version(spark, table, delta2)
+    assert cur == "v2"
+
+    v2_before = (
+        spark.read.parquet(str(Path(table) / "v2"))
+        .groupBy("o_orderstatus").count().collect()
+    )
+    by = {r["o_orderstatus"]: r["count"] for r in v2_before}
+    assert by.get("W", 0) > 0  # the second generation landed
+
+    facts = vacuum(table, keep=["v2"])
+    # exactly v1's own copies of the re-rewritten months die: v1 owned
+    # six real dirs; v2 re-rewrote 1995-02/03, so those two v1 dirs
+    # are unreferenced; v1's other four dirs are v2 pointer targets
+    assert sorted(facts["deleted_dirs"]) == [
+        "v1/o_month=1995-02", "v1/o_month=1995-03"]
+    assert facts["bytes_reclaimed"] > 0
+    # v0 was pure pointers -> gone entirely; v1 survives only as a
+    # data husk holding exactly its owned-and-still-referenced dirs
+    # (its snapshot is no longer readable: every pointer stripped)
+    assert not (Path(table) / "v0").exists()
+    v1_left = sorted(p.name for p in (Path(table) / "v1").iterdir())
+    expect = [m for m in v1_owned
+              if m not in ("o_month=1995-02", "o_month=1995-03")]
+    assert v1_left == expect
+    assert not any(
+        p.is_symlink() for p in (Path(table) / "v1").iterdir())
+
+    v2_after = (
+        spark.read.parquet(str(Path(table) / "v2"))
+        .groupBy("o_orderstatus").count().collect()
+    )
+    assert sorted(map(tuple, v2_after)) == sorted(map(tuple, v2_before))
+    # the shared staged base is untouched: a fresh versioned_merge
+    # still stages/reads it fine
+    table2, facts2 = versioned_merge(spark, SF_SMOKE)
+    assert facts2["v0_intact"]
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(table2, ignore_errors=True)
