@@ -280,3 +280,21 @@ def test_multi_generation_publish_and_vacuum(spark):
     assert facts2["v0_intact"]
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(table2, ignore_errors=True)
+
+
+def test_vacuum_keep_all_is_noop(spark):
+    """Retention guard: vacuuming while keeping every version deletes
+    nothing and reclaims zero bytes."""
+    from pathlib import Path
+
+    from discogs_xml_to_parquet_spark.queries.merge import (
+        vacuum,
+        versioned_merge,
+    )
+
+    table, _ = versioned_merge(spark, SF_SMOKE)
+    before = sorted(str(p) for p in Path(table).rglob("*"))
+    facts = vacuum(table, keep=["v0", "v1"])
+    assert facts == {"deleted_dirs": [], "bytes_reclaimed": 0}
+    assert sorted(str(p) for p in Path(table).rglob("*")) == before
+    shutil.rmtree(table, ignore_errors=True)
