@@ -196,6 +196,7 @@ def merge_upsert(spark: SparkSession, scratch: str,
     merged.write.mode("overwrite").partitionBy("o_month").parquet(newver)
     months = sorted(
         d.name for d in Path(newver).glob("o_month=*") if d.is_dir())
+    _check_months_in_window(months, newver)
     for m in months:  # the "manifest flip": driver-side renames only
         dst = Path(scratch) / m
         if dst.exists():
@@ -207,6 +208,24 @@ def merge_upsert(spark: SparkSession, scratch: str,
 
 def _month_of(relpath: str) -> str:
     return relpath.split("/", 1)[0]
+
+
+def _check_months_in_window(months: list[str], newver: str) -> None:
+    """Abort (before anything is swapped or published) if the merged
+    write produced a partition OUTSIDE affected_read's static window:
+    such a partition holds ONLY delta rows -- its pre-existing base
+    rows were pruned away, so committing it would silently destroy
+    them (ADVICE r10). The new version dir is removed, so the failed
+    merge leaves the table byte-identical."""
+    bad = [m for m in months
+           if not (_MONTH_LO <= m.split("=", 1)[1] <= _MONTH_HI)]
+    if bad:
+        shutil.rmtree(newver, ignore_errors=True)
+        raise ValueError(
+            f"merge delta touches months {bad} outside the pruned read "
+            f"window [{_MONTH_LO}, {_MONTH_HI}]; committing would drop "
+            "every pre-existing row of those partitions -- widen the "
+            "window or split the delta")
 
 
 def run_merge(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
@@ -475,6 +494,12 @@ def snapshot_diff(spark: SparkSession, table: str,
     changed (any non-key column differs) / unchanged. At 100 TB this
     is the whole trick: the join is over O(affected) bytes, and the
     change classification is a row-local struct compare."""
+    if not months:
+        # a no-op delta diffs to nothing: every partition's pointers
+        # coincide, manifest_diff names no months, and there is
+        # nothing to read (ADVICE r10: min() of an empty sequence)
+        return spark.createDataFrame(
+            [], "o_month string, change string")
     keys = [m.split("=", 1)[1] for m in months]
     lo, hi = min(keys), max(keys)
 
@@ -583,6 +608,7 @@ def publish_next_version(spark: SparkSession, table: str,
     merged.write.mode("overwrite").partitionBy("o_month").parquet(newver)
     rewritten = sorted(
         d.name for d in Path(newver).glob("o_month=*") if d.is_dir())
+    _check_months_in_window(rewritten, newver)
     (t / cur).mkdir()
     for m in rewritten:
         shutil.move(str(Path(newver) / m), str(t / cur / m))
@@ -608,6 +634,19 @@ def vacuum(table: str, keep: list[str]) -> dict:
     Returns {'deleted_dirs': [...], 'bytes_reclaimed': int}."""
     t = Path(table)
     versions = sorted(p.name for p in t.glob("v*") if p.is_dir())
+    missing = [v for v in keep if v not in versions]
+    if missing:
+        # a typo'd keep list would otherwise build an empty referenced
+        # set and delete every table-owned partition while reporting
+        # success (ADVICE r10)
+        raise ValueError(
+            f"vacuum keep names non-existent versions {missing}; "
+            f"existing: {versions}")
+    current = (t / "_current").read_text()
+    if current not in keep:
+        raise ValueError(
+            f"vacuum must keep the current version {current!r} "
+            f"(keep={keep}); retention never expires the live table")
     referenced = {
         (t / v / m.name).resolve()
         for v in keep for m in (t / v).glob("o_month=*")

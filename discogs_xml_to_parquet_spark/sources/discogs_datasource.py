@@ -94,21 +94,25 @@ class _ReleasesReader(DataSourceReader):
 
 
 class _ReleasesStreamReader(DataSourceStreamReader):
-    """Incremental dump ingest: the offset is a position in the
-    SORTED file listing of an append-only drop directory -- exactly
-    how new Discogs dumps arrive (a new dated file lands; existing
-    files are never rewritten). Each microbatch plans one partition
-    per newly arrived file; the parse is the same executor-side
-    streaming parse as the batch lane.
+    """Incremental dump ingest: the offset is the SET of file names
+    already planned from the drop directory -- how new Discogs dumps
+    arrive (a new dated file lands; existing files are never
+    rewritten). Each microbatch plans one partition per newly arrived
+    file; the parse is the same executor-side streaming parse as the
+    batch lane.
 
-    Determinism contract (what makes restart/replay exact): the drop
-    dir is append-only and the listing is sorted, so a given
-    [start, end) offset range always names the same files --
-    `partitions(start, end)` is a pure function of the directory
-    state at/after `end` was minted, which Spark's commit log
-    guarantees exists. A retention-pruned directory would need
-    filename-set offsets instead; the listing is cheap driver-side
-    metadata either way."""
+    Determinism contract (what makes restart/replay exact): a batch's
+    file set is end_files - start_files, recorded VERBATIM in the
+    offsets -- `partitions(start, end)` never consults the live
+    directory, so it is a pure function of the committed offsets and
+    replays identically after a restart. Set offsets (not positions
+    in a re-sorted listing -- ADVICE r10) also make arrival ORDER
+    irrelevant: a backfilled file whose name sorts before committed
+    ones is simply absent from `start` and gets planned exactly once,
+    where a positional offset would shift every index, re-ingesting
+    one committed file and skipping the new one. Offset size is the
+    file listing itself -- driver-side metadata (Spark's own file
+    source persists the same thing in its file-stream log)."""
 
     def __init__(self, options: dict) -> None:
         path = options.get("path")
@@ -122,14 +126,14 @@ class _ReleasesStreamReader(DataSourceStreamReader):
         return _list_input_files(self._path)
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"index": len(self._listing())}
+        return {"files": self._listing()}
 
     def partitions(self, start: dict, end: dict):
-        files = self._listing()[start["index"]:end["index"]]
-        return [_ReleaseFilePartition(p) for p in files]
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [_ReleaseFilePartition(p) for p in new]
 
     def read(self, partition: _ReleaseFilePartition) -> Iterator[tuple]:
         yield from _parse_file_stream(partition.path)

@@ -132,6 +132,21 @@ def test_datasource_streaming_incremental_ingest(spark, tmp_path):
     assert final.filter(F.col("id") >= 9001).count() == 10
     assert final.select("id").distinct().count() == 50
 
+    # BACKFILL (ADVICE r10): a file whose name sorts BEFORE every
+    # committed one. Positional offsets into the re-sorted listing
+    # would shift every index -- re-ingesting a0 (duplicates) and
+    # permanently skipping the backfill; filename-SET offsets plan
+    # exactly the new file, once.
+    gen3 = write_synthetic_releases(
+        str(tmp_path / "gen3"), 5, n_files=1, start_id=12001)
+    shutil.copy(next(iter(Path(gen3).glob("*.xml.gz"))),
+                drop / "0-backfill-releases.xml.gz")
+    run_once()
+    after = spark.read.parquet(sink)
+    assert after.count() == 55
+    assert after.filter(F.col("id") >= 12001).count() == 5
+    assert after.select("id").distinct().count() == 55  # no re-ingest
+
 
 def test_datasource_sql_consumption_via_view(spark):
     """SQL consumers: the connector read registered as a view is

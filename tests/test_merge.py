@@ -130,6 +130,86 @@ def test_merge_empty_delta_is_noop(spark):
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def test_merge_out_of_window_delta_raises(spark):
+    """ADVICE r10 guard: a delta month outside affected_read's pruned
+    window has NO base survivors (they were pruned away), so
+    committing it would silently destroy the partition's pre-existing
+    rows. The merge must abort BEFORE the swap and leave the table
+    byte-identical."""
+    import pytest
+
+    from discogs_xml_to_parquet_spark.queries.merge import _inventory
+
+    base = staged_partitioned_orders(spark, SF_SMOKE)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_merge_oow_")
+    shutil.rmtree(scratch)
+    shutil.copytree(base, scratch)
+    before = _inventory(scratch)
+    rogue = delta_frame(spark, SF_SMOKE).limit(5).withColumn(
+        "o_month", F.lit("1996-01"))
+    with pytest.raises(ValueError, match="outside the pruned read"):
+        merge_upsert(spark, scratch, rogue)
+    assert _inventory(scratch) == before  # atomic abort: nothing swapped
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_publish_out_of_window_delta_raises(spark):
+    """The same guard on the versioned publish path: nothing published,
+    `_current` still names the previous version, previous manifests
+    untouched."""
+    from pathlib import Path
+
+    import pytest
+
+    from discogs_xml_to_parquet_spark.queries.merge import (
+        publish_next_version,
+        versioned_merge,
+    )
+
+    table, _ = versioned_merge(spark, SF_SMOKE)
+    rogue = delta_frame(spark, SF_SMOKE).limit(5).withColumn(
+        "o_month", F.lit("1994-12"))
+    with pytest.raises(ValueError, match="outside the pruned read"):
+        publish_next_version(spark, table, rogue)
+    assert (Path(table) / "_current").read_text() == "v1"
+    assert not (Path(table) / "v2").exists()
+    shutil.rmtree(table, ignore_errors=True)
+
+
+def test_vacuum_rejects_bad_keep(spark):
+    """ADVICE r10 guard: a typo'd keep list must raise instead of
+    building an empty referenced set and deleting the whole table; and
+    retention may never expire the version `_current` points at."""
+    from pathlib import Path
+
+    import pytest
+
+    from discogs_xml_to_parquet_spark.queries.merge import (
+        vacuum,
+        versioned_merge,
+    )
+
+    table, _ = versioned_merge(spark, SF_SMOKE)
+    before = sorted(str(p) for p in Path(table).rglob("*"))
+    with pytest.raises(ValueError, match="non-existent versions"):
+        vacuum(table, keep=["v3"])
+    with pytest.raises(ValueError, match="current version"):
+        vacuum(table, keep=["v0"])  # current is v1
+    assert sorted(str(p) for p in Path(table).rglob("*")) == before
+    shutil.rmtree(table, ignore_errors=True)
+
+
+def test_snapshot_diff_empty_months_is_empty_frame(spark):
+    """ADVICE r10 guard: a no-op delta yields an empty manifest diff;
+    snapshot_diff must return an empty (o_month, change) frame, not
+    crash on min() of an empty sequence."""
+    from discogs_xml_to_parquet_spark.queries.merge import snapshot_diff
+
+    out = snapshot_diff(spark, "/nonexistent-table", [])
+    assert out.columns == ["o_month", "change"]
+    assert out.count() == 0
+
+
 def test_time_travel_versions(spark):
     """Versioned-manifest properties: v0 readable and equal to the
     base AFTER v1 publishes (snapshot isolation), untouched months
