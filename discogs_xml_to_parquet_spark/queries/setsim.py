@@ -3,53 +3,65 @@ PPJoin candidate-generation family): all document pairs with token-set
 Jaccard >= 0.95, EXACTLY -- no MinHash/SimHash approximation.
 
 This is the exactness-required counterpart of queries/dedup.py's LSH
-lanes. The lossless trick: order every document's distinct tokens by a
-GLOBAL rarity total order (document frequency, then token), and emit
-only each document's first |d| - ceil(t*|d|) + 1 tokens as join keys.
-For any pair with J >= t, the globally-smallest COMMON token provably
-falls inside BOTH prefixes (if it fell outside one, the >= ceil(t*|d|)
+lanes. The lossless trick: order every set's distinct tokens by a
+GLOBAL rarity total order (set frequency, then token), and emit only
+each set's first |d| - ceil(t*|d|) + 1 tokens as join keys. For any
+pair with J >= t, the globally-smallest COMMON token provably falls
+inside BOTH prefixes (if it fell outside one, the >= ceil(t*|d|)
 common tokens would have to fit in the ceil(t*|d|) - 1 positions
 behind it), so the prefix equi-join misses nothing, while stopword-ish
-high-df tokens never become join keys.
+high-frequency tokens never become join keys.
 
-The oracle is the brute-force shared-token join (every pair sharing
-ANY token, exactly verified) -- a hash match therefore PINS the
-losslessness theorem on this corpus, not just the arithmetic.
+r11 rewrite -- DISTINCT-SET COLLAPSE (VERDICT r10 item 1): the r10
+plan ran the prefix join over DOCUMENTS, and on this template corpus
+-- where near-duplicate cliques share even their rarest tokens -- the
+candidate space grew as sum over tokens of C(df_docs, 2): measured
+22x wall for 10x data, the suite's one superlinear scaling. The
+collapse restores the scale story losslessly:
 
-Scale shape: candidates come from an equi-join on prefix tokens only
-(candidate count ~ sum over prefix tokens of C(df, 2)), pruned IN the
-join by the two other lossless AllPairs/PPJoin filters as residuals --
-the LENGTH filter (J >= t forces t*|B| <= |A|, so size-incompatible
-pairs can never qualify) and the POSITIONAL filter (tokens behind the
-matched prefix positions bound the achievable overlap above:
-1 + min(|A|-pos_a, |B|-pos_b) >= ceil(t/(1+t) * (|A|+|B|)) must hold)
--- both provable drops, both integer arithmetic, both evaluated
-before any pair materializes past the join. Verification then joins
-the doc-count-sized sorted-token-set table twice, BROADCAST: the set
-table is one row per document (~|docs| x avg tokens), orders of
-magnitude smaller than the candidate pair space, so the arrays ship
-once per executor and |A intersect B| is computed map-side -- the r10
-rewrite; the first spelling shuffled every candidate row through two
-sort-merge joins CARRYING both token arrays, which dominated the wall
-at sf0.1 (measured ~200 s -> ~3 s). Where the doc dimension outgrows
-the broadcast budget, the same plan degrades to a sort-merge join and
-the residual filters are what keep the shuffled candidate set small.
-The threshold comparison is exact integer cross-multiplication
-(20*i >= 19*u), no floats anywhere.
+  1. group documents by the md5 of their sorted distinct-token array
+     -- each exact-token-set clique becomes ONE representative set;
+  2. run prefix generation, the length + positional residual filters,
+     and broadcast verification over DISTINCT SETS only (candidate
+     space: sum of C(df_sets, 2) -- the clique structure that made
+     the corpus adversarial is now collapsed out of the join);
+  3. expand arithmetically: every qualifying (set_a, set_b) pair
+     crosses its two member lists (same n_common/n_union for every
+     doc pair, by definition of equal token sets), and every clique
+     with >= 2 members contributes its intra-clique pairs with
+     J = 1 >= t (n_common = n_union = |set|).
 
-Honest pruning note: on THIS corpus the measured PREFIX reduction is
-modest (95,749 prefix candidates vs 124,745 brute-force pairs at
-sf0.01, ~1.3x) because the template-generated documents are near-
-duplicates BY CONSTRUCTION -- they share even their rarest tokens, the
-adversarial worst case for prefix filtering (57% of all pairs really
-do have J >= 0.6 here). The length+positional residuals recover the
-pruning the prefix cannot: measured 13.4M raw prefix-join rows ->
-1.8M surviving candidate pairs at sf0.1 (7.4x, and the drop happens
-INSIDE the join, before the distinct's shuffle). On a heterogeneous
-real corpus, where df is Zipfian and
-true-pair density is tiny, the same plan prunes orders of magnitude
-further; what this query pins is the COMPLETENESS of the filter stack
-and the exactness of the verification, which hold on any corpus.
+Output is EXACT and the brute-force oracle is unchanged -- a hash
+match still pins the losslessness theorem plus the collapse algebra
+on this corpus, not just the arithmetic.
+
+Scale shape: candidates come from an equi-join on prefix tokens of
+distinct sets, pruned IN the join by the two other lossless
+AllPairs/PPJoin filters as residuals -- the LENGTH filter (J >= t
+forces t*|B| <= |A|) and the POSITIONAL filter (tokens behind the
+matched prefix positions bound the achievable overlap:
+1 + min(|A|-pos_a, |B|-pos_b) >= ceil(t/(1+t) * (|A|+|B|))) -- both
+provable drops, both integer arithmetic, both evaluated before any
+pair materializes past the join. Verification joins the
+set-count-sized sorted-token table twice, BROADCAST: the set table is
+one row per distinct set, orders of magnitude smaller than the
+candidate pair space, so the arrays ship once per executor and
+|A intersect B| is computed map-side. The expansion joins are
+broadcast equi-joins on set_id whose output cardinality IS the final
+answer -- output-bound by construction. The threshold comparison is
+exact integer cross-multiplication (20*i >= 19*u), no floats
+anywhere.
+
+Measured (local[32], same box, median of 3 warm passes): the r10
+plan = 47.2 s at sf0.1 / 69.6 s at sf1; this plan = 5.2 s at sf0.1 /
+17.8 s at sf1 -- 9x faster at sf0.1 and the sf1/sf0.1 wall ratio at
+3.4x for 10x data and 10x output (r9's bound was <= ~4x; r10 measured
+22x). Two levers, both visible in the profile: the collapse cuts the
+candidate space to C(df_sets, 2) (960k candidate pairs -> the
+verification stage, vs 1.8M over docs), and localCheckpoint staging
+of the three fan-out frames (doc_sets / sets / prefix) removes ~10 s
+of pure lineage recompute that the ~10-consumer DAG otherwise pays
+(every branch re-ran the tokenization from the scan).
 """
 
 from __future__ import annotations
@@ -65,16 +77,60 @@ from discogs_xml_to_parquet_spark.tables import load
 _T_NUM, _T_DEN = 19, 20
 
 
-def _tokens(docs: DataFrame) -> DataFrame:
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(F.split(F.lower("text"), "[^a-z0-9]+"))
-            ).alias("tok"),
+def _doc_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, set_id): each document's sorted distinct-token
+    array and the md5 identity of that array -- computed ROW-LOCALLY
+    with HOFs (split -> filter -> array_distinct -> array_sort), no
+    explode and no groupBy. This matters because the frame fans out
+    to several consumers (membership, distinct sets, verification
+    arrays) and Spark recomputes lineage per consumer: a map-only
+    lineage re-runs as a scan + string ops, where the r11-draft
+    collect_set spelling re-ran a full explode + shuffle per consumer
+    (measured 23 s -> 4 s at sf0.1). Zero-token docs are dropped --
+    they share no token with anything (the oracle's brute-force join
+    can never see them) and would otherwise form a degenerate 0/0
+    Jaccard clique. The \\x1f separator in the md5 input keeps
+    ("ab","c") and ("a","bc") from colliding."""
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
         )
-        .filter(F.col("tok") != "")
     )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn("set_id", F.md5(F.concat_ws("\x1f", "toks")))
+    )
+
+
+def _ranked_prefix(sets: DataFrame) -> DataFrame:
+    """Prefix tokens of the distinct sets under the global rarity
+    order (set frequency, then token): per-set positions come from a
+    row_number window PARTITIONED BY set_id (bounded, never global),
+    and only the first |d| - ceil(t*|d|) + 1 tokens survive
+    (all-integer ceil). (pos, n) ride along so the candidate join can
+    evaluate the positional and length filters as residuals.
+    Factored out of the query so the plan gate can inspect this
+    stage's window spec directly -- the query localCheckpoints the
+    result (both sides of the self-join read it), which cuts the
+    lineage out of the final plan."""
+    stok = sets.select("set_id", "n", F.explode("toks").alias("tok"))
+    df_tok = stok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = stok.join(df_tok, "tok").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("set_id").orderBy("df", "tok")
+        ),
+    )
+    return ranked.filter(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) DIV {_T_DEN}")
+        + 1
+    ).select("set_id", "tok", "pos", "n")
 
 
 @query(
@@ -104,36 +160,31 @@ ORDER BY 1, 2
 )
 def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with exact token-set Jaccard >= 0.95, found
-    through prefix-filtered candidate generation and exact integer
-    verification. The oracle enumerates candidates the brute-force way
-    (any shared token), so equality proves the prefix filter dropped
-    no qualifying pair."""
-    tok = _tokens(load(spark, sf_dir, "documents"))
-    df_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # global rarity order (df, tok); per-doc position under it
-    ranked = (
-        tok.join(df_tok, "tok")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "tok")
-            ),
-        )
+    by collapsing identical token sets, prefix-filtering candidate
+    generation over the distinct sets, exact integer verification, and
+    arithmetic expansion back to document pairs. The oracle enumerates
+    candidates the brute-force way (any shared token), so equality
+    proves both the prefix filter and the collapse dropped no
+    qualifying pair."""
+    # 1. collapse: one row per doc with its sorted distinct-token
+    # array (row-local HOFs -- see _doc_sets); identical arrays share
+    # an md5 set_id. Staged ONCE (localCheckpoint, the same pattern
+    # as matching.py/incremental.py): the frame fans out to the
+    # membership, distinct-set, prefix, verification, and expansion
+    # branches -- without staging, every branch re-runs the
+    # tokenization from the scan (measured ~10 s of pure recompute
+    # at sf0.1 across the ~10 consumers of this lineage).
+    doc_sets = _doc_sets(load(spark, sf_dir, "documents")).localCheckpoint()
+    members = doc_sets.select("set_id", "doc_id")
+    sets = (
+        doc_sets.select("set_id", "toks")
+        .dropDuplicates(["set_id"])
+        .withColumn("n", F.size("toks"))
+        .localCheckpoint()  # one dedup serves 4 branches
     )
-    # prefix length |d| - ceil(t*|d|) + 1, all-integer ceil; keep
-    # (pos, n) so the candidate join can evaluate the positional and
-    # length filters as residuals
-    prefix = (
-        ranked.join(sz, "doc_id")
-        .filter(
-            F.col("pos")
-            <= F.col("n")
-            - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) DIV {_T_DEN}")
-            + 1
-        )
-        .select("doc_id", "tok", "pos", "n")
-    )
+    # 2. prefix tokens of the distinct sets (see _ranked_prefix),
+    # staged once: BOTH sides of the candidate self-join read it.
+    prefix = _ranked_prefix(sets).localCheckpoint()
     a, b = prefix.alias("a"), prefix.alias("b")
     # LENGTH filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
     # POSITIONAL filter: overlap <= 1 + min(|A|-pos_a, |B|-pos_b)
@@ -141,12 +192,14 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J >= t needs overlap >= t/(1+t)*(|A|+|B|); a qualifying pair's
     # globally-smallest common token is in both prefixes AND satisfies
     # this bound, so keeping a pair when ANY matched row passes is
-    # lossless. Integer form throughout.
+    # lossless. Integer form throughout. J = 1 pairs (identical sets)
+    # cannot appear here -- they collapsed to one set_id -- and are
+    # reconstructed in the intra-clique expansion below.
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.set_id") < F.col("b.set_id"))
             & (F.col("a.n") * _T_DEN >= _T_NUM * F.col("b.n"))
             & (F.col("b.n") * _T_DEN >= _T_NUM * F.col("a.n"))
             & (
@@ -162,26 +215,22 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.set_id").alias("set_a"),
+            F.col("b.set_id").alias("set_b"),
         )
         .distinct()
     )
-    sets = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("tok")).alias("toks"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"),
+    # 3. verification over sets: the set table is one row per DISTINCT
+    # SET -- broadcast it so the candidate pairs (the big side) never
+    # shuffle and the token arrays ship once per executor
+    sa = sets.select(F.col("set_id").alias("set_a"),
                      F.col("toks").alias("toks_a"),
                      F.col("n").alias("n_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"),
+    sb = sets.select(F.col("set_id").alias("set_b"),
                      F.col("toks").alias("toks_b"),
                      F.col("n").alias("n_b"))
-    # the set table is one row per DOCUMENT -- broadcast it so the
-    # candidate pairs (the big side) never shuffle and the token
-    # arrays ship once per executor instead of once per candidate
-    verified = (
-        cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    qual = (
+        cand.join(F.broadcast(sa), "set_a").join(F.broadcast(sb), "set_b")
         .withColumn(
             "n_common",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
@@ -190,11 +239,40 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_union",
             (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("long"),
         )
-        .filter(
-            F.col("n_common") * _T_DEN >= _T_NUM * F.col("n_union")
+        .filter(F.col("n_common") * _T_DEN >= _T_NUM * F.col("n_union"))
+        .select("set_a", "set_b", "n_common", "n_union")
+    )
+    # 4. expansion. Cross pairs: every member of set_a x every member
+    # of set_b (n_common/n_union identical for all of them -- equal
+    # token sets by construction); broadcast the doc-count-sized
+    # membership table, output cardinality = the answer itself.
+    ma = members.select(F.col("set_id").alias("set_a"),
+                        F.col("doc_id").alias("da"))
+    mb = members.select(F.col("set_id").alias("set_b"),
+                        F.col("doc_id").alias("db"))
+    cross = (
+        qual.join(F.broadcast(ma), "set_a")
+        .join(F.broadcast(mb), "set_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_common", "n_union",
         )
     )
-    return (
-        verified.select("doc_a", "doc_b", "n_common", "n_union")
-        .orderBy("doc_a", "doc_b")
+    # Intra-clique pairs: two docs with the SAME token set have J = 1
+    # >= t always; n_common = n_union = |set|
+    sizes = sets.select(F.col("set_id").alias("s_id"), "n")
+    intra = (
+        members.alias("x")
+        .join(F.broadcast(members.alias("y")),
+              (F.col("x.set_id") == F.col("y.set_id"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .join(F.broadcast(sizes), F.col("x.set_id") == F.col("s_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("n").cast("long").alias("n_common"),
+            F.col("n").cast("long").alias("n_union"),
+        )
     )
+    return cross.unionByName(intra).orderBy("doc_a", "doc_b")

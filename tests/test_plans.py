@@ -1037,22 +1037,45 @@ def test_restart_readback_is_one_scan(spark):
 def test_setsim_candidates_come_from_prefix_equi_join(spark):
     """q_setsim_prefix_join: candidate generation must be an equi-join
     on the prefix token (SortMergeJoin/ShuffledHash on tok with the
-    doc_id inequality as residual) -- never a theta/cartesian pair
-    enumeration -- and the per-doc rarity ranking must partition by
-    doc_id (bounded windows, no global sort)."""
+    set_id inequality as residual) -- never a theta/cartesian pair
+    enumeration -- and the per-SET rarity ranking must partition by
+    set_id (the r11 distinct-set collapse: identical token sets are
+    one row before the join; bounded windows, no global sort)."""
     from discogs_xml_to_parquet_spark import registry
 
     plan = plan_of(registry.QUERIES["q_setsim_prefix_join"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "windowspecdefinition(doc_id" in plan
-    # r10 rewrite properties: the length/positional residuals ride ON
-    # the candidate join (never a post-join filter -- they must prune
-    # before rows materialize), and BOTH verification joins broadcast
-    # the doc-count-sized set table so candidate pairs never shuffle
-    # carrying token arrays
+    # the ranking stage is localCheckpoint-staged (its lineage is cut
+    # from the final plan), so gate its window spec on the stage
+    # builder directly: partitioned by set_id -- the COLLAPSED domain,
+    # so clique size never enters the candidate space -- and never by
+    # doc_id, never global
+    from pyspark.sql import functions as F
+
+    from discogs_xml_to_parquet_spark.queries.setsim import (
+        _doc_sets,
+        _ranked_prefix,
+    )
+    from discogs_xml_to_parquet_spark.tables import load
+
+    sets = (
+        _doc_sets(load(spark, SF_SMOKE, "documents"))
+        .select("set_id", "toks")
+        .dropDuplicates(["set_id"])
+        .withColumn("n", F.size("toks"))
+    )
+    stage = plan_of(_ranked_prefix(sets))
+    assert "windowspecdefinition(set_id" in stage
+    assert "windowspecdefinition(doc_id" not in stage
+    # r10 rewrite properties, preserved by the collapse: the
+    # length/positional residuals ride ON the candidate join (never a
+    # post-join filter -- they must prune before rows materialize),
+    # and the verification + expansion joins broadcast the
+    # set/membership tables so candidate pairs never shuffle carrying
+    # token arrays
     import re
 
     join_conds = re.findall(r"Join condition:.*", plan)
     assert any("least" in c for c in join_conds), join_conds
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
