@@ -2,7 +2,7 @@
 
 Import order IS driver-check order (the registry dict preserves
 insertion order and the driver checks the first 50 registered queries
--- r01-r09 all cut at exactly 50). Rotation policy: queries with no
+-- r01-r10 all cut at exactly 50). Rotation policy: queries with no
 CORRECTNESS row anywhere go first, then fixed/changed queries, then
 pinned modules, then the module whose passing evidence is oldest.
 
@@ -11,114 +11,81 @@ from the CORRECTNESS_r*.json artifacts (VERDICT r6 item 6), and
 tests/test_window.py pins that the first 50 imports below agree with
 it. The derivation is PINNED to the artifacts that existed when it was
 made (window(max_round=DERIVED_AT_ROUND) -- VERDICT r8 item 1): the
-driver landing CORRECTNESS_r10.json cannot flip the fixed-point test
-red; re-deriving for r11 is a deliberate commit that bumps
-DERIVED_AT_ROUND to 10 and pastes the order
-`python scripts/window_plan.py --max-round 10 --changed ...` prints.
+driver landing CORRECTNESS_r11.json cannot flip the fixed-point test
+red; re-deriving for r12 is a deliberate commit that bumps
+DERIVED_AT_ROUND to 11 and pastes the order
+`python scripts/window_plan.py --max-round 11 --changed ...` prints.
 
-Round-10 window (the first 50), derived by
-window(changed={q_distribution_drift, q_setsim_prefix_join},
-pin=("conversion",), max_round=9):
+Round-11 window (the first 50), derived by
+window(changed={q_setsim_prefix_join, q_source_python_datasource},
+pin=(), max_round=10):
 
-- 1-9: the NEW rank-0 block (q_stream_restart, the checkpointed
-  kill/resume exactly-once lane -- VERDICT r9 item 2;
-  q_compact_partitioned + q_compact_files, the partition-local and
-  global OPTIMIZE-style bin-packs -- item 5; then the five mid-round
-  additions: q_merge_upsert + q_time_travel + q_table_diff, the
-  copy-on-write partition-pruned MERGE, its versioned-manifest
-  snapshot reads, and the manifest-driven change data feed;
-  q_source_python_datasource, the Spark 4 Python DataSource
-  conversion lane; q_hll_union_rollup, the stored mergeable-sketch
-  distinct rollup; q_constraint_audit, the one-scan declarative
-  expectations engine);
-- 10-11: profiling (q_profile_columns_approx NEW, the no-Expand HLL
-  profile -- item 7; q_profile_columns r6 rides);
-- 10: drift CHANGED (NULLIF divisor guard, ADVICE r9 -- the oracle SQL
-  the driver runs changed, so it re-enters);
-- 11: setsim CHANGED (r10 verification rewrite: length + positional
-  PPJoin residual filters and broadcast set tables -- values
-  identical, plan 5x faster at sf0.1);
-- 14-16: conversion PINNED (r7 evidence; the max-3-rounds-unverified
-  freshness pin from VERDICT r5 expires THIS round -- the one
-  scheduling constraint the artifact ranking cannot express);
-- 17-22: the six r5-evidence queries, exactly the set VERDICT r9
-  item 1 named -- timeseries + text_extra;
-- 23-49: the ENTIRE r6 cohort (stats_extra, windows_extra, scd, cdc,
-  quality_model, vocab, multimodal_audio, decontam, scoring,
-  formats_extra, sampling);
-- 50: the oldest r7 evidence -- tpch_extra; the cut lands six short
-  of the tpch_extra/dedup module boundary (after q10_returned_items
-  -- the mid-round additions took those slots), so q14/q18/q5/q6/
-  q19/q21 lead the r11 window with the dedup module and the r7
-  cohort.
+- 1-4: merge leads with rank 0 (q_vacuum_retention NEW -- VERDICT
+  r10 item 4: the reference-counted VACUUM + 3-generation publish
+  chain gets its oracle-backed driver row; the r10-green trio
+  q_merge_upsert/q_time_travel/q_table_diff rides, which also
+  re-checks the ADVICE r10 out-of-window guards added this round);
+- 5-6: schema_evolution rank 0 (q_schema_evolution_widening NEW --
+  item 6: int32->int64 across generations via the explicit catalog
+  schema, mergeSchema's refusal pytest-pinned; r9
+  q_schema_evolution_scan rides);
+- 7: python_datasource CHANGED (ADVICE r10: the stream reader's
+  offsets became filename SETS -- backfill-proof exactly-once);
+- 8: setsim CHANGED (item 1: the distinct-token-set collapse --
+  5.2 s at sf0.1 / 3.4x wall for 10x data, was 47 s / 22x);
+- 9-15: tpch_extra, the oldest-evidence module (six r7 queries;
+  r10-green q10_returned_items rides at the module head);
+- 16-50: the r7 cohort in evidence order -- dedup (11), packing,
+  quality (2), curation_full, aggregates (4), formats (2),
+  reshaping (4), joins (7), nested (3); the 50-cut lands exactly on
+  the nested/python_udfs module boundary (after q_nested_collect),
+  so python_udfs leads the r12 remainder with the r8 cohort.
 
-After this window nothing in the registry has evidence older than r6,
-and the oldest unchecked evidence anywhere is r7.
+After this window nothing in the registry has evidence older than r7,
+and the oldest unchecked evidence anywhere is r7 (python_udfs).
 
 The staging helpers these modules share live in ../staging.py, OUTSIDE
 this package, so importing them cannot drag a query module forward in
 the window (the r9 layout cost runtime_filters three head slots via
-the dependency fold; r10 returns it to its evidence rank).
+the dependency fold; r10 returned it to its evidence rank).
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # 1: q_stream_restart NEW (checkpointed kill/resume exactly-once)
-    streaming_restart,
-    # 2-3: q_compact_partitioned + q_compact_files NEW (partition-local
-    # and global small-file bin-pack rewrites)
-    compaction,
-    # 4-6: q_merge_upsert + q_time_travel + q_table_diff NEW
-    # (copy-on-write partition-pruned MERGE; versioned-manifest
-    # snapshot reads; manifest-driven change data feed)
+    # 1-4: q_vacuum_retention NEW (3-generation publish chain +
+    # reference-counted VACUUM, keep-set validated); the r10 trio
+    # (COW MERGE, time travel, manifest diff) rides with its module
     merge,
-    # 7: q_source_python_datasource NEW (the Spark 4 Python DataSource
-    # conversion lane)
+    # 5-6: q_schema_evolution_widening NEW (int32->int64 via explicit
+    # catalog schema; mergeSchema refusal pinned); r9 scan lane rides
+    schema_evolution,
+    # 7: q_source_python_datasource CHANGED (filename-set stream
+    # offsets -- backfill-proof exactly-once, ADVICE r10)
     python_datasource,
-    # 8: q_hll_union_rollup NEW (stored mergeable day sketches,
-    # two-level distinct rollup)
-    sketch_rollup,
-    # 9: q_constraint_audit NEW (declarative expectations: six rules,
-    # one scan)
-    constraints,
-    # 10-11: q_profile_columns_approx NEW (HLL no-Expand profile);
-    # q_profile_columns (r6) rides
-    profiling,
-    # 12: q_distribution_drift CHANGED (NULLIF divisor guard)
-    drift,
-    # 13: q_setsim_prefix_join CHANGED (residual filters + broadcast
-    # verification)
+    # 8: q_setsim_prefix_join CHANGED (distinct-set collapse before
+    # the prefix join -- the r10 scale-killer fix)
     setsim,
-    # 14-16: conversion trio PINNED (freshness pin expires at r10)
-    conversion,
-    # 17-22: the six r5-evidence queries (VERDICT r9 item 1)
-    timeseries,
-    text_extra,
-    # 23-49: the entire r6 cohort
-    stats_extra,
-    windows_extra,
-    scd,
-    cdc,
-    quality_model,
-    vocab,
-    multimodal_audio,
-    decontam,
-    scoring,
-    formats_extra,
-    sampling,
-    # 50: oldest r7 evidence; the cut lands six short of the module
-    # boundary (after q10_returned_items)
+    # 9-15: oldest evidence, r7 cohort begins (q10 rides at head)
     tpch_extra,
-    # --- 50-query window cut ---
-    # r7-green remainder: first in line for round 11
+    # 16-26: dedup (11 queries, r7)
     dedup,
+    # 27: packing (r7)
     packing,
+    # 28-29: quality (r7)
     quality,
+    # 30: curation_full (r7; folds after its dedup/packing/quality deps)
     curation_full,
+    # 31-34: aggregates (r7)
     aggregates,
+    # 35-36: formats (r7)
     formats,
+    # 37-40: reshaping (r7)
     reshaping,
+    # 41-47: joins (r7)
     joins,
+    # 48-50: nested (r7) -- the cut lands on the module boundary
     nested,
+    # --- 50-query window cut ---
+    # r7-green remainder: first in line for round 12
     python_udfs,
     # r8-green
     matching,
@@ -134,11 +101,10 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     cohorts,
     setops,
     temporal,
-    # r9-green (freshest evidence, rotated out of the window)
+    # r9-green
     runtime_filters,
     incremental,
     binary_source,
-    schema_evolution,
     tpch_extra3,
     streaming_queries,
     layout,
@@ -158,4 +124,28 @@ from discogs_xml_to_parquet_spark.registry import query as _query
 # groups it with similarity.
 _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
     similarity.q_ann_bruteforce_topk
+)
+
+from discogs_xml_to_parquet_spark.queries import (  # noqa: F401,E402
+    # r10-green (freshest evidence, rotated out of the window)
+    streaming_restart,
+    compaction,
+    sketch_rollup,
+    constraints,
+    profiling,
+    drift,
+    conversion,
+    timeseries,
+    text_extra,
+    stats_extra,
+    windows_extra,
+    scd,
+    cdc,
+    quality_model,
+    vocab,
+    multimodal_audio,
+    decontam,
+    scoring,
+    formats_extra,
+    sampling,
 )

@@ -622,6 +622,186 @@ def publish_next_version(spark: SparkSession, table: str,
     return cur
 
 
+def delta2_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SECOND deterministic delta for the multi-generation chain:
+    +5.00 price, status 'V', keys % 11 == 0, confined to 1995-Q2 --
+    a NARROWER window than delta_frame's H1, so v2 re-rewrites a
+    subset of v1's months (04-06) and shares the rest (01-03): the
+    shape that gives VACUUM both branches to prove (unreferenced
+    first-generation dirs die, still-referenced ones outlive their
+    snapshot). Derived from the live orders table so the DuckDB
+    oracle re-derives it in SQL."""
+    o = load(spark, sf_dir, "orders")
+    win = (
+        (F.col("o_orderdate") >= F.lit(_WIN2_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_WIN_HI).cast("timestamp"))
+    )
+    return (
+        o.filter(win & (F.col("o_orderkey") % _UPD2_MOD == 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("V").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+    )
+
+
+_UPD2_MOD = 11
+_WIN2_LO = "1995-04-01"
+
+
+def _snapshot_inventory(vdir: Path) -> dict[str, tuple[int, str]]:
+    """Resolved file inventory of one version manifest: every data
+    file each month pointer leads to, keyed by month/name -- the
+    byte-level identity of the SNAPSHOT (not of the manifest dir,
+    whose entries may be pointers)."""
+    out: dict[str, tuple[int, str]] = {}
+    for m in sorted(vdir.glob("o_month=*")):
+        for f in sorted(m.resolve().rglob("*")):
+            if f.is_file() and not f.name.startswith(("_", ".")):
+                out[f"{m.name}/{f.name}"] = (
+                    f.stat().st_size,
+                    hashlib.md5(f.read_bytes()).hexdigest())
+    return out
+
+
+def run_retention(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Build the 3-generation chain (v0 base manifest, v1 = delta1's
+    H1 merge, v2 = delta2's Q2 merge on top), vacuum with
+    keep=[v0, v2], and audit what retention must and must not do.
+    Returns (table root, facts):
+
+    - bytes_reclaimed > 0: exactly v1's own copies of the months v2
+      re-rewrote (04-06) are unreferenced and die;
+    - kept_intact: the RESOLVED file inventories of v0 and v2 are
+      byte-identical across the vacuum -- including v1-generation
+      dirs that v2 still points at (01-03): a data file outlives the
+      snapshot that created it until no kept manifest references it;
+    - expired_unreadable: v1 can no longer serve its snapshot (its
+      month set shrank -- pointers stripped, unreferenced dirs gone).
+    """
+    table, _ = versioned_merge(spark, sf_dir)
+    publish_next_version(spark, str(table), delta2_frame(spark, sf_dir))
+    t = Path(table)
+    keep_before = {v: _snapshot_inventory(t / v) for v in ("v0", "v2")}
+    v1_months_before = sorted(
+        p.name for p in (t / "v1").glob("o_month=*"))
+    vfacts = vacuum(table, keep=["v0", "v2"])
+    keep_after = {v: _snapshot_inventory(t / v) for v in ("v0", "v2")}
+    v1_months_after = sorted(
+        p.name for p in (t / "v1").glob("o_month=*")
+    ) if (t / "v1").exists() else []
+    facts = {
+        "bytes_reclaimed": vfacts["bytes_reclaimed"],
+        "deleted_dirs": vfacts["deleted_dirs"],
+        "kept_intact": keep_before == keep_after,
+        "expired_unreadable": (
+            len(v1_months_after) < len(v1_months_before)),
+    }
+    return table, facts
+
+
+@query(
+    "q_vacuum_retention",
+    oracle=f"""
+WITH d1u AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % {_UPD_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+),
+d2 AS (
+  SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice,
+         'V' AS o_orderstatus
+  FROM orders
+  WHERE o_orderkey % {_UPD2_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN2_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+),
+v2 AS (
+  SELECT o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d1u)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM d2)
+  UNION ALL
+  SELECT o_totalprice + 10.0, 'U' FROM orders
+  WHERE o_orderkey % {_UPD_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM d2)
+  UNION ALL
+  SELECT o_totalprice, 'I' FROM orders
+  WHERE o_orderkey % {_INS_MOD} = 0
+    AND o_orderdate >= TIMESTAMP '{_WIN_LO}'
+    AND o_orderdate < TIMESTAMP '{_WIN_HI}'
+  UNION ALL
+  SELECT o_totalprice, o_orderstatus FROM d2
+)
+SELECT 'v0' AS version, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000 AS revenue,
+       0 AS n_changed,
+       TRUE AS bytes_reclaimed, TRUE AS kept_intact,
+       TRUE AS expired_unreadable
+FROM orders
+UNION ALL
+SELECT 'v2', COUNT(*),
+       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000,
+       COUNT(*) FILTER (WHERE o_orderstatus IN ('U', 'I', 'V')),
+       TRUE, TRUE, TRUE
+FROM v2
+ORDER BY version
+""",
+)
+def q_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-counted retention over the 3-generation publish
+    chain: v0 and v2 are read back AFTER vacuum(keep=[v0, v2]) and
+    checksummed -- v0 against the raw orders table, v2 against the
+    SQL reconstruction of delta1-then-delta2 applied over base (a
+    key double-applied, a v1 survivor lost, or a still-referenced
+    v1-generation file deleted by the vacuum all break the hash).
+    The booleans carry the retention contract: `bytes_reclaimed` =
+    exactly the unreferenced first-generation dirs died and freed
+    bytes, `kept_intact` = both kept snapshots resolve to
+    byte-identical file inventories across the vacuum (data files
+    outlive their creating snapshot until unreferenced),
+    `expired_unreadable` = the expired v1 lost months and can no
+    longer serve its snapshot. Weekly-retention shape at 100 TB:
+    the whole pass is driver-side metadata + unlink of unreferenced
+    dirs -- no data is read or rewritten (the two snapshot reads
+    here are the AUDIT, not the vacuum)."""
+    table, facts = run_retention(spark, sf_dir)
+
+    def snap(version: str, tag: str) -> DataFrame:
+        return (
+            spark.read.parquet(str(Path(table) / version))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(F.col("o_totalprice")).alias("revenue"),
+                F.count(F.when(
+                    F.col("o_orderstatus").isin("U", "I", "V"), 1)).alias(
+                        "n_changed"),
+            )
+            .withColumn("version", F.lit(tag))
+        )
+
+    return (
+        snap("v0", "v0").unionByName(snap("v2", "v2"))
+        .withColumn("bytes_reclaimed",
+                    F.lit(bool(facts["bytes_reclaimed"] > 0)))
+        .withColumn("kept_intact", F.lit(bool(facts["kept_intact"])))
+        .withColumn("expired_unreadable",
+                    F.lit(bool(facts["expired_unreadable"])))
+        .select("version", "n_rows", "revenue", "n_changed",
+                "bytes_reclaimed", "kept_intact", "expired_unreadable")
+        .orderBy("version")
+    )
+
+
 def vacuum(table: str, keep: list[str]) -> dict:
     """Reference-counted retention: delete every partition directory
     OWNED by this table (a real dir under an expired version -- never

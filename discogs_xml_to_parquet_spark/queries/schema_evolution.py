@@ -34,6 +34,8 @@ from discogs_xml_to_parquet_spark.tables import load
 _VERSION = 1
 # the date the o_orderpriority column "started being captured"
 _EVOLVED_AT = "1995-07-01"
+# the date o_custkey was widened int32 -> int64 in the writer
+_WIDENED_AT = "1995-07-01"
 
 _REV_SQL = ("CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) "
             "AS BIGINT)) AS DOUBLE) / 1000000")
@@ -105,4 +107,77 @@ def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
         .orderBy("priority")
+    )
+
+
+# --- type widening: int32 -> int64 across generations -----------------
+
+def staged_widening_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation parquet directory where o_custkey WIDENS: gen=0
+    (pre-boundary) wrote it as int32, gen=1 writes int64. The
+    directory a long-lived pipeline leaves behind when a key column
+    outgrows its original type."""
+    slug = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(sf_dir, "orders.parquet")
+
+    def build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        old = o.filter(F.col("o_orderdate") < _WIDENED_AT).withColumn(
+            "o_custkey", F.col("o_custkey").cast("int"))
+        new = o.filter(F.col("o_orderdate") >= _WIDENED_AT)
+        old.write.mode("overwrite").parquet(f"{tmp}/gen=0")
+        new.write.mode("overwrite").parquet(f"{tmp}/gen=1")
+
+    return _staged(
+        f"spark_graft_schemawiden_v{_VERSION}_{slug}_{fp}", build
+    )
+
+
+@query(
+    "q_schema_evolution_widening",
+    oracle="""
+SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y') AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+       TRUE AS widened
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_schema_evolution_widening(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Type-widening scan: the mixed int32/int64 directory is read
+    with the EXPLICIT widened schema (o_custkey: bigint) -- the
+    production route, where the catalog/table format records the
+    widened type and the parquet reader upcasts int32 pages per file
+    at scan time; NO historical rewrite. mergeSchema cannot take this
+    directory (Spark's footer reconciliation refuses INT-vs-BIGINT --
+    CANNOT_MERGE_SCHEMAS, pinned as a negative pytest together with
+    the double-vs-string case), which is exactly why real formats
+    carry the authoritative schema in metadata instead of deriving it
+    from footers. The per-year checksum over BOTH generations breaks
+    if either slice is dropped, double-read, or mis-cast, and
+    `widened` pins the scan's resolved dtype.
+
+    Scale shape: schema resolution is metadata-only; the scan is one
+    map-side pass + a K-group aggregate, identical to the
+    added-column lane (q_schema_evolution_scan)."""
+    src = staged_widening_orders(spark, sf_dir)
+    wide = load(spark, sf_dir, "orders").schema
+    df = (
+        spark.read.schema(wide)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    widened = dict(df.dtypes)["o_custkey"] == "bigint"
+    return (
+        df.groupBy(
+            F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+        .withColumn("widened", F.lit(bool(widened)))
+        .orderBy("order_year")
     )

@@ -94,6 +94,14 @@ DEFAULT = [
     # violation counts at 10x: ~10x cap-rule violations, still zero
     # orphans/dupes by the shard construction)
     "q_constraint_audit",
+    # r11: retention at the 10x chain -- v0/v2 snapshots must stay
+    # byte-identical across the vacuum over ~10x files, and the SQL
+    # reconstruction of delta1-then-delta2 must hash-match v2
+    "q_vacuum_retention",
+    # r11: the widening scan at 10x -- the int32 generation still
+    # fits (10x custkeys stay under 2^31), the explicit-schema upcast
+    # must stay value-exact over both generations
+    "q_schema_evolution_widening",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

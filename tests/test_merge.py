@@ -362,6 +362,30 @@ def test_multi_generation_publish_and_vacuum(spark):
     shutil.rmtree(table2, ignore_errors=True)
 
 
+def test_run_retention_facts(spark):
+    """The q_vacuum_retention lane's layout audit: vacuum(keep=[v0,v2])
+    over the 3-generation chain reclaims EXACTLY v1's own copies of
+    the months v2 re-rewrote (1995-04..06, delta2's Q2 window), both
+    kept snapshots stay byte-identical, and the expired v1 loses
+    months (pointers stripped + unreferenced dirs gone)."""
+    from discogs_xml_to_parquet_spark.queries.merge import run_retention
+
+    table, facts = run_retention(spark, SF_SMOKE)
+    assert facts["bytes_reclaimed"] > 0
+    assert facts["kept_intact"]
+    assert facts["expired_unreadable"]
+    deleted = sorted(facts["deleted_dirs"])
+    # every reclaimed dir is a v1 generation of a Q2 month (delta2's
+    # window); at least one exists. (Which Q2 months v1 owns is
+    # SF-dependent -- a delta-free month stays a pointer, e.g.
+    # 1995-05 at the smoke SF.)
+    assert deleted, facts
+    assert all(
+        d.startswith("v1/o_month=1995-0") and d[-1] in "456"
+        for d in deleted), deleted
+    shutil.rmtree(table, ignore_errors=True)
+
+
 def test_vacuum_keep_all_is_noop(spark):
     """Retention guard: vacuuming while keeping every version deletes
     nothing and reclaims zero bytes."""

@@ -114,6 +114,48 @@ def test_evolving_orders_generations_differ_in_schema(spark):
     assert set(old_cols) == set(new_cols) - {"o_orderpriority"}
 
 
+def test_widening_generations_differ_in_type(spark):
+    """staged_widening_orders: gen=0 must carry o_custkey as int32,
+    gen=1 as int64 -- the widening premise, pinned so a refactor
+    cannot quietly write both generations wide (the query would still
+    pass its oracle but stop testing type evolution)."""
+    from discogs_xml_to_parquet_spark.queries import schema_evolution as SE
+
+    root = SE.staged_widening_orders(spark, SF_SMOKE)
+    old_t = dict(spark.read.parquet(f"{root}/gen=0").dtypes)["o_custkey"]
+    new_t = dict(spark.read.parquet(f"{root}/gen=1").dtypes)["o_custkey"]
+    assert old_t == "int"
+    assert new_t == "bigint"
+
+
+def test_merge_schema_refuses_type_conflicts(spark, tmp_path):
+    """The documented failure modes behind the explicit-schema route:
+    Spark's footer reconciliation (mergeSchema) refuses BOTH the
+    widenable INT-vs-BIGINT mix and the incompatible
+    DOUBLE-vs-STRING mix with CANNOT_MERGE_SCHEMAS -- which is why
+    q_schema_evolution_widening reads with the catalog's widened
+    schema instead of deriving one from footers."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from discogs_xml_to_parquet_spark.queries import schema_evolution as SE
+
+    root = SE.staged_widening_orders(spark, SF_SMOKE)
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        (spark.read.option("mergeSchema", "true")
+         .option("recursiveFileLookup", "true").parquet(root).schema)
+
+    bad = str(tmp_path / "bad")
+    spark.range(3).select(F.col("id").cast("double").alias("x")).write \
+        .parquet(f"{bad}/gen=0")
+    spark.range(3).select(F.col("id").cast("string").alias("x")).write \
+        .parquet(f"{bad}/gen=1")
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        (spark.read.option("mergeSchema", "true")
+         .option("recursiveFileLookup", "true").parquet(bad).schema)
+
+
 def test_bucketed_fact_tables_reuse_within_app(spark):
     """bucketed_fact_tables: the second call must short-circuit on
     tableExists (no rewrite -- data files untouched), and the tables

@@ -10,10 +10,10 @@ and r8 suites both went red at judging time because the driver landing
 the round's artifact re-ranked the just-checked queries -- a designed
 tripwire that fired twice is a process bug. window(max_round=
 DERIVED_AT_ROUND) ignores artifacts newer than the pinned round, so
-landing CORRECTNESS_r10.json cannot flip this suite; re-deriving for
-r11 is one deliberate commit: bump DERIVED_AT_ROUND to 10, update
+landing CORRECTNESS_r11.json cannot flip this suite; re-deriving for
+r12 is one deliberate commit: bump DERIVED_AT_ROUND to 11, update
 CHANGED/PIN, and paste the order printed by
-`python scripts/window_plan.py --max-round 10 --changed <r11 changed>`.
+`python scripts/window_plan.py --max-round 11 --changed <r12 changed>`.
 """
 
 from __future__ import annotations
@@ -24,33 +24,31 @@ registry.load_all_queries()
 
 WINDOW_SIZE = 50
 
-# The round whose artifacts this derivation used (artifacts r1..r9;
-# CORRECTNESS_r10.json and later are ignored by the fixed-point test).
-DERIVED_AT_ROUND = 9
+# The round whose artifacts this derivation used (artifacts r1..r10;
+# CORRECTNESS_r11.json and later are ignored by the fixed-point test).
+DERIVED_AT_ROUND = 10
 
-# Round-10 policy inputs that artifacts cannot express:
-# - q_distribution_drift CHANGED: the ADVICE r9 NULLIF divisor guard
-#   changed both the Spark expression and the oracle SQL the driver
-#   runs (values identical on current data; latent-divergence fix).
-# - q_setsim_prefix_join CHANGED: r10 verification rewrite (lossless
-#   length + positional PPJoin residuals in the candidate join,
-#   broadcast set tables) -- values identical, plan 5x faster at
-#   sf0.1.
-# - conversion PINNED: the trio's evidence is r7 and the
-#   max-3-rounds-unverified freshness pin (VERDICT r5) expires at r10
-#   -- a scheduling constraint older-evidence ranking alone would
-#   leave at slot ~64.
-# The four r10-NEW queries (q_stream_restart, q_compact_partitioned,
-# q_compact_files, q_profile_columns_approx) need no entry: rank 0
-# covers never-checked.
-R10_CHANGED = frozenset({"q_distribution_drift", "q_setsim_prefix_join"})
-R10_PIN: tuple[str, ...] = ("conversion",)
+# Round-11 policy inputs that artifacts cannot express:
+# - q_setsim_prefix_join CHANGED: the r11 distinct-token-set collapse
+#   rewrote candidate generation (values identical, hash re-pinned
+#   locally at sf0.001/sf0.01; 9x faster at sf0.1, 3.4x-for-10x).
+# - q_source_python_datasource CHANGED: the stream reader's offsets
+#   became filename SETS (ADVICE r10 backfill fix) -- the registered
+#   connector the driver query reads through changed.
+# The two r11-NEW queries (q_vacuum_retention,
+# q_schema_evolution_widening) need no entry: rank 0 covers
+# never-checked, and their modules (merge, schema_evolution) ride
+# forward whole. No pins: the conversion trio's evidence is r10,
+# fresh until r13 under the max-3-rounds-unverified guarantee.
+R11_CHANGED = frozenset(
+    {"q_setsim_prefix_join", "q_source_python_datasource"})
+R11_PIN: tuple[str, ...] = ()
 
 
 def test_import_order_is_policy_fixed_point():
     """The first 50 registered queries ARE the policy window."""
     want = registry.window(
-        size=WINDOW_SIZE, changed=R10_CHANGED, pin=R10_PIN,
+        size=WINDOW_SIZE, changed=R11_CHANGED, pin=R11_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     got = list(registry.QUERIES)[:WINDOW_SIZE]
@@ -82,10 +80,10 @@ def test_derivation_is_stable_under_new_artifacts(tmp_path):
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
     pinned = registry.window(
         size=WINDOW_SIZE, artifacts_dir=str(tmp_path),
-        changed=R10_CHANGED, pin=R10_PIN, max_round=DERIVED_AT_ROUND,
+        changed=R11_CHANGED, pin=R11_PIN, max_round=DERIVED_AT_ROUND,
     )
     baseline = registry.window(
-        size=WINDOW_SIZE, changed=R10_CHANGED, pin=R10_PIN,
+        size=WINDOW_SIZE, changed=R11_CHANGED, pin=R11_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     assert pinned == baseline
@@ -106,65 +104,56 @@ def test_window_contains_every_never_checked_query():
     assert not missing, f"never-checked queries outside window: {missing}"
 
 
-def test_r10_window_contents():
-    """The round-10 membership decisions, pinned explicitly: the NEW
-    queries' modules lead (the checkpoint-restart lane, the two
-    compaction passes, the copy-on-write MERGE, the approx profiler
-    with q_profile_columns riding), the CHANGED drift monitor and
-    setsim join follow, then the PINNED conversion trio (freshness pin
-    expiry -- VERDICT r9 item 1), the six r5-evidence queries VERDICT
-    r9 item 1 named, the ENTIRE r6 cohort, and the oldest r7 evidence
-    (tpch_extra); the 50-cut lands one short of the module boundary,
-    so q21_suppliers_waiting leads the r11 remainder with dedup.
-    Nothing in the window has fresher evidence than r7 except the
-    new/changed/riding heads."""
+def test_r11_window_contents():
+    """The round-11 membership decisions, pinned explicitly: the two
+    NEW lanes lead with their riding modules (merge whole -- VACUUM
+    retention plus the r10 trio re-checking the ADVICE guards;
+    schema_evolution whole -- the widening lane plus the r9 scan),
+    the CHANGED connector and setsim join follow, then the oldest
+    evidence: tpch_extra's six r7 queries (q10 rides) and the ENTIRE
+    r7 cohort through nested. The 50-cut lands exactly on the
+    nested/python_udfs module boundary, so python_udfs leads the r12
+    remainder. Nothing in the window has evidence fresher than r7
+    except the new/changed/riding heads."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         # new + riding + changed heads
-        "q_stream_restart", "q_compact_partitioned", "q_compact_files",
-        "q_merge_upsert", "q_time_travel", "q_table_diff",
-        "q_source_python_datasource",
-        "q_hll_union_rollup", "q_constraint_audit",
-        "q_profile_columns_approx", "q_profile_columns",
-        "q_distribution_drift", "q_setsim_prefix_join",
-        # the pinned conversion trio
-        "discogs_xml_conversion", "discogs_conversion_stats",
-        "discogs_explode_artists",
-        # the six r5-evidence queries
-        "q_sessionize_events", "q_gapfill_timeseries",
-        "q_cumulative_distinct", "q_chunk_documents",
-        "q_token_cooccurrence", "q_regex_extract_all",
-        # r6 cohort spot checks (first/last of each family)
-        "q_stats_moments", "q_histogram_fixed",
-        "q_window_distribution", "q_ratio_to_report",
-        "q_scd2_merge", "q_cdc_apply", "q_time_weighted_avg",
-        "q_quality_classifier", "q_bpe_pair_counts",
-        "q_multimodal_audio_energy", "q_decontaminate_bloom",
-        "q_bm25_search", "q_source_orc_roundtrip",
-        "q_reservoir_per_group",
-        # oldest r7 + the cut query
-        "q10_returned_items",
-    ):
-        assert must in win, must
-    assert win[-1] == "q10_returned_items"  # cut six short of the
-    # tpch_extra/dedup boundary: the six mid-round additions (merge +
-    # time travel + table diff, python_datasource, sketch_rollup,
-    # constraints) took the tail slots
-    for out in (
-        # the displaced tpch_extra tail and the r7 dedup cohort ->
-        # r11 leaders
-        "q14_promo_revenue", "q18_large_volume",
+        "q_vacuum_retention", "q_merge_upsert", "q_time_travel",
+        "q_table_diff",
+        "q_schema_evolution_widening", "q_schema_evolution_scan",
+        "q_source_python_datasource", "q_setsim_prefix_join",
+        # oldest evidence: tpch_extra (q10 r10 rides at module head)
+        "q10_returned_items", "q14_promo_revenue", "q18_large_volume",
         "q5_local_supplier_volume", "q6_forecast_revenue",
         "q19_discounted_revenue", "q21_suppliers_waiting",
-        "q_dedup_exact",
-        "q_dedup_minhash_lsh", "q_dedup_components", "q_pack_sequences",
-        "q_quality_repetition", "q_curation_pipeline",
-        "q_agg_distinct", "q_join_star_revenue",
+        # the r7 cohort (first/last of each family)
+        "q_dedup_exact", "q_dedup_containment",
+        "q_pack_sequences",
+        "q_quality_repetition", "q_quality_gopher_filter",
+        "q_curation_pipeline",
+        "q_agg_distinct", "q_agg_grouping_sets",
+        "q_source_csv_roundtrip", "q_source_json_roundtrip",
+        "q_pivot", "q_percentiles",
+        "q_join_star_revenue", "q_skew_salted_join",
+        "q_explode_wordcount", "q_nested_collect",
+    ):
+        assert must in win, must
+    assert win[-1] == "q_nested_collect"  # cut ON the module boundary
+    for out in (
+        # the r7 remainder -> r12 leader
+        "q_pandas_udf_scalar", "q_apply_in_pandas",
+        # r8-green stays out
+        "q_fuzzy_blocked", "q_pagerank_bipartite", "q_stats_mad",
         # r9-green stays out
         "q_join_aqe_skew", "q_incremental_rollup",
-        "q_stream_dedup_exact",
-        "q_zorder_layout", "q1_pricing_summary",
-        "q_ann_bruteforce_topk",
+        "q_stream_dedup_exact", "q_zorder_layout",
+        "q1_pricing_summary", "q_ann_bruteforce_topk",
+        # r10-green rotated out
+        "q_stream_restart", "q_compact_files", "q_hll_union_rollup",
+        "q_constraint_audit", "q_profile_columns",
+        "q_distribution_drift", "discogs_xml_conversion",
+        "q_sessionize_events", "q_stats_moments", "q_scd2_merge",
+        "q_reservoir_per_group",
     ):
         assert out not in win, out
 
