@@ -12,12 +12,15 @@ The pattern for image/audio/video at 100 TB:
 - partitioning stays row-count based (``maxRecordsPerBatch`` tuned down
   for fat rows) so a batch of decoded frames fits executor memory
 
-The decode libraries (PIL/ffmpeg/...) are not in this container, so
-``decode_image`` raises NotImplementedError and the shipped feature
-extractor computes deterministic byte-level features instead -- the
-Spark-side plumbing (schema, batching, UDF signature) is real and
-oracle-checked; swap `_features_of` for a real decoder without touching
-the dataflow.
+The heavyweight decode libraries (PIL/ffmpeg/...) are not in this
+container, so ``decode_image`` is a PURE-PYTHON decoder for the two
+classic uncompressed formats -- PPM (P6 binary / P3 ASCII) and 24-bit
+uncompressed BMP -- and the r11 image lane
+(queries/multimodal_image.py) round-trips BOTH codecs through real
+encode -> opaque binary -> decode -> integer reductions, oracle-checked
+like the audio lane. A production build swaps in PIL/torchvision for
+JPEG/PNG without touching the dataflow; the byte-level feature
+extractor below remains for payloads of unknown format.
 """
 
 from __future__ import annotations
@@ -55,14 +58,95 @@ def attach_payload(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder stub -- image/audio libs are not in this container.
-    A production build plugs PIL/torchvision/ffmpeg in here; everything
-    around it (batching, schema, partitioning) is already in place."""
-    raise NotImplementedError(
-        "media decoding requires an image/audio library not present in "
-        "this environment; see module docstring"
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, rows stored
+    bottom-up as BGR with 4-byte padding -- the classic on-disk
+    layout."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = a.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        a[r, :, ::-1].tobytes() + b"\x00" * pad  # bottom-up, BGR
+        for r in range(h - 1, -1, -1)
     )
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_image(payload: bytes):
+    """Pure-Python image decode for PPM (P6 binary / P3 ASCII) and
+    24-bit uncompressed BMP, dispatched on magic bytes. Returns an
+    (h, w, 3) uint8 RGB numpy array. The fallback that makes the
+    image lane runnable in this container (VERDICT r10 item 7); a
+    production build adds PIL/torchvision branches here for
+    JPEG/PNG."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] in (b"P6", b"P3"):
+        # PPM: magic, whitespace/comment-separated w h maxval, raster
+        toks: list[bytes] = []
+        i = 2
+        while len(toks) < 3:
+            while i < len(payload) and payload[i:i + 1].isspace():
+                i += 1
+            if payload[i:i + 1] == b"#":  # comment to end of line
+                i = payload.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+        w, h, maxval = (int(t) for t in toks)
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        if payload[:2] == b"P6":
+            raster = payload[i + 1:i + 1 + w * h * 3]  # one ws after maxval
+            a = np.frombuffer(raster, dtype=np.uint8, count=w * h * 3)
+        else:
+            a = np.array(payload[i:].split()[:w * h * 3], dtype=np.uint8)
+        return a.reshape(h, w, 3)
+    if payload[:2] == b"BM":
+        off, = struct.unpack_from("<I", payload, 10)
+        size, w, h, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", payload, 14)
+        if size < 40 or bpp != 24 or comp != 0:
+            raise ValueError(
+                f"unsupported BMP (header {size}, {bpp} bpp, "
+                f"compression {comp})")
+        row = w * 3
+        stride = row + (4 - row % 4) % 4
+        rows = [
+            np.frombuffer(payload, np.uint8, row, off + r * stride)
+            for r in range(abs(h) - 1, -1, -1)  # stored bottom-up
+        ]
+        if h < 0:  # top-down variant
+            rows.reverse()
+        return np.stack(rows).reshape(abs(h), w, 3)[:, :, ::-1]  # BGR->RGB
+    raise ValueError(
+        f"unknown image magic {payload[:2]!r}: this build decodes "
+        "PPM (P3/P6) and 24-bit uncompressed BMP; plug PIL in here "
+        "for JPEG/PNG")
 
 
 def _features_of(doc_id: int, payload: bytes) -> tuple:
@@ -228,3 +312,96 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "pcm").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+# --- REAL image lane: PPM/BMP encode + pure-Python decode -------------
+#
+# The image twin of the PCM audio lane: stage 1 synthesizes a small
+# deterministic RGB image per row and BYTE-PACKS it through a REAL
+# codec (even doc_ids -> binary PPM, odd -> 24-bit uncompressed BMP,
+# so both decoders are exercised in one pass); stage 2 decodes the
+# opaque payload back and reduces it to integer channel sums an
+# oracle can rebuild arithmetically.
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("img", T.BinaryType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+])
+
+_PX_DID = 31   # pixel generator: value = (doc_id*31 + r*7 + c*3
+_PX_ROW = 7    # + ch*11) % 256 -- a pure function of
+_PX_COL = 3    # (doc_id, row, col, channel) so an oracle can rebuild
+_PX_CH = 11    # every channel sum without decoding anything
+
+
+def _pixels_of(doc_id: int):
+    import numpy as np
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((doc_id * _PX_DID + r * _PX_ROW + c * _PX_COL + ch * _PX_CH)
+            % 256).astype("uint8")
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stage 1 (ingest): a (3 + id%4) x (4 + id%5) RGB image per row,
+    encoded through a real codec -- PPM for even ids, BMP for odd --
+    leaving this stage as opaque binary, exactly like a parquet table
+    of real thumbnails."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img, nbytes = [], []
+            for d in pdf[id_col]:
+                px = _pixels_of(int(d))
+                b = encode_ppm(px) if d % 2 == 0 else encode_bmp(px)
+                img.append(b)
+                nbytes.append(len(b))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "img": img, "n_bytes": nbytes}
+            )
+
+    return df.select(id_col).mapInPandas(run, IMAGE_SCHEMA)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Stage 2 (decode + reduce): decode_image dispatches on the magic
+    bytes (PPM vs BMP), and integer reductions produce dimensions and
+    per-channel sums -- cross-engine checkable, codec-independent (a
+    BMP and a PPM of the same pixels reduce identically, which is the
+    lossless-round-trip pin)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_FEATURE_SCHEMA.fields}
+            for d, b in zip(pdf["doc_id"], pdf["img"]):
+                a = decode_image(bytes(b)).astype(np.int64)
+                h, w, _ = a.shape
+                out["doc_id"].append(int(d))
+                out["codec"].append(
+                    "ppm" if bytes(b)[:1] == b"P" else "bmp")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(a[:, :, 0].sum()))
+                out["sum_g"].append(int(a[:, :, 1].sum()))
+                out["sum_b"].append(int(a[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "img").mapInPandas(
+        run, IMAGE_FEATURE_SCHEMA)

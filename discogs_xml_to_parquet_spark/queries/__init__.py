@@ -29,20 +29,25 @@ pin=(), max_round=10):
   item 6: int32->int64 across generations via the explicit catalog
   schema, mergeSchema's refusal pytest-pinned; r9
   q_schema_evolution_scan rides);
-- 7: python_datasource CHANGED (ADVICE r10: the stream reader's
+- 7: multimodal_image rank 0 (q_multimodal_image_decode NEW --
+  item 7: the pure-Python PPM/BMP decoder replacing the repo's one
+  NotImplementedError, both codecs round-tripped in one
+  oracle-checked lane);
+- 8: python_datasource CHANGED (ADVICE r10: the stream reader's
   offsets became filename SETS -- backfill-proof exactly-once);
-- 8: setsim CHANGED (item 1: the distinct-token-set collapse --
+- 9: setsim CHANGED (item 1: the distinct-token-set collapse --
   5.2 s at sf0.1 / 3.4x wall for 10x data, was 47 s / 22x);
-- 9-15: tpch_extra, the oldest-evidence module (six r7 queries;
+- 10-16: tpch_extra, the oldest-evidence module (six r7 queries;
   r10-green q10_returned_items rides at the module head);
-- 16-50: the r7 cohort in evidence order -- dedup (11), packing,
+- 17-50: the r7 cohort in evidence order -- dedup (11), packing,
   quality (2), curation_full, aggregates (4), formats (2),
-  reshaping (4), joins (7), nested (3); the 50-cut lands exactly on
-  the nested/python_udfs module boundary (after q_nested_collect),
-  so python_udfs leads the r12 remainder with the r8 cohort.
+  reshaping (4), joins (7), nested (first 2 of 3); the 50-cut lands
+  mid-nested after q_array_ops, so q_nested_collect leads the r12
+  remainder with python_udfs and the r8 cohort.
 
 After this window nothing in the registry has evidence older than r7,
-and the oldest unchecked evidence anywhere is r7 (python_udfs).
+and the oldest unchecked evidence anywhere is r7 (q_nested_collect,
+python_udfs).
 
 The staging helpers these modules share live in ../staging.py, OUTSIDE
 this package, so importing them cannot drag a query module forward in
@@ -58,31 +63,36 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # 5-6: q_schema_evolution_widening NEW (int32->int64 via explicit
     # catalog schema; mergeSchema refusal pinned); r9 scan lane rides
     schema_evolution,
-    # 7: q_source_python_datasource CHANGED (filename-set stream
+    # 7: q_multimodal_image_decode NEW (pure-Python PPM/BMP round
+    # trip -- the image decoder the r10 verdict's last-skip item
+    # asked for, oracle-checked like the audio lane)
+    multimodal_image,
+    # 8: q_source_python_datasource CHANGED (filename-set stream
     # offsets -- backfill-proof exactly-once, ADVICE r10)
     python_datasource,
-    # 8: q_setsim_prefix_join CHANGED (distinct-set collapse before
+    # 9: q_setsim_prefix_join CHANGED (distinct-set collapse before
     # the prefix join -- the r10 scale-killer fix)
     setsim,
-    # 9-15: oldest evidence, r7 cohort begins (q10 rides at head)
+    # 10-16: oldest evidence, r7 cohort begins (q10 rides at head)
     tpch_extra,
-    # 16-26: dedup (11 queries, r7)
+    # 17-27: dedup (11 queries, r7)
     dedup,
-    # 27: packing (r7)
+    # 28: packing (r7)
     packing,
-    # 28-29: quality (r7)
+    # 29-30: quality (r7)
     quality,
-    # 30: curation_full (r7; folds after its dedup/packing/quality deps)
+    # 31: curation_full (r7; folds after its dedup/packing/quality deps)
     curation_full,
-    # 31-34: aggregates (r7)
+    # 32-35: aggregates (r7)
     aggregates,
-    # 35-36: formats (r7)
+    # 36-37: formats (r7)
     formats,
-    # 37-40: reshaping (r7)
+    # 38-41: reshaping (r7)
     reshaping,
-    # 41-47: joins (r7)
+    # 42-48: joins (r7)
     joins,
-    # 48-50: nested (r7) -- the cut lands on the module boundary
+    # 49-50: nested (r7) -- the cut lands mid-module after
+    # q_array_ops; q_nested_collect leads the r12 remainder
     nested,
     # --- 50-query window cut ---
     # r7-green remainder: first in line for round 12

@@ -102,6 +102,9 @@ DEFAULT = [
     # fits (10x custkeys stay under 2^31), the explicit-schema upcast
     # must stay value-exact over both generations
     "q_schema_evolution_widening",
+    # r11: the PPM/BMP round trip over 10x doc_ids (1e8-offset ids
+    # exercise the pixel arithmetic far outside the sf0.1 range)
+    "q_multimodal_image_decode",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

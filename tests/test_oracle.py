@@ -52,8 +52,18 @@ def test_oracle_result_types_driver_safe(spark, name):
     assert not problems, "\n".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_query_runs(spark, name):
-    df = registry.QUERIES[name](spark, SF_ORACLE)
-    assert df.columns, f"{name}: no columns"
-    assert df.count() > 0, f"{name}: vacuous rows-only check -- empty result"
+def test_rows_only_queries_run(spark):
+    """Weaker rows-only check for oracle-less queries -- and when the
+    list is EMPTY, pin the stronger invariant directly instead of
+    skipping (r10's suite reported its one skip here, from pytest's
+    empty-parameter-set behavior): every registered query is
+    oracle-backed, the strongest correctness posture the driver
+    offers."""
+    if not ROWS_ONLY_NAMES:
+        assert set(registry.QUERIES) == set(registry.ORACLES)
+        return
+    for name in ROWS_ONLY_NAMES:
+        df = registry.QUERIES[name](spark, SF_ORACLE)
+        assert df.columns, f"{name}: no columns"
+        assert df.count() > 0, (
+            f"{name}: vacuous rows-only check -- empty result")

@@ -35,11 +35,12 @@ DERIVED_AT_ROUND = 10
 # - q_source_python_datasource CHANGED: the stream reader's offsets
 #   became filename SETS (ADVICE r10 backfill fix) -- the registered
 #   connector the driver query reads through changed.
-# The two r11-NEW queries (q_vacuum_retention,
-# q_schema_evolution_widening) need no entry: rank 0 covers
-# never-checked, and their modules (merge, schema_evolution) ride
-# forward whole. No pins: the conversion trio's evidence is r10,
-# fresh until r13 under the max-3-rounds-unverified guarantee.
+# The three r11-NEW queries (q_vacuum_retention,
+# q_schema_evolution_widening, q_multimodal_image_decode) need no
+# entry: rank 0 covers never-checked, and their modules (merge,
+# schema_evolution, multimodal_image) ride forward whole. No pins:
+# the conversion trio's evidence is r10, fresh until r13 under the
+# max-3-rounds-unverified guarantee.
 R11_CHANGED = frozenset(
     {"q_setsim_prefix_join", "q_source_python_datasource"})
 R11_PIN: tuple[str, ...] = ()
@@ -110,10 +111,10 @@ def test_r11_window_contents():
     retention plus the r10 trio re-checking the ADVICE guards;
     schema_evolution whole -- the widening lane plus the r9 scan),
     the CHANGED connector and setsim join follow, then the oldest
-    evidence: tpch_extra's six r7 queries (q10 rides) and the ENTIRE
-    r7 cohort through nested. The 50-cut lands exactly on the
-    nested/python_udfs module boundary, so python_udfs leads the r12
-    remainder. Nothing in the window has evidence fresher than r7
+    evidence: tpch_extra's six r7 queries (q10 rides) and the r7
+    cohort through nested. The 50-cut lands mid-nested after
+    q_array_ops, so q_nested_collect leads the r12 remainder with
+    python_udfs. Nothing in the window has evidence fresher than r7
     except the new/changed/riding heads."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
@@ -121,6 +122,7 @@ def test_r11_window_contents():
         "q_vacuum_retention", "q_merge_upsert", "q_time_travel",
         "q_table_diff",
         "q_schema_evolution_widening", "q_schema_evolution_scan",
+        "q_multimodal_image_decode",
         "q_source_python_datasource", "q_setsim_prefix_join",
         # oldest evidence: tpch_extra (q10 r10 rides at module head)
         "q10_returned_items", "q14_promo_revenue", "q18_large_volume",
@@ -135,12 +137,13 @@ def test_r11_window_contents():
         "q_source_csv_roundtrip", "q_source_json_roundtrip",
         "q_pivot", "q_percentiles",
         "q_join_star_revenue", "q_skew_salted_join",
-        "q_explode_wordcount", "q_nested_collect",
+        "q_explode_wordcount", "q_array_ops",
     ):
         assert must in win, must
-    assert win[-1] == "q_nested_collect"  # cut ON the module boundary
+    assert win[-1] == "q_array_ops"  # cut mid-nested
     for out in (
-        # the r7 remainder -> r12 leader
+        # the r7 remainder -> r12 leaders
+        "q_nested_collect",
         "q_pandas_udf_scalar", "q_apply_in_pandas",
         # r8-green stays out
         "q_fuzzy_blocked", "q_pagerank_bipartite", "q_stats_mad",
