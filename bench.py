@@ -106,6 +106,14 @@ SF1_QUERIES = [
     # in scripts/sf1_verify.py DEFAULT)
     "q_setsim_prefix_join",
     "q_incremental_rollup",
+    # VERDICT r10 item 5: the table-format lanes' docstring numbers
+    # (COW-vs-rewrite I/O, pruned-vs-full diff rows, MV-vs-fact
+    # rollup) become reproducible artifact facts -- merge/diff are
+    # O(affected)+O(delta), so their 10x wall should be well under
+    # 10x; the sketch rollup reads only the kilobyte MV, ~flat
+    "q_merge_upsert",
+    "q_table_diff",
+    "q_hll_union_rollup",
 ]
 
 # table -> id columns to offset per shard
@@ -145,6 +153,25 @@ def _cpu_busy() -> float:
         vals = [int(x) for x in f.readline().split()[1:]]
     busy = sum(vals) - vals[3] - vals[4]
     return busy / os.sysconf("SC_CLK_TCK")
+
+
+def _spin_calib(n: int = 2_000_000) -> float:
+    """Clock attribution (VERDICT r10 item 2): wall seconds for a
+    FIXED single-threaded pure-Python workload, sampled before each
+    pass. busy-CPU alone (eff_cores) cannot distinguish 'the box
+    burned more cycles per row' (clock throttle / steal: same busy
+    cores, slower cycles) from 'the query did more work'; a constant
+    calibration loop can -- on a healthy box this number is stable
+    within a few percent, and a pass whose queries slow UNIFORMLY
+    while spin_sec inflates in the same proportion was throttled, not
+    regressed. Recorded per pass in the artifact so a throttled round
+    is adjudicable from BENCH_r{N} alone."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i * i
+    assert x >= 0  # keep the loop un-optimizable
+    return round(time.perf_counter() - t0, 4)
 
 
 def _build_10x_corpus(spark, src: str, dest: str, shards: int = 10) -> None:
@@ -242,7 +269,9 @@ def main() -> None:
     runs: dict[str, list[float]] = {name: [] for name in names}
     pass_wall: list[float] = []
     pass_cpu: list[float] = []
+    pass_spin: list[float] = []
     for _ in range(N_RUNS):
+        pass_spin.append(_spin_calib())
         pw0, pc0 = time.perf_counter(), _cpu_busy()
         for name in names:
             t0 = time.perf_counter()
@@ -266,6 +295,10 @@ def main() -> None:
         "pass_wall": pass_wall,
         "pass_cpu": pass_cpu,
         "eff_cores": [round(c / w, 2) for c, w in zip(pass_cpu, pass_wall)],
+        # fixed-workload clock calibration per pass: uniform query
+        # slowdown + proportional spin_sec inflation = host throttle;
+        # stable spin_sec + slower queries = real regression
+        "spin_sec": pass_spin,
         "os_cpus": os.cpu_count(),
     }
 
@@ -308,11 +341,12 @@ def main() -> None:
         n_files=32,
     )
 
-    def timed_run(src: str) -> tuple[float, float]:
+    def timed_run(src: str) -> tuple[float, float, float]:
+        spin = _spin_calib()
         t0, c0 = time.perf_counter(), _cpu_busy()
         convert(spark, src, out)
         return (round(time.perf_counter() - t0, 3),
-                round(_cpu_busy() - c0, 3))
+                round(_cpu_busy() - c0, 3), spin)
 
     # Both lanes run once cold (unreported numbers kept for drift
     # visibility: in a fresh container the cold run pays the page-cache
@@ -326,13 +360,13 @@ def main() -> None:
     # CPU recorded so a throttled run is attributable in-artifact.
     conv_cold = timed_run(xml_dir)
     conv32_cold = timed_run(xml_dir32)
-    conv_runs: list[tuple[float, float]] = []
-    conv32_runs: list[tuple[float, float]] = []
+    conv_runs: list[tuple[float, float, float]] = []
+    conv32_runs: list[tuple[float, float, float]] = []
     for _ in range(3):
         conv_runs.append(timed_run(xml_dir))
         conv32_runs.append(timed_run(xml_dir32))
-    conv_sec = sorted(w for w, _ in conv_runs)[1]
-    conv32_sec = sorted(w for w, _ in conv32_runs)[1]
+    conv_sec = sorted(w for w, _, _ in conv_runs)[1]
+    conv32_sec = sorted(w for w, _, _ in conv32_runs)[1]
 
     # long-tail spot-check lane (VERDICT r5 item 7): sample 5 of the
     # registered queries outside the headline set, seeded by the round
@@ -407,7 +441,9 @@ def main() -> None:
         over_budget = False
         sf1_pass_wall: list[float] = []
         sf1_pass_cpu: list[float] = []
+        sf1_pass_spin: list[float] = []
         for _ in range(3):
+            sf1_pass_spin.append(_spin_calib())
             pw0, pc0 = time.perf_counter(), _cpu_busy()
             for name in SF1_QUERIES:
                 t0 = time.perf_counter()
@@ -444,6 +480,7 @@ def main() -> None:
             "over_budget": over_budget,
             "pass_wall": sf1_pass_wall,
             "pass_cpu": sf1_pass_cpu,
+            "spin_sec": sf1_pass_spin,
             "eff_cores": [
                 round(c / w, 2)
                 for c, w in zip(sf1_pass_cpu, sf1_pass_wall)
@@ -465,8 +502,9 @@ def main() -> None:
             "sec": conv_sec,
             "cold_sec": conv_cold[0],
             "rows_per_sec": round(n_rel / conv_sec),
-            "runs_wall_cpu": conv_runs,
-            "eff_cores": [round(c / w, 2) for w, c in conv_runs],
+            "runs_wall_cpu_spin": conv_runs,
+            "eff_cores": [round(c / w, 2) for w, c, _ in conv_runs],
+            "spin_sec": [s for _, _, s in conv_runs],
         },
         "conversion_scaleout": {
             "files": 32,
@@ -474,8 +512,9 @@ def main() -> None:
             "sec": conv32_sec,
             "cold_sec": conv32_cold[0],
             "rows_per_sec": round(n_rel / conv32_sec),
-            "runs_wall_cpu": conv32_runs,
-            "eff_cores": [round(c / w, 2) for w, c in conv32_runs],
+            "runs_wall_cpu_spin": conv32_runs,
+            "eff_cores": [round(c / w, 2) for w, c, _ in conv32_runs],
+            "spin_sec": [s for _, _, s in conv32_runs],
             "interleaved_with_8file": True,
         },
         "longtail": {"round": round_no, "queries": lt_timings},
@@ -503,8 +542,8 @@ def main() -> None:
 _LINE_BUDGET = 1950
 
 
-def _med(xs: list[float]) -> float:
-    return round(sorted(xs)[len(xs) // 2], 2) if xs else 0.0
+def _med(xs: list[float], nd: int = 2) -> float:
+    return round(sorted(xs)[len(xs) // 2], nd) if xs else 0.0
 
 
 def compact_line(full: dict) -> str:
@@ -522,6 +561,10 @@ def compact_line(full: dict) -> str:
         "n": full["n"],
         "sf": full["sf"],
         "eff_cores_median": _med(full["cpu_attribution"]["eff_cores"]),
+        # fixed spin-loop calibration median (seconds): compare across
+        # rounds -- proportional inflation alongside uniform query
+        # slowdown = host clock throttle, not a code regression
+        "spin_sec_median": _med(full["cpu_attribution"]["spin_sec"], 3),
         "os_cpus": full["cpu_attribution"]["os_cpus"],
         "conversion": {
             "rows": full["conversion"]["rows"],
@@ -539,6 +582,7 @@ def compact_line(full: dict) -> str:
             "passes": sf1["passes"],
             "over_budget": sf1["over_budget"],
             "eff_cores_median": _med(sf1["eff_cores"]),
+            "spin_sec_median": _med(sf1["spin_sec"], 3),
         },
         "detail": "BENCH_DETAIL.json",
     }

@@ -10,7 +10,7 @@ import json
 from bench import _LINE_BUDGET, compact_line
 
 
-def _full(n_queries: int, n_sf1: int = 7, name_len: int = 16) -> dict:
+def _full(n_queries: int, n_sf1: int = 12, name_len: int = 16) -> dict:
     qs = {f"q_{i:03d}_".ljust(name_len, "x"): 1.234 + i / 997
           for i in range(n_queries)}
     return {
@@ -22,6 +22,7 @@ def _full(n_queries: int, n_sf1: int = 7, name_len: int = 16) -> dict:
         "sf": "0.1",
         "cpu_attribution": {
             "eff_cores": [6.9, 7.1, 5.2], "os_cpus": 32,
+            "spin_sec": [0.112, 0.109, 0.115],
         },
         "conversion": {"rows": 1000000, "rows_per_sec": 131822,
                        "eff_cores": [10.1, 9.9, 10.2]},
@@ -34,12 +35,13 @@ def _full(n_queries: int, n_sf1: int = 7, name_len: int = 16) -> dict:
             "queries": {f"q_sf1_{i:02d}x": 12.345 for i in range(n_sf1)},
             "passes": 3, "over_budget": False,
             "eff_cores": [17.0, 16.5, 18.2],
+            "spin_sec": [0.113, 0.118, 0.111],
         },
     }
 
 
 def test_current_shape_fits_with_all_sections():
-    """Today's real shape (~31 headline queries, 7 sf1, 5 longtail)
+    """Today's real shape (~31 headline queries, 12 sf1, 5 longtail)
     must fit WITHOUT any trimming."""
     line = compact_line(_full(31))
     assert len(line) <= _LINE_BUDGET
