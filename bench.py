@@ -463,6 +463,23 @@ def main() -> None:
             n: round(sorted(ts)[len(ts) // 2], 3)
             for n, ts in sf1_runs.items()
         }
+        # headline-SF walls for the NON-headline sf1 queries (median
+        # of 3 after a warm pass), so every 10x ratio is
+        # self-contained in the artifact -- the r10 verdict had to
+        # reconstruct setsim's sf0.1 wall from commit prose to judge
+        # its 22x; vs_headline_x now covers the whole lane
+        sf01_timings: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            if timings.get(name):
+                sf01_timings[name] = timings[name]
+                continue
+            force(name)  # warm at the headline SF
+            runs01 = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                force(name)
+                runs01.append(time.perf_counter() - t0)
+            sf01_timings[name] = round(sorted(runs01)[1], 3)
         sf1_spot = {
             "sf": round(float(sf) * 10, 4),
             "queries": sf1_timings,
@@ -470,9 +487,10 @@ def main() -> None:
                 n: [round(min(ts), 3), round(max(ts), 3)]
                 for n, ts in sf1_runs.items()
             },
+            "queries_at_headline_sf": sf01_timings,
             "vs_headline_x": {
-                n: round(sf1_timings[n] / timings[n], 2)
-                for n in SF1_QUERIES if timings.get(n)
+                n: round(sf1_timings[n] / sf01_timings[n], 2)
+                for n in SF1_QUERIES if sf01_timings.get(n)
             },
             "out_rows": out_rows,
             "out_rows_at_headline_sf": out_rows_01,
