@@ -166,6 +166,14 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates the brute-force way (any shared token), so equality
     proves both the prefix filter and the collapse dropped no
     qualifying pair."""
+    return setsim_pairs(load(spark, sf_dir, "documents"))
+
+
+def setsim_pairs(docs: DataFrame) -> DataFrame:
+    """The full exact-Jaccard pipeline over any (doc_id, text) frame
+    -- factored from the registered query so tests can drive it with
+    adversarial synthetic corpora (threshold-boundary pairs, subset
+    chains, identical-set cliques) beyond the bench corpus."""
     # 1. collapse: one row per doc with its sorted distinct-token
     # array (row-local HOFs -- see _doc_sets); identical arrays share
     # an md5 set_id. Staged ONCE (localCheckpoint, the same pattern
@@ -174,7 +182,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches -- without staging, every branch re-runs the
     # tokenization from the scan (measured ~10 s of pure recompute
     # at sf0.1 across the ~10 consumers of this lineage).
-    doc_sets = _doc_sets(load(spark, sf_dir, "documents")).localCheckpoint()
+    doc_sets = _doc_sets(docs).localCheckpoint()
     members = doc_sets.select("set_id", "doc_id")
     sets = (
         doc_sets.select("set_id", "toks")
