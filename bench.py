@@ -467,19 +467,24 @@ def main() -> None:
         # of 3 after a warm pass), so every 10x ratio is
         # self-contained in the artifact -- the r10 verdict had to
         # reconstruct setsim's sf0.1 wall from commit prose to judge
-        # its 22x; vs_headline_x now covers the whole lane
-        sf01_timings: dict[str, float] = {}
-        for name in SF1_QUERIES:
-            if timings.get(name):
-                sf01_timings[name] = timings[name]
-                continue
-            force(name)  # warm at the headline SF
-            runs01 = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                force(name)
-                runs01.append(time.perf_counter() - t0)
-            sf01_timings[name] = round(sorted(runs01)[1], 3)
+        # its 22x; vs_headline_x now covers the whole lane. Skipped
+        # when the lane tripped its wall budget: on a throttled box
+        # these extra ~25 runs would undo the degrade-to-partial
+        # protection and risk losing the whole JSON line (the ratios
+        # can wait a round; the budget flag tells the reader why).
+        sf01_timings: dict[str, float] = {
+            n: timings[n] for n in SF1_QUERIES if timings.get(n)}
+        if not over_budget:
+            for name in SF1_QUERIES:
+                if name in sf01_timings:
+                    continue
+                force(name)  # warm at the headline SF
+                runs01 = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    force(name)
+                    runs01.append(time.perf_counter() - t0)
+                sf01_timings[name] = round(sorted(runs01)[1], 3)
         sf1_spot = {
             "sf": round(float(sf) * 10, 4),
             "queries": sf1_timings,

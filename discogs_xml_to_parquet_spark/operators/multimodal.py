@@ -124,7 +124,16 @@ def decode_image(payload: bytes):
             raster = payload[i + 1:i + 1 + w * h * 3]  # one ws after maxval
             a = np.frombuffer(raster, dtype=np.uint8, count=w * h * 3)
         else:
-            a = np.array(payload[i:].split()[:w * h * 3], dtype=np.uint8)
+            vals = np.array(payload[i:].split()[:w * h * 3],
+                            dtype=np.int64)
+            if vals.size < w * h * 3 or (vals < 0).any() \
+                    or (vals > maxval).any():
+                # fail loudly like every other malformed-input path
+                # instead of wrapping out-of-range samples mod 256
+                raise ValueError(
+                    "P3 raster out of range or truncated "
+                    f"(need {w * h * 3} samples in [0, {maxval}])")
+            a = vals.astype(np.uint8)
         return a.reshape(h, w, 3)
     if payload[:2] == b"BM":
         off, = struct.unpack_from("<I", payload, 10)

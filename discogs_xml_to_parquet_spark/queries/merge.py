@@ -138,6 +138,21 @@ def delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_month", F.date_format("o_orderdate", "yyyy-MM"))
 
 
+def _work_dir(kind: str, sf_dir: str) -> str:
+    """Per-(kind, corpus) work root under /tmp, REUSED across calls:
+    deleted and recreated each call instead of mkdtemp'd. The lazy
+    DataFrames these lanes return still read from the dir after the
+    function returns, so it cannot be cleaned at return time;
+    rebuild-on-next-call bounds the footprint at ONE live copy per
+    (kind, corpus) where mkdtemp leaked a fresh copy per run (the
+    bench alone executes q_merge_upsert ~10 times a round)."""
+    slug = sf_dir.strip("/").replace("/", "_")
+    path = Path(tempfile.gettempdir()) / f"spark_graft_{kind}_{slug}"
+    if path.exists():
+        shutil.rmtree(path)
+    return str(path)
+
+
 def _inventory(root: str) -> dict[str, tuple[int, str]]:
     """Visible data files under `root` -> (size, md5). Hidden
     sidecars (.crc, _SUCCESS) excluded: the contract is about data
@@ -232,8 +247,7 @@ def run_merge(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     """Stage base, copy a per-run scratch table, MERGE, and audit the
     file inventory. Returns (scratch dir, layout facts)."""
     base = staged_partitioned_orders(spark, sf_dir)
-    scratch = tempfile.mkdtemp(prefix="spark_graft_merge_scratch_")
-    shutil.rmtree(scratch)
+    scratch = _work_dir("merge_scratch", sf_dir)
     shutil.copytree(base, scratch)
     before = _inventory(scratch)
     months = merge_upsert(spark, scratch, delta_frame(spark, sf_dir))
@@ -350,7 +364,8 @@ def versioned_merge(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     snapshot isolation fall out: v0 remains a complete, immutable,
     readable table. Returns (table root, facts)."""
     base = staged_partitioned_orders(spark, sf_dir)
-    table = Path(tempfile.mkdtemp(prefix="spark_graft_ttable_"))
+    table = Path(_work_dir("ttable", sf_dir))
+    table.mkdir()
     months = sorted(p.name for p in Path(base).glob("o_month=*")
                     if p.is_dir())
     v0 = table / "v0"
@@ -658,14 +673,12 @@ def _snapshot_inventory(vdir: Path) -> dict[str, tuple[int, str]]:
     """Resolved file inventory of one version manifest: every data
     file each month pointer leads to, keyed by month/name -- the
     byte-level identity of the SNAPSHOT (not of the manifest dir,
-    whose entries may be pointers)."""
+    whose entries may be pointers). Reuses _inventory per resolved
+    month dir so the hidden-file and hashing rules cannot drift."""
     out: dict[str, tuple[int, str]] = {}
     for m in sorted(vdir.glob("o_month=*")):
-        for f in sorted(m.resolve().rglob("*")):
-            if f.is_file() and not f.name.startswith(("_", ".")):
-                out[f"{m.name}/{f.name}"] = (
-                    f.stat().st_size,
-                    hashlib.md5(f.read_bytes()).hexdigest())
+        for rel, fp in _inventory(str(m.resolve())).items():
+            out[f"{m.name}/{rel}"] = fp
     return out
 
 

@@ -131,8 +131,22 @@ class _ReleasesStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"files": self._listing()}
 
+    def _files_of(self, offset: dict) -> set[str]:
+        """Resolve an offset to its file set. Accepts the legacy
+        positional format ({'index': N}, written by checkpoints
+        committed before the r11 set-offset fix) by reproducing the
+        old contract exactly: the first N files of the current sorted
+        listing -- so a restart from an old checkpoint replays the
+        same batch the old code would have planned instead of dying
+        on KeyError."""
+        if "files" in offset:
+            return set(offset["files"])
+        if "index" in offset:
+            return set(self._listing()[:offset["index"]])
+        raise ValueError(f"unrecognized stream offset {offset!r}")
+
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end["files"]) - set(start["files"]))
+        new = sorted(self._files_of(end) - self._files_of(start))
         return [_ReleaseFilePartition(p) for p in new]
 
     def read(self, partition: _ReleaseFilePartition) -> Iterator[tuple]:

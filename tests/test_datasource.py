@@ -148,6 +148,38 @@ def test_datasource_streaming_incremental_ingest(spark, tmp_path):
     assert after.select("id").distinct().count() == 55  # no re-ingest
 
 
+def test_stream_offsets_accept_legacy_positional_format(tmp_path):
+    """Checkpoints committed before the r11 filename-set offsets hold
+    {'index': N}; a restart must replay the same batch the old
+    positional contract would have planned, not crash on KeyError.
+    Mixed legacy/new ranges (the exact shape of the first post-upgrade
+    microbatch) must also resolve."""
+    import shutil
+
+    from discogs_xml_to_parquet_spark.sources.discogs_datasource import (
+        _ReleasesStreamReader,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    gen = write_synthetic_releases(
+        str(tmp_path / "gen"), 30, n_files=3, start_id=100)
+    for i, f in enumerate(sorted(Path(gen).glob("*.xml.gz"))):
+        shutil.copy(f, drop / f"f{i}-releases.xml.gz")
+    r = _ReleasesStreamReader({"path": str(drop)})
+    files = sorted(str(p) for p in drop.glob("*.xml.gz"))
+
+    legacy = [p.path for p in r.partitions({"index": 1}, {"index": 3})]
+    assert legacy == files[1:3]
+    mixed = [p.path for p in r.partitions({"index": 2},
+                                          {"files": files})]
+    assert mixed == files[2:]
+    import pytest
+
+    with pytest.raises(ValueError, match="unrecognized stream offset"):
+        r.partitions({"bogus": 1}, {"files": files})
+
+
 def test_datasource_sql_consumption_via_view(spark):
     """SQL consumers: the connector read registered as a view is
     fully queryable from spark.sql. (CREATE TABLE ... USING a Python

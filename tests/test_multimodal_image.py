@@ -84,6 +84,15 @@ def test_unsupported_bmp_depth_raises():
         decode_image(bytes(b))
 
 
+def test_p3_out_of_range_sample_raises():
+    """An ASCII sample above maxval must fail loudly, not wrap mod
+    256 into a plausible-looking pixel."""
+    with pytest.raises(ValueError, match="out of range"):
+        decode_image(b"P3\n1 1\n255\n300 1 2\n")
+    with pytest.raises(ValueError, match="out of range"):
+        decode_image(b"P3\n2 1\n255\n1 2 3\n")  # truncated raster
+
+
 def test_ppm_maxval_guard():
     with pytest.raises(ValueError, match="maxval"):
         decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
