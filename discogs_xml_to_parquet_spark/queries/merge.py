@@ -144,10 +144,16 @@ def _work_dir(kind: str, sf_dir: str) -> str:
     DataFrames these lanes return still read from the dir after the
     function returns, so it cannot be cleaned at return time;
     rebuild-on-next-call bounds the footprint at ONE live copy per
-    (kind, corpus) where mkdtemp leaked a fresh copy per run (the
-    bench alone executes q_merge_upsert ~10 times a round)."""
+    (kind, corpus, process) where mkdtemp leaked a fresh copy per run
+    (the bench alone executes q_merge_upsert ~10 times a round). The
+    pid in the name keeps concurrent harness processes (pytest
+    alongside bench) from deleting a table the other's lazy
+    DataFrame is still reading."""
+    import os
+
     slug = sf_dir.strip("/").replace("/", "_")
-    path = Path(tempfile.gettempdir()) / f"spark_graft_{kind}_{slug}"
+    path = Path(
+        tempfile.gettempdir()) / f"spark_graft_{kind}_{slug}_p{os.getpid()}"
     if path.exists():
         shutil.rmtree(path)
     return str(path)
