@@ -70,6 +70,27 @@ def test_top_down_bmp():
     assert (decode_image(bytes(b)) == a).all()
 
 
+def test_round_trip_property():
+    """Property: ANY (h, w) in [1, 12] with arbitrary uint8 pixels
+    round-trips through both codecs (hypothesis drives sizes and
+    bytes, covering every padding residue w*3 % 4)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        seed=st.integers(0, 2**31),
+    )
+    def check(h: int, w: int, seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_ppm(a)) == a).all()
+        assert (decode_image(encode_bmp(a)) == a).all()
+
+    check()
+
+
 def test_unknown_magic_raises():
     with pytest.raises(ValueError, match="unknown image magic"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
