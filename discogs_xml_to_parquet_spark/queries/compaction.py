@@ -31,7 +31,6 @@ same discipline as every staged artifact in this repo.
 from __future__ import annotations
 
 import math
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +41,7 @@ from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint as _source_fingerprint,
     staged as _staged,
+    work_dir as _work_dir,
 )
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -68,8 +68,6 @@ def staged_fragmented_lineitem(spark: SparkSession, sf_dir: str) -> str:
     OPTIMIZE would skip the rewrite -- the sf1_verify lane caught
     exactly that). Built once per container per (sf_dir, source
     fingerprint, shard count), atomic publish."""
-    import math
-
     slug = sf_dir.strip("/").replace("/", "_")
     fp = _source_fingerprint(sf_dir, "lineitem.parquet")
     n_frag = max(
@@ -101,7 +99,10 @@ def compact_files(spark: SparkSession, src: str,
     before = _data_files(src)
     total = sum(p.stat().st_size for p in before)
     n_target = max(1, math.ceil(total / target_bytes))
-    out = tempfile.mkdtemp(prefix="spark_graft_compacted_")
+    # reused per-(src, pid) output dir: the returned DataFrame reads
+    # from it lazily, so rebuild-on-next-call (staging.work_dir) is
+    # the leak bound, not cleanup-at-return
+    out = _work_dir("compacted", src)
     (
         spark.read.parquet(src)
         .repartition(n_target)
@@ -166,7 +167,7 @@ def compact_partitioned(spark: SparkSession, src: str) -> tuple[str, dict]:
     files_before = [f for d in dirs for f in d.glob("part-*")]
     total = sum(f.stat().st_size for f in files_before)
     n_target = len(dirs)
-    out = tempfile.mkdtemp(prefix="spark_graft_pcompact_")
+    out = _work_dir("pcompact", src)
     (
         spark.read.parquet(src)
         .repartition(n_target, "ship_month")

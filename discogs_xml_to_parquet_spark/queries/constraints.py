@@ -55,11 +55,24 @@ def _rules() -> dict[str, Column]:
 def audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One scan, one broadcast join, one 1-row aggregate, exploded to
     one row per rule."""
-    o = load(spark, sf_dir, "orders")
-    dim_keys = (
-        load(spark, sf_dir, "customer")
-        .select(F.col("c_custkey").alias("_dim_key"))
+    return _audit(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer").select("c_custkey"),
     )
+
+
+def _audit(o: DataFrame, dim: DataFrame) -> DataFrame:
+    """The audit over an explicit (fact, dimension-key) pair -- split
+    from the loader so tests can feed a DUPLICATED dimension. The FK
+    fold joins DISTINCT dim keys (set semantics): a dimension carrying
+    duplicate keys -- the very defect a DQ engine exists to catch --
+    must not multiply fact rows, or n_checked inflates, every
+    row-local violation double-counts, and COUNT - COUNT(DISTINCT)
+    reports phantom uniqueness violations. The distinct costs one
+    exchange over the (small, broadcastable) KEY DOMAIN, never over
+    the fact."""
+    dim_keys = dim.select(
+        F.col(dim.columns[0]).alias("_dim_key")).distinct()
     flagged = o.join(
         F.broadcast(dim_keys),
         o["o_custkey"] == dim_keys["_dim_key"],
@@ -104,7 +117,9 @@ def audit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH flags AS (
   SELECT o.*, c.c_custkey AS _dim_key
-  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
 ),
 a AS (
   SELECT COUNT(*) AS n,

@@ -66,6 +66,7 @@ from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint as _source_fingerprint,
     staged as _staged,
+    work_dir as _work_dir,
 )
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -136,27 +137,6 @@ def delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return upd.unionByName(ins).withColumn(
         "o_month", F.date_format("o_orderdate", "yyyy-MM"))
-
-
-def _work_dir(kind: str, sf_dir: str) -> str:
-    """Per-(kind, corpus) work root under /tmp, REUSED across calls:
-    deleted and recreated each call instead of mkdtemp'd. The lazy
-    DataFrames these lanes return still read from the dir after the
-    function returns, so it cannot be cleaned at return time;
-    rebuild-on-next-call bounds the footprint at ONE live copy per
-    (kind, corpus, process) where mkdtemp leaked a fresh copy per run
-    (the bench alone executes q_merge_upsert ~10 times a round). The
-    pid in the name keeps concurrent harness processes (pytest
-    alongside bench) from deleting a table the other's lazy
-    DataFrame is still reading."""
-    import os
-
-    slug = sf_dir.strip("/").replace("/", "_")
-    path = Path(
-        tempfile.gettempdir()) / f"spark_graft_{kind}_{slug}_p{os.getpid()}"
-    if path.exists():
-        shutil.rmtree(path)
-    return str(path)
 
 
 def _inventory(root: str) -> dict[str, tuple[int, str]]:

@@ -68,20 +68,20 @@ def staged_day_sketches(spark: SparkSession, sf_dir: str) -> str:
 
 
 def rollup_from_sketches(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """The production rollup: per-type monthly distinct estimates AND
-    the all-types total in ONE aggregation over the stored day
-    sketches -- `rollup(event_type)` expands each MV row into both
-    grouping levels (a 2x Expand of kilobyte rows, nothing), so the
-    plan is one sketch-table scan, one shuffle, zero fact scans. The
-    grand-total row is identified by grouping(), not by a NULL
-    sentinel. Re-merging the per-TYPE month sketches into the total
-    (union level 2 as separate jobs would do it) is pinned equivalent
-    in tests/test_sketch_rollup.py."""
+    """The production rollup: per-type distinct estimates (every
+    stored day of that type merged) AND the all-types total in ONE
+    aggregation over the stored day sketches -- `rollup(event_type)`
+    expands each MV row into both grouping levels (a 2x Expand of
+    kilobyte rows, nothing), so the plan is one sketch-table scan, one
+    shuffle, zero fact scans. The grand-total row is identified by
+    grouping(), not by a NULL sentinel. Re-merging already-merged
+    sketches (day -> type -> total as separate jobs would do it) is
+    pinned equivalent in tests/test_sketch_rollup.py."""
     days = spark.read.parquet(sketch_dir)
     return (
         days.rollup("event_type")
         .agg(
-            F.hll_union_agg("user_sketch").alias("month_sketch"),
+            F.hll_union_agg("user_sketch").alias("merged_sketch"),
             F.sum("n_events").alias("n_events"),
             F.count(F.lit(1)).alias("n_cells_merged"),
             F.grouping("event_type").alias("_is_total"),
@@ -89,7 +89,7 @@ def rollup_from_sketches(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .select(
             F.when(F.col("_is_total") == 1, F.lit("ALL"))
             .otherwise(F.col("event_type")).alias("event_type"),
-            F.hll_sketch_estimate("month_sketch").alias("est_users"),
+            F.hll_sketch_estimate("merged_sketch").alias("est_users"),
             "n_events",
             "n_cells_merged",
         )
@@ -120,17 +120,23 @@ def q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact; only the distinct is approximate)."""
     sketch_dir = staged_day_sketches(spark, sf_dir)
     rolled = rollup_from_sketches(spark, sketch_dir)
-    exact = (
+    # the exact reference (harness-only) uses the same one-scan
+    # rollup+grouping trick as the MV side: both levels from ONE pass
+    # over the fact, instead of a per-type groupBy plus a second
+    # whole-fact aggregate
+    ref = (
         load(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+        .rollup("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.grouping("event_type").alias("_is_total"),
+        )
+        .select(
+            F.when(F.col("_is_total") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            "n_users_exact",
+        )
     )
-    exact_all = (
-        load(spark, sf_dir, "events")
-        .agg(F.countDistinct("user_id").alias("n_users_exact"))
-        .withColumn("event_type", F.lit("ALL"))
-    )
-    ref = exact.unionByName(exact_all.select("event_type", "n_users_exact"))
     return (
         rolled.join(F.broadcast(ref), "event_type")
         .select(

@@ -39,16 +39,16 @@ is O(one batch replay), independent of history length. At 100 TB the
 same topology is "restart the ingest job after a node loss": the
 checkpoint, not the data, carries the resume point.
 
-tests/test_streaming_restart.py kills/resumes at sf0.001 and asserts
-the commit WAL is extended, never rewritten (run 1's commit files are
-byte-identical after run 2, and run 2's batch ids are a strict
-continuation).
+The extended-never-rewritten WAL property is enforced IN the lane:
+run_restart_lane snapshots run 1's commit record bytes and raises if
+run 2 changed any of them (so every execution -- driver, bench,
+tests/test_streaming_restart.py -- checks byte identity, and run 2's
+batch ids must be a strict continuation).
 """
 
 from __future__ import annotations
 
 import shutil
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +58,7 @@ from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint as _source_fingerprint,
     staged as _staged,
+    work_dir as _work_dir,
 )
 from discogs_xml_to_parquet_spark.tables import load
 
@@ -99,6 +100,17 @@ def _committed_batches(ckpt: str) -> list[int]:
                   if p.name.isdigit())
 
 
+def _commit_blobs(ckpt: str) -> dict[int, bytes]:
+    """Commit WAL records by batch id, BYTES -- so a resume that
+    rewrote a committed record in place (same id, new payload) is
+    detectable, not just a shortened id list."""
+    commits = Path(ckpt) / "commits"
+    if not commits.is_dir():
+        return {}
+    return {int(p.name): p.read_bytes()
+            for p in commits.iterdir() if p.name.isdigit()}
+
+
 def _transform(stream: DataFrame) -> DataFrame:
     """The lane's stateless map: project the changelog to its stable
     identity plus an exact integer-cents value (codegen-only; no state,
@@ -119,8 +131,15 @@ def run_restart_lane(
 
     shards = sorted(Path(staged_event_shards(spark, sf_dir))
                     .glob("part-*"))
-    assert len(shards) == _N_SHARDS, shards
-    run_root = Path(tempfile.mkdtemp(prefix="spark_graft_restart_"))
+    if len(shards) != _N_SHARDS:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"staged shard dir holds {len(shards)} part files, "
+            f"expected {_N_SHARDS}: {shards}")
+    # reused per-(corpus, pid) root (staging.work_dir): the returned
+    # DataFrame reads the sink lazily, so rebuild-on-next-call is the
+    # leak bound -- mkdtemp leaked a full corpus copy per run
+    run_root = Path(_work_dir("restart", sf_dir))
+    run_root.mkdir()
     src = run_root / "src"
     out, ckpt = str(run_root / "out"), str(run_root / "ckpt")
     src.mkdir()
@@ -160,6 +179,7 @@ def run_restart_lane(
     if len(run1) > _FIRST_SHARDS:
         raise RuntimeError(f"run 1 committed {run1}; expected at most "
                            f"{_FIRST_SHARDS} single-file batches")
+    run1_blobs = _commit_blobs(ckpt)
 
     # the rest of the backfill arrives
     for p in shards[_FIRST_SHARDS:]:
@@ -179,7 +199,16 @@ def run_restart_lane(
     if len(total) <= len(run1):
         raise RuntimeError(f"run 2 committed nothing: run1={run1} "
                            f"total={total}")
+    # the WAL is extended, never rewritten: run 1's commit records
+    # must survive run 2 BYTE-identically (a resume that rewrote a
+    # committed record in place would pass the id-list checks above)
+    blobs2 = _commit_blobs(ckpt)
+    rewritten = [i for i, b in run1_blobs.items() if blobs2.get(i) != b]
+    if rewritten:
+        raise RuntimeError(
+            f"resume rewrote committed WAL records in place: {rewritten}")
     facts = {"run1_commits": run1, "total_commits": total,
+             "wal_extended_not_rewritten": not rewritten,
              "run_root": str(run_root)}
     # read THROUGH _spark_metadata: orphan files from the killed batch
     # are invisible, committed batches appear exactly once

@@ -39,7 +39,11 @@ def source_fingerprint(sf_dir: str, table: str = "lineitem.parquet") -> str:
 
 def staged(dest_name: str, build) -> str:
     """Build-once staging with atomic publish: `build` writes into a
-    unique temp dir, which is renamed to the final name."""
+    unique temp dir, which is renamed to the final name. A build that
+    RAISES cleans its partial temp dir before re-raising (a killed
+    process can still strand one; the bounded work_dir pattern below
+    is for per-run artifacts, this one is build-once so a stranded
+    .build-* is rare, not recurring)."""
     import os
     import shutil
     import uuid
@@ -48,7 +52,11 @@ def staged(dest_name: str, build) -> str:
     if dest.exists():
         return str(dest)
     tmp = dest.with_name(dest.name + f".build-{uuid.uuid4().hex[:8]}")
-    build(str(tmp))
+    try:
+        build(str(tmp))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, dest)
     except OSError:
@@ -56,3 +64,25 @@ def staged(dest_name: str, build) -> str:
             raise
         shutil.rmtree(tmp, ignore_errors=True)  # lost the race; theirs won
     return str(dest)
+
+
+def work_dir(kind: str, key: str) -> str:
+    """Per-(kind, key, process) work root under /tmp, REUSED across
+    calls: deleted and recreated each call instead of mkdtemp'd. For
+    lanes whose returned lazy DataFrames still read from the dir
+    after the function returns -- cleanup-at-return is impossible, so
+    rebuild-on-next-call bounds the footprint at ONE live copy per
+    (kind, key, pid) where mkdtemp leaked a fresh copy per run (the
+    bench executes some lanes ~10 times a round; the box had
+    accumulated 200+ leaked copies before r11). The pid keeps
+    concurrent harness processes (pytest alongside bench) from
+    deleting a dir the other's DataFrame is still reading."""
+    import os
+    import shutil
+
+    slug = key.strip("/").replace("/", "_")
+    path = Path(
+        tempfile.gettempdir()) / f"spark_graft_{kind}_{slug}_p{os.getpid()}"
+    if path.exists():
+        shutil.rmtree(path)
+    return str(path)

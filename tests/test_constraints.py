@@ -24,6 +24,25 @@ def test_audit_is_one_scan_with_broadcast_fk(spark):
     assert "CartesianProduct" not in tree, tree
 
 
+def test_duplicate_dimension_keys_do_not_multiply_the_fact(spark):
+    """A dimension carrying duplicate keys (the very defect a DQ
+    engine exists to catch) must not inflate the audit: the FK fold
+    joins DISTINCT keys, so n_checked stays the fact row count,
+    row-local violations don't double-count, and uniqueness reports
+    no phantom violations."""
+    from discogs_xml_to_parquet_spark.queries.constraints import _audit
+    from discogs_xml_to_parquet_spark.tables import load
+
+    o = load(spark, SF_SMOKE, "orders")
+    dim = load(spark, SF_SMOKE, "customer").select("c_custkey")
+    dup = dim.unionAll(dim).unionAll(dim.limit(5))
+    clean = {r["rule"]: r for r in _audit(o, dim).collect()}
+    dirty = {r["rule"]: r for r in _audit(o, dup).collect()}
+    assert clean == dirty
+    assert dirty["unique_orderkey"]["n_violations"] == 0
+    assert dirty["not_null_orderkey"]["n_checked"] == o.count()
+
+
 def test_audit_detects_and_passes(spark):
     """The rule set must contain a genuinely failing rule and
     genuinely passing rules, all over the same n_checked."""

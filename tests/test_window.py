@@ -45,6 +45,14 @@ R11_CHANGED = frozenset(
     {"q_setsim_prefix_join", "q_source_python_datasource"})
 R11_PIN: tuple[str, ...] = ()
 
+# Already-known CHANGED candidates for the r12 derivation (late-r11
+# review fixes to lanes OUTSIDE the r11 window -- values identical,
+# re-verified locally at sf0.01, but plans/oracles changed):
+# q_constraint_audit (distinct-dim FK fold, engine + oracle),
+# q_hll_union_rollup (one-scan exact reference, column rename),
+# q_compact_files / q_compact_partitioned (reused work dirs),
+# q_stream_restart (in-lane WAL byte-identity guard, work dir).
+
 
 def test_import_order_is_policy_fixed_point():
     """The first 50 registered queries ARE the policy window."""
