@@ -328,8 +328,8 @@ ORDER BY source, rk
 """,
 )
 def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fixed-size per-group sample (k={_RESERVOIR_K} docs
-    per source) -- the per-domain inspection sample every curation run
+    """Deterministic fixed-size per-group sample (k = _RESERVOIR_K = 5
+    docs per source) -- the per-domain inspection sample every curation run
     publishes. Rank within each group by md5(key): uniform like a
     reservoir, but stable under re-runs and append-only growth (a doc
     already in the sample leaves only if a lower-hashing doc arrives --
@@ -339,9 +339,10 @@ def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole group -- the property that makes this safe when one source
     holds half the corpus."""
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
+    # rank by the module's canonical membership hash (_doc_hash), not
+    # an inline respelling -- every sampling query must hash the key
+    # identically or the samples desynchronize across the pipeline
+    w = Window.partitionBy("source").orderBy(_doc_hash(), "doc_id")
     return (
         d.select(
             "source",

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.streaming.events import (
+    EVENTS_STREAM_SCHEMA,
     dedup_first,
     session_agg,
     sliding_agg,
@@ -283,10 +284,7 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest_keyed_state,
     )
 
-    schema = (
-        "event_id long, ts timestamp_ntz, user_id long, "
-        "event_type string, value double, props string"
-    )
+    schema = EVENTS_STREAM_SCHEMA
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -349,10 +347,7 @@ def q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow drains the whole backfill, and an inner join emits a
     match whenever both rows have arrived, so no pair is watermark-
     dropped regardless of horizon."""
-    schema = (
-        "event_id long, ts timestamp_ntz, user_id long, "
-        "event_type string, value double, props string"
-    )
+    schema = EVENTS_STREAM_SCHEMA
 
     def leg(event_type: str, prefix: str) -> DataFrame:
         # watermarks require TimestampType; the session pins UTC so
@@ -453,10 +448,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    schema = (
-        "event_id long, ts timestamp_ntz, user_id long, "
-        "event_type string, value double, props string"
-    )
+    schema = EVENTS_STREAM_SCHEMA
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

@@ -60,15 +60,14 @@ from discogs_xml_to_parquet_spark.staging import (
     staged as _staged,
     work_dir as _work_dir,
 )
+from discogs_xml_to_parquet_spark.streaming.events import (
+    EVENTS_STREAM_SCHEMA as _SCHEMA,
+)
 from discogs_xml_to_parquet_spark.tables import load
 
 _N_SHARDS = 8
 _FIRST_SHARDS = 3       # shards visible to run 1 (partial by construction)
 _DRAIN_TIMEOUT_SEC = 600
-_SCHEMA = (
-    "event_id long, ts timestamp_ntz, user_id long, "
-    "event_type string, value double, props string"
-)
 _VERSION = 1
 
 

@@ -123,7 +123,9 @@ class _ReleasesStreamReader(DataSourceStreamReader):
         self._path = path
 
     def _listing(self) -> list[str]:
-        return _list_input_files(self._path)
+        # allow_empty: an initially-empty drop directory is a stream
+        # with zero batches, not an error
+        return _list_input_files(self._path, allow_empty=True)
 
     def initialOffset(self) -> dict:
         return {"files": []}

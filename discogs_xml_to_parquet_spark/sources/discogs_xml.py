@@ -243,13 +243,17 @@ def _parse_release_elem(elem) -> tuple:
         if tag in SKIPPED:  # main.rs:758-917: consume-and-discard
             continue
         if tag not in CONSUMED:
-            # main.rs:518-520 skips empty unknown tags; :549-554 panics
-            # on non-empty unknown elements. Known divergence (ADVICE
-            # r1): ElementTree cannot distinguish <dummy></dummy> from
-            # <dummy/>, so a content-free unknown Start/End pair is
-            # accepted here while the reference (which sees the Start
-            # event) panics -- an inherent iterparse limitation.
-            if len(child) == 0 and not (child.text or "").strip() and not child.attrib:
+            # main.rs:518-520 skips empty unknown tags -- the
+            # is_empty_tag check runs BEFORE the name dispatch, so
+            # attributes do NOT make an empty tag rejectable
+            # (<dummy foo="1"/> converts in the reference); :549-554
+            # panics on non-empty unknown elements. Known divergence
+            # (ADVICE r1): ElementTree cannot distinguish
+            # <dummy></dummy> from <dummy/>, so a content-free
+            # unknown Start/End pair is accepted here while the
+            # reference (which sees the Start event) panics -- an
+            # inherent iterparse limitation.
+            if len(child) == 0 and not (child.text or "").strip():
                 continue
             raise ValueError(f"unknown element in <release>: <{tag}>")
         if tag == "title":
@@ -258,16 +262,31 @@ def _parse_release_elem(elem) -> tuple:
             for g in child:
                 if g.tag != "genre":  # main.rs:580-601 expects only <genre>
                     raise ValueError(f"unknown element in <genres>: <{g.tag}>")
-                genres.append(g.text or "")
+                if g.text is None:
+                    # the reference rejects BOTH empty spellings
+                    # (<genre/> fails expect_start_of, <genre></genre>
+                    # hits expect_text on the End event, main.rs:593)
+                    # -- unlike <dummy/>, no iterparse ambiguity: an
+                    # empty genre is rejectable either way
+                    raise ValueError("empty <genre> in <genres>")
+                genres.append(g.text)
         elif tag == "styles":
             for s in child:
                 if s.tag != "style":  # main.rs:603-624 expects only <style>
                     raise ValueError(f"unknown element in <styles>: <{s.tag}>")
-                styles.append(s.text or "")
+                if s.text is None:  # main.rs:616 expect_text, as <genre>
+                    raise ValueError("empty <style> in <styles>")
+                styles.append(s.text)
         elif tag == "labels":
             for lab in child:
                 if lab.tag != "label":
                     raise ValueError(f"unknown element in <labels>: <{lab.tag}>")
+                if len(lab) or (lab.text or "").strip():
+                    # main.rs:637 expect_empty("label"): a <label> with
+                    # text or children is not an Empty event and errors
+                    # (the content-free <label></label> spelling stays
+                    # accepted -- the documented iterparse ambiguity)
+                    raise ValueError("non-empty <label> in <labels>")
                 a = lab.attrib  # unknown attrs silently ignored, main.rs:662
                 labels.append((a.get("id"), a.get("catno"), a.get("name")))
         elif tag == "artists":
@@ -300,6 +319,15 @@ def _parse_release_elem(elem) -> tuple:
                         join = val
                 artists.append((aid, name, anv, join))
         elif tag == "master_id":
+            if len(child) == 0 and child.text is None:
+                # main.rs:518-520: an EMPTY <master_id .../> is skipped
+                # BEFORE dispatch (attributes unexamined), leaving both
+                # columns null -- previously this path crashed on
+                # int(None). (<master_id></master_id>, which the
+                # reference would instead reject inside
+                # parse_master_id, is indistinguishable in iterparse --
+                # same documented ambiguity class as <dummy/>.)
+                continue
             imr = child.attrib.get("is_main_release")
             if imr is None:
                 # reference panics when <master_id> lacks the attribute
@@ -385,11 +413,18 @@ def _parse_file_stream(path: str) -> Iterator[tuple]:
         yield from _iter_release_rows(stream)
 
 
-def _list_input_files(path: str) -> list[str]:
+def _list_input_files(path: str, allow_empty: bool = False) -> list[str]:
     """Driver-side listing (metadata-only) for the strict lane: a file,
     a directory, or a local glob pattern. Remote URIs list via
     pyarrow.fs; glob patterns are supported for local paths (the only
     place the tests/CLI use them).
+
+    An empty listing RAISES by default: a typo'd glob or empty
+    directory would otherwise flow into an empty DataFrame and
+    overwrite the output with an empty dataset -- silent data loss
+    where the native lane raises PATH_NOT_FOUND. The streaming reader
+    passes allow_empty=True (an initially-empty drop directory is a
+    stream with zero batches, not an error).
 
     Directory listings return FULL URIs: pyarrow's FileInfo.path drops
     the scheme+authority (an HDFS listing comes back '/dir/f.xml.gz', an
@@ -401,6 +436,11 @@ def _list_input_files(path: str) -> list[str]:
     conventions and the lane's previous binaryFiles spelling."""
     import os
 
+    def done(files: list[str]) -> list[str]:
+        if not files and not allow_empty:
+            raise ValueError(f"no input files under {path!r}")
+        return files
+
     if "*" in path or "?" in path or "[" in path:
         if "://" in path and not path.startswith("file://"):
             raise ValueError(
@@ -409,23 +449,32 @@ def _list_input_files(path: str) -> list[str]:
             )
         import glob as _glob
 
-        return sorted(_glob.glob(path.removeprefix("file://")))
+        return done(sorted(_glob.glob(path.removeprefix("file://"))))
     from pyarrow import fs as pafs
 
     filesystem, p = pafs.FileSystem.from_uri(path)
     # scheme+authority prefix to re-attach to scheme-less FileInfo.path
     # values: 'hdfs://nn:9000/dir' -> 'hdfs://nn:9000' (p='/dir'),
     # 's3://bucket/dir' -> 's3://' (p='bucket/dir'), local -> ''.
+    # Try the raw path first so a ROOT directory ('hdfs://nn:9000/',
+    # p='/') still yields its scheme+authority -- rstrip'ing first
+    # made the endswith test fail there and shipped scheme-less paths
+    # executors would resolve as local.
     norm = path.rstrip("/") or path
-    prefix = norm[: -len(p)] if p and norm.endswith(p) else ""
+    if p and path.endswith(p):
+        prefix = path[: -len(p)]
+    elif p and norm.endswith(p):
+        prefix = norm[: -len(p)]
+    else:
+        prefix = ""
     info = filesystem.get_file_info(p)
     if info.type == pafs.FileType.Directory:
         sel = pafs.FileSelector(p, recursive=False)
-        return sorted(
+        return done(sorted(
             prefix + f.path for f in filesystem.get_file_info(sel)
             if f.type == pafs.FileType.File
             and not os.path.basename(f.path).startswith(("_", "."))
-        )
+        ))
     return [path]
 
 

@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 from discogs_xml_to_parquet_spark.functions.exact import dsum
 
 
+
+# The events table's readStream schema, shared by every streaming lane
+# (this module, streaming_queries.py, streaming_restart.py): one
+# definition so a schema change cannot leave a lane reading a stale
+# column set.
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
 def tumbling_agg(events: DataFrame, width: str = "5 minutes") -> DataFrame:
     """Tumbling-window counts/sums per event_type. Works identically on
     batch and streaming inputs (window() is epoch-aligned, matching
@@ -123,10 +132,7 @@ def stream_events(spark: SparkSession, source_dir: str,
     `source_dir` must contain parquet files with the events schema
     (ts already a timestamp -- see tables._load_events for the nanos
     caveat on the raw testdata)."""
-    schema = (
-        "event_id long, ts timestamp_ntz, user_id long, "
-        "event_type string, value double, props string"
-    )
+    schema = EVENTS_STREAM_SCHEMA
     # watermarks require TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
     # on NTZ); the cast interprets wall time in the session zone -- the
     # session pins UTC (session.py) so batch (NTZ) and stream agree

@@ -192,6 +192,78 @@ def test_strict_skips_empty_unknown_tag(spark):
     assert rows[0][0] == 9
 
 
+def test_strict_skips_attributed_empty_unknown_tag(spark):
+    """main.rs:518-520: is_empty_tag runs BEFORE the name dispatch, so
+    an empty unknown tag is skipped EVEN WITH attributes -- a new
+    self-closing attributed field in a future dump converts under the
+    reference, and must convert here (review r11: the skip previously
+    required an attribute-free tag and falsely rejected this)."""
+    xml = ('<releases>\n<release id="9" status="Draft">'
+           '<title>t</title><dummy foo="1" bar="x"/></release>\n</releases>')
+    rows = _strict_rows(spark, xml)
+    assert rows[0][0] == 9
+
+
+def test_strict_skips_empty_master_id_tag(spark):
+    """main.rs:518-520 skips an EMPTY <master_id .../> before dispatch
+    (attributes unexamined): both columns stay null, exactly the
+    no-master_id case. Previously this crashed on int(None) -- a raw
+    TypeError outside the lane's ValueError rejection vocabulary."""
+    xml = ('<releases>\n<release id="9" status="Draft">'
+           '<title>t</title><master_id is_main_release="true"/>'
+           '</release>\n</releases>')
+    rows = _strict_rows(spark, xml)
+    assert rows[0][0] == 9
+    assert rows[0][-1] is None      # master_id null
+    assert rows[0][-2] is None      # is_main_release null
+
+
+def test_strict_rejects_empty_genre_and_style(spark):
+    """The reference rejects BOTH empty spellings of <genre>/<style>
+    (<genre/> fails expect_start_of; <genre></genre> hits expect_text
+    on the End event, main.rs:593/616) -- unlike <dummy/>, iterparse
+    has enough information to mirror the rejection, and previously
+    accepted genres=[''] instead."""
+    xml = ('<releases>\n<release id="9" status="Draft">'
+           '<genres><genre></genre></genres></release>\n</releases>')
+    with pytest.raises(ValueError, match="empty <genre>"):
+        _strict_rows(spark, xml)
+    xml = ('<releases>\n<release id="9" status="Draft">'
+           '<styles><style/></styles></release>\n</releases>')
+    with pytest.raises(ValueError, match="empty <style>"):
+        _strict_rows(spark, xml)
+
+
+def test_strict_rejects_non_empty_label(spark):
+    """main.rs:637 expect_empty(\"label\"): a <label> carrying text or
+    children is not an Empty event and errors in the reference;
+    previously the content was silently dropped."""
+    xml = ('<releases>\n<release id="9" status="Draft">'
+           '<labels><label id="1" name="n">stray text</label></labels>'
+           '</release>\n</releases>')
+    with pytest.raises(ValueError, match="non-empty <label>"):
+        _strict_rows(spark, xml)
+
+
+def test_list_input_files_raises_on_empty_listing(tmp_path):
+    """A typo'd glob or empty directory must raise, not flow into an
+    empty DataFrame that OVERWRITES the output with an empty dataset
+    (the native lane raises PATH_NOT_FOUND for the same typo). The
+    streaming reader opts out: an initially-empty drop directory is a
+    stream with zero batches."""
+    from discogs_xml_to_parquet_spark.sources.discogs_xml import (
+        _list_input_files,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no input files"):
+        _list_input_files(str(empty))
+    with pytest.raises(ValueError, match="no input files"):
+        _list_input_files(str(tmp_path / "nope" / "*.xml.gz"))
+    assert _list_input_files(str(empty), allow_empty=True) == []
+
+
 def test_list_input_files_skips_hidden_and_keeps_scheme(tmp_path):
     """Directory listings must (a) skip Hadoop-convention hidden files
     (_SUCCESS markers, .crc sidecars -- ADVICE r6: the pyarrow listing

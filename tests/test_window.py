@@ -47,11 +47,16 @@ R11_PIN: tuple[str, ...] = ()
 
 # Already-known CHANGED candidates for the r12 derivation (late-r11
 # review fixes to lanes OUTSIDE the r11 window -- values identical,
-# re-verified locally at sf0.01, but plans/oracles changed):
+# re-verified locally at sf0.01, but plans/oracles/parsers changed):
 # q_constraint_audit (distinct-dim FK fold, engine + oracle),
 # q_hll_union_rollup (one-scan exact reference, column rename),
 # q_compact_files / q_compact_partitioned (reused work dirs),
-# q_stream_restart (in-lane WAL byte-identity guard, work dir).
+# q_stream_restart (in-lane WAL byte-identity guard, work dir),
+# the conversion trio discogs_xml_conversion/_stats/_explode_artists
+# (strict-parser conformance fixes: empty master_id skip, attributed
+# empty unknown tags, empty genre/style and non-empty label
+# rejection, empty-listing guard), and q_reservoir_per_group
+# (canonical _doc_hash reuse -- identical expression).
 
 
 def test_import_order_is_policy_fixed_point():
