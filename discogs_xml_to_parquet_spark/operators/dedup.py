@@ -315,22 +315,10 @@ def band_hamming(bands_a: Column, bands_b: Column) -> Column:
     ).cast("int")
 
 
-def simhash_bands(fingerprint: Column, nbits: int = 32,
-                  bands: int = 4) -> Column:
-    """Split an nbits fingerprint into `bands` equal bit-slices
-    (array<bigint>, one value per band). Pigeonhole: two fingerprints
-    at Hamming distance <= bands - 1 agree on at least one band, so an
-    equi-join on (band_no, band_value) finds every such pair -- the
-    scale-safe replacement for the all-pairs theta join. Skew note:
-    identical documents collapse to identical fingerprints and blow up
-    one bucket; run exact dedup first (it is cheaper and removes
-    exactly that mass)."""
-    w = nbits // bands
-    mask = (1 << w) - 1
-    return F.array(*[
-        F.shiftright(fingerprint, nbits - w * (b + 1)).bitwiseAND(F.lit(mask))
-        for b in range(bands)
-    ])
+# (simhash_bands, the fingerprint-scalar band splitter, was removed in
+# r11: no caller anywhere in the repo, and it cannot serve the 64-bit
+# path -- see simhash64_bands_from_sums, which bands from the vote
+# sums directly for exactly that reason.)
 
 
 # --- exact --------------------------------------------------------------

@@ -168,7 +168,20 @@ def running_sum(
     )
     return (
         r.join(F.broadcast(offs), gcols + ["_pid"])
-        .withColumn(out, F.col("_local") + F.coalesce(F.col("_off"), F.lit(0)))
+        # mirror Window sum's null semantics exactly: NULL only when
+        # the whole inclusive frame holds no non-null value -- i.e.
+        # BOTH the within-bucket sum and the prior-bucket carry are
+        # null. Coalescing only _off (the old spelling) returned NULL
+        # whenever a row's own bucket prefix was all-null, dropping
+        # the carried total (review r11; latent -- current callers
+        # sum non-null counts).
+        .withColumn(out, F.when(
+            F.col("_local").isNull() & F.col("_off").isNull(),
+            F.lit(None),
+        ).otherwise(
+            F.coalesce(F.col("_local"), F.lit(0))
+            + F.coalesce(F.col("_off"), F.lit(0))
+        ))
         .select(*df.columns, out)  # join reorders keys first; restore
     )
 
@@ -286,5 +299,10 @@ def value_at_ranks(
         F.min(F.when(F.col("_tag") == t, F.col("_v"))).alias(t)
         for t in tags
     ])
-    return (tot.join(F.broadcast(piv), gcols) if gcols
+    # LEFT join: a group whose every rank expression lands outside
+    # [1, n_g] has no piv row; the contract says its (n_g) row returns
+    # with null tag columns, not silently vanishes (review r11). The
+    # ungrouped branch needs no left join: a global agg over an empty
+    # `vals` still yields exactly one (all-null) row.
+    return (tot.join(F.broadcast(piv), gcols, "left") if gcols
             else tot.crossJoin(F.broadcast(piv)))

@@ -233,7 +233,7 @@ WITH tk AS (
     (strpos('0123456789abcdef', md5(t)[2]) - 1) * 256 +
     (strpos('0123456789abcdef', md5(t)[3]) - 1) * 16 +
     (strpos('0123456789abcdef', md5(t)[4]) - 1)) AS vs
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 sums AS (
   SELECT doc_id, list_transform(generate_series(0, 15), j ->
@@ -253,7 +253,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-file source would otherwise serialize the folds); the
     grouping/banding on the fingerprint reuses the LSH machinery."""
     d = load_spread(spark, sf_dir, "documents")
-    return d.select(
+    # NULL-text guard on BOTH sides (the banded variant documents why,
+    # ADVICE r2): Spark's fold propagates NULL while the oracle's CASE
+    # collapses a NULL vote sum to bit 0 -- a latent divergence on any
+    # corpus with null text (review r11)
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id", D.simhash16(F.col("text")).alias("simhash")
     ).orderBy("doc_id")
 
@@ -265,7 +269,7 @@ WITH tk AS (
     (strpos('0123456789abcdef', md5(t)[2]) - 1) * 256 +
     (strpos('0123456789abcdef', md5(t)[3]) - 1) * 16 +
     (strpos('0123456789abcdef', md5(t)[4]) - 1)) AS vs
-  FROM documents WHERE doc_id < 250
+  FROM documents WHERE doc_id < 250 AND text IS NOT NULL
 ),
 sums AS (
   SELECT doc_id, list_transform(generate_series(0, 15), j ->
@@ -297,7 +301,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibbles and equi-join on any shared band -- pigeonhole guarantees
     a band match at distance <= 3 with 4 bands -- then verify, exactly
     like the MinHash pipeline)."""
-    d = load_spread(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    d = load_spread(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 250) & F.col("text").isNotNull())
     sigs = d.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
     a, b = sigs.alias("a"), sigs.alias("b")
     hamming = F.bit_count(
@@ -315,11 +320,11 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
-WITH {_SH_CTE},
-bounded AS (SELECT * FROM sh WHERE doc_id < 1000),
+# ONE spelling of the DF-capped shared-shingle candidate stage for BOTH
+# its consumers (q_dedup_ngram_jaccard, q_dedup_containment) -- the
+# matching.py _BLOCKED_CTES rule: a cap/bound tweak applied to one
+# query must not silently desynchronize the other (review r11).
+_SHINGLE_CAND_CTES = """bounded AS (SELECT * FROM sh WHERE doc_id < 1000),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM bounded),
 kept AS (
   SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM ex)
@@ -328,7 +333,42 @@ kept AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-),
+),"""
+
+
+def _shingle_candidates(spark: SparkSession, sf_dir: str):
+    """The Spark half of the shared stage: bounded docs -> word
+    shingles -> DF<=100 cap -> distinct shared-shingle candidate
+    pairs. Returns (cand(id1, id2), sh(doc_id, shingles)) for the
+    per-query verification joins."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = d.select(
+        "doc_id", D.word_shingles(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    w_df = Window.partitionBy("s")
+    kept = ex.withColumn("df", F.count(F.lit(1)).over(w_df)).filter(
+        F.col("df") <= 100
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"),
+                F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    return cand, sh
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SH_CTE},
+{_SHINGLE_CAND_CTES}
 verified AS (
   SELECT id1, id2,
          len(list_intersect(s1.shingles, s2.shingles))
@@ -357,21 +397,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     250: at sf0.1 the near-dup pairs are spread through the id space
     and the first 250 ids hold none above the 0.6 threshold, which
     would make the check vacuous at bench SF)."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    sh = d.select(
-        "doc_id", D.word_shingles(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    w_df = Window.partitionBy("s")
-    kept = ex.withColumn("df", F.count(F.lit(1)).over(w_df)).filter(
-        F.col("df") <= 100
-    )
-    a, b = kept.alias("a"), kept.alias("b")
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
-    )
+    cand, sh = _shingle_candidates(spark, sf_dir)
     s1 = sh.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     return (
@@ -673,16 +699,7 @@ def q_curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_containment",
     oracle=f"""
 WITH {_SH_CTE},
-bounded AS (SELECT * FROM sh WHERE doc_id < 1000),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM bounded),
-kept AS (
-  SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM ex)
-  WHERE df <= 100
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-),
+{_SHINGLE_CAND_CTES}
 verified AS (
   SELECT id1, id2,
          len(list_intersect(s1.shingles, s2.shingles))
@@ -708,26 +725,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. Same candidate discipline as q_dedup_ngram_jaccard:
     DF-capped shared-shingle blocking (no all-pairs), then exact
     verification on the candidate set only; both scores are emitted so
-    the asymmetry is visible in the result."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    sh = d.select(
-        "doc_id", D.word_shingles(F.col("text")).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    w_df = Window.partitionBy("s")
-    kept = ex.withColumn("df", F.count(F.lit(1)).over(w_df)).filter(
-        F.col("df") <= 100
-    )
-    a, b = kept.alias("a"), kept.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
-    )
+    the asymmetry is visible in the result. The candidate stage is the
+    SAME code and the SAME oracle fragment as q_dedup_ngram_jaccard
+    (_shingle_candidates / _SHINGLE_CAND_CTES)."""
+    cand, sh = _shingle_candidates(spark, sf_dir)
     s1 = sh.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     return (

@@ -206,3 +206,50 @@ def test_leading_rejects_contract_violations(spark):
         P._leading(df, [F.col("missing").asc()])
     with pytest.raises(ValueError, match="plain column"):
         P._leading(df, [(F.col("v") + 1).asc()])
+
+
+def test_running_sum_null_semantics_match_window(spark):
+    """Review r11: a row whose within-bucket inclusive frame holds
+    only NULL values must still carry the prior buckets' total (the
+    global Window sum skips NULLs; it is NULL only when NO non-null
+    value precedes). Compared against the single-task Window spelling
+    on a nullable measure."""
+    from pyspark.sql import Window
+
+    rows = [(i, None if i % 3 == 0 else i * 10) for i in range(1, 41)]
+    rows[0] = (1, 7)  # a non-null before the first null
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r["k"]: r["rs"]
+        for r in P.running_sum(
+            df, [F.col("k").asc()], F.col("v"), "rs", parts=4
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    # and the all-null-prefix case really returns NULL in both
+    df2 = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5)], "k int, v int")
+    got2 = {r["k"]: r["rs"] for r in P.running_sum(
+        df2, [F.col("k").asc()], F.col("v"), "rs", parts=2).collect()}
+    assert got2 == {1: None, 2: None, 3: 5}
+
+
+def test_value_at_ranks_keeps_group_on_out_of_range_rank(spark):
+    """Review r11: a group whose every rank expression lands outside
+    [1, n_g] must return its (n_g) row with NULL tag columns, not
+    silently vanish from the output."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double")
+    out = {
+        r["g"]: (r["n_g"], r["oor"])
+        for r in P.value_at_ranks(
+            df, "v", F.lit(1), {"oor": F.col("n_g") + 10},
+            group_cols=["g"], parts=2,
+        ).collect()
+    }
+    assert out == {"a": (2, None), "b": (1, None)}

@@ -55,8 +55,14 @@ R11_PIN: tuple[str, ...] = ()
 # the conversion trio discogs_xml_conversion/_stats/_explode_artists
 # (strict-parser conformance fixes: empty master_id skip, attributed
 # empty unknown tags, empty genre/style and non-empty label
-# rejection, empty-listing guard), and q_reservoir_per_group
-# (canonical _doc_hash reuse -- identical expression).
+# rejection, empty-listing guard), q_reservoir_per_group (canonical
+# _doc_hash reuse -- identical expression), and the
+# operators/prefix.py consumers in matching/curation_extra/
+# analytics_extra/features (running_sum null-carry fix +
+# value_at_ranks left join -- latent-contract fixes, plans changed).
+# The dedup-module fixes (simhash null guards, shared shingle
+# candidate stage) land on queries already IN the r11 window, so they
+# get fresh r11 evidence without a derivation change.
 
 
 def test_import_order_is_policy_fixed_point():
