@@ -114,6 +114,14 @@ SF1_QUERIES = [
     "q_merge_upsert",
     "q_table_diff",
     "q_hll_union_rollup",
+    # r11 mid-round: the write-amplification complement (MOR delete:
+    # sidecar write is O(delta), MOR read adds one broadcast anti --
+    # 10x wall should track the base scan, far under 10x) and the
+    # theta cohort algebra (MV-side kilobyte work, ~flat like the
+    # HLL rollup; its exact reference self-join is the lane's honest
+    # fact-side cost)
+    "q_delete_merge_on_read",
+    "q_theta_set_algebra",
 ]
 
 # table -> id columns to offset per shard

@@ -25,29 +25,46 @@ pin=(), max_round=10):
   chain gets its oracle-backed driver row; the r10-green trio
   q_merge_upsert/q_time_travel/q_table_diff rides, which also
   re-checks the ADVICE r10 out-of-window guards added this round);
-- 5-6: schema_evolution rank 0 (q_schema_evolution_widening NEW --
+- 5-7: schema_evolution rank 0 (q_schema_evolution_widening NEW --
   item 6: int32->int64 across generations via the explicit catalog
-  schema, mergeSchema's refusal pytest-pinned; r9
+  schema, mergeSchema's refusal pytest-pinned;
+  q_schema_evolution_rename NEW -- explicit per-generation rename
+  map, mergeSchema's silent column fork pytest-pinned; r9
   q_schema_evolution_scan rides);
-- 7: multimodal_image rank 0 (q_multimodal_image_decode NEW --
+- 8: multimodal_image rank 0 (q_multimodal_image_decode NEW --
   item 7: the pure-Python PPM/BMP decoder replacing the repo's one
   NotImplementedError, both codecs round-tripped in one
   oracle-checked lane);
-- 8: python_datasource CHANGED (ADVICE r10: the stream reader's
+- 9: deletion_vectors rank 0 (q_delete_merge_on_read NEW --
+  merge-on-read DELETE: kilobyte key sidecars, byte-identical base,
+  broadcast-LeftAnti read, MOR->COW compaction pytest-pinned);
+- 10: quantile_rollup rank 0 (q_quantile_histogram_rollup NEW --
+  stored per-day histogram vectors answer any-range p50/p90/p99
+  with zero fact scans, integer-exact against the oracle);
+- 11: theta_sets rank 0 (q_theta_set_algebra NEW -- Datasketches
+  Theta set algebra: the distinct-count intersection/difference HLL
+  cannot do, week-cohort retention from the stored day-sketch MV);
+- 12: kll_quantiles rank 0 (q_kll_quantile_sketch NEW -- stored
+  per-day KLL doubles sketches, any-range value-space p50/p90 with
+  a hash-pinned rank-error band);
+- 13: partition_evolution rank 0 (q_partition_evolution NEW --
+  Iceberg-style spec evolution: old slices pruned by month, new
+  slices by month+priority, no historical rewrite);
+- 14: python_datasource CHANGED (ADVICE r10: the stream reader's
   offsets became filename SETS -- backfill-proof exactly-once);
-- 9: setsim CHANGED (item 1: the distinct-token-set collapse --
+- 15: setsim CHANGED (item 1: the distinct-token-set collapse --
   5.2 s at sf0.1 / 3.4x wall for 10x data, was 47 s / 22x);
-- 10-16: tpch_extra, the oldest-evidence module (six r7 queries;
+- 16-22: tpch_extra, the oldest-evidence module (six r7 queries;
   r10-green q10_returned_items rides at the module head);
-- 17-50: the r7 cohort in evidence order -- dedup (11), packing,
+- 23-50: the r7 cohort in evidence order -- dedup (11), packing,
   quality (2), curation_full, aggregates (4), formats (2),
-  reshaping (4), joins (7), nested (first 2 of 3); the 50-cut lands
-  mid-nested after q_array_ops, so q_nested_collect leads the r12
-  remainder with python_udfs and the r8 cohort.
+  reshaping (4), joins (first 3 of 7); the 50-cut lands mid-joins
+  after q_join_semi, so q_join_anti leads the r12 remainder with
+  the joins tail, nested, python_udfs, and the r8 cohort.
 
 After this window nothing in the registry has evidence older than r7,
-and the oldest unchecked evidence anywhere is r7 (q_nested_collect,
-python_udfs).
+and the oldest unchecked evidence anywhere is r7 (the joins tail,
+nested, python_udfs).
 
 The staging helpers these modules share live in ../staging.py, OUTSIDE
 this package, so importing them cannot drag a query module forward in
@@ -60,42 +77,64 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # reference-counted VACUUM, keep-set validated); the r10 trio
     # (COW MERGE, time travel, manifest diff) rides with its module
     merge,
-    # 5-6: q_schema_evolution_widening NEW (int32->int64 via explicit
-    # catalog schema; mergeSchema refusal pinned); r9 scan lane rides
+    # 5-7: q_schema_evolution_widening NEW (int32->int64 via explicit
+    # catalog schema; mergeSchema refusal pinned) +
+    # q_schema_evolution_rename NEW (explicit per-generation rename
+    # map; mergeSchema's silent column fork pinned); r9 scan rides
     schema_evolution,
-    # 7: q_multimodal_image_decode NEW (pure-Python PPM/BMP round
+    # 8: q_multimodal_image_decode NEW (pure-Python PPM/BMP round
     # trip -- the image decoder the r10 verdict's last-skip item
     # asked for, oracle-checked like the audio lane)
     multimodal_image,
-    # 8: q_source_python_datasource CHANGED (filename-set stream
+    # 9: q_delete_merge_on_read NEW (merge-on-read DELETE via
+    # deletion-vector sidecars -- the write-amplification complement
+    # to the COW MERGE; imports merge, which is already emitted)
+    deletion_vectors,
+    # 10: q_quantile_histogram_rollup NEW (mergeable per-day histogram
+    # MV answering any-range p50/p90/p99 with zero fact scans -- the
+    # quantile analog of q_hll_union_rollup)
+    quantile_rollup,
+    # 11: q_theta_set_algebra NEW (Datasketches Theta sketches: the
+    # distinct-count INTERSECTION/DIFFERENCE algebra HLL cannot do --
+    # week-cohort retention/churn from the stored day-sketch MV)
+    theta_sets,
+    # 12: q_kll_quantile_sketch NEW (Datasketches KLL doubles: stored
+    # per-day quantile sketches, any-range p50/p90 in value space
+    # with a hash-pinned rank-error band)
+    kll_quantiles,
+    # 13: q_partition_evolution NEW (Iceberg-style partition-spec
+    # evolution: old slices month-partitioned, new slices
+    # (month, priority)-partitioned, each scanned under its OWN spec
+    # with per-spec PartitionFilters -- no historical rewrite)
+    partition_evolution,
+    # 14: q_source_python_datasource CHANGED (filename-set stream
     # offsets -- backfill-proof exactly-once, ADVICE r10)
     python_datasource,
-    # 9: q_setsim_prefix_join CHANGED (distinct-set collapse before
+    # 15: q_setsim_prefix_join CHANGED (distinct-set collapse before
     # the prefix join -- the r10 scale-killer fix)
     setsim,
-    # 10-16: oldest evidence, r7 cohort begins (q10 rides at head)
+    # 16-22: oldest evidence, r7 cohort begins (q10 rides at head)
     tpch_extra,
-    # 17-27: dedup (11 queries, r7)
+    # 23-33: dedup (11 queries, r7)
     dedup,
-    # 28: packing (r7)
+    # 34: packing (r7)
     packing,
-    # 29-30: quality (r7)
+    # 35-36: quality (r7)
     quality,
-    # 31: curation_full (r7; folds after its dedup/packing/quality deps)
+    # 37: curation_full (r7; folds after its dedup/packing/quality deps)
     curation_full,
-    # 32-35: aggregates (r7)
+    # 38-41: aggregates (r7)
     aggregates,
-    # 36-37: formats (r7)
+    # 42-43: formats (r7)
     formats,
-    # 38-41: reshaping (r7)
+    # 44-47: reshaping (r7)
     reshaping,
-    # 42-48: joins (r7)
+    # 48-54: joins (r7) -- the cut lands mid-module after
+    # q_join_semi; q_join_anti leads the r12 remainder
     joins,
-    # 49-50: nested (r7) -- the cut lands mid-module after
-    # q_array_ops; q_nested_collect leads the r12 remainder
-    nested,
     # --- 50-query window cut ---
     # r7-green remainder: first in line for round 12
+    nested,
     python_udfs,
     # r8-green
     matching,

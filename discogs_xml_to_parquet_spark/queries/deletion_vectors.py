@@ -1,0 +1,191 @@
+"""Merge-on-read DELETE via deletion vectors: the base table is never
+rewritten; deletes land as kilobyte key sidecars and the reader
+subtracts them -- the write-amplification complement to the
+copy-on-write MERGE in queries/merge.py.
+
+The production trade every table format now ships (Delta deletion
+vectors, Iceberg positional/equality delete files, Hudi MOR): a DELETE
+whose keys are SCATTERED across partitions is copy-on-write's worst
+case -- one deleted row per partition forces a rewrite of every
+partition (O(table) write for an O(delta)-row change). Merge-on-read
+inverts the cost: the write path emits only a per-partition sidecar of
+deleted keys (O(delta) bytes -- here `o_month=*/...parquet` under a
+`_dv` root, modeling one delete file per partition), and every read
+applies them as an anti-join. Writes become cheap and reads pay a
+small, bounded merge tax until a compaction (queries/compaction.py's
+partition-local lane is exactly that job) folds heavy sidecars back
+into data files.
+
+Both halves of the contract ride in the driver row, the merge.py
+pattern: the relational oracle reconstructs the post-DELETE table in
+pure SQL (a survivor dropped, a delete missed, or a double-subtraction
+breaks the per-priority checksum), and the layout booleans carry the
+merge-on-read proof -- `base_untouched` (every base file byte-identical
+after the DELETE: none rewritten, none removed) and
+`dv_smaller_than_rewrite` (the sidecar bytes undercut what
+copy-on-write would have rewritten -- the affected partitions' full
+bytes; with %17 keys that is the WHOLE table, the scattered-delete
+regime this lane pins).
+
+Scale shape: the DV write is one pruned scan of the delete predicate
+(column-pruned to the key + partition column); the MOR read is the
+base scan plus ONE BroadcastHashJoin LeftAnti on the delta-sized key
+set -- no shuffle of the base, plan-gated in
+tests/test_deletion_vectors.py. At 100 TB the sidecar stays
+delta-sized while copy-on-write's rewrite set is partition-granular;
+the crossover (many accumulated DVs slowing reads) is the documented
+compaction trigger, demonstrated by apply_deletion_vectors.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.queries.merge import (
+    _inventory,
+    staged_partitioned_orders,
+)
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import work_dir as _work_dir
+
+_DEL_MOD = 17   # delete keys: o_orderkey % 17 == 0 -- scattered, every
+                # month holds some: copy-on-write's worst case
+
+
+def delete_keys(spark: SparkSession, base: str) -> DataFrame:
+    """The DELETE predicate's key set, column-pruned to (partition,
+    key) -- what a format writes into its delete files."""
+    return (
+        spark.read.parquet(base)
+        .filter(F.col("o_orderkey") % _DEL_MOD == 0)
+        .select("o_month", "o_orderkey")
+    )
+
+
+def write_deletion_vectors(spark: SparkSession, sf_dir: str,
+                           base: str) -> tuple[str, dict]:
+    """Execute the merge-on-read DELETE: write per-partition key
+    sidecars under a `_dv` root and leave the base byte-identical.
+    Returns (dv_dir, layout facts)."""
+    dv_dir = _work_dir("dv_sidecar", sf_dir)
+    before = _inventory(base)
+    delete_keys(spark, base).write.mode("overwrite").partitionBy(
+        "o_month").parquet(dv_dir)
+    after = _inventory(base)
+    dv_bytes = sum(
+        p.stat().st_size for p in Path(dv_dir).rglob("*.parquet"))
+    dv_months = {
+        d.name for d in Path(dv_dir).glob("o_month=*") if d.is_dir()}
+    # what copy-on-write would have rewritten: the FULL bytes of every
+    # partition holding at least one deleted key
+    cow_bytes = sum(
+        sz for rel, (sz, _h) in before.items()
+        if rel.split("/", 1)[0] in dv_months
+    )
+    facts = {
+        "n_dv_months": len(dv_months),
+        "base_untouched": before == after,
+        "dv_smaller_than_rewrite": 0 < dv_bytes < cow_bytes,
+    }
+    return dv_dir, facts
+
+
+def mor_read(spark: SparkSession, base: str, dv_dir: str) -> DataFrame:
+    """The merge-on-read scan: base MINUS deletion vectors, as one
+    BroadcastHashJoin LeftAnti on the delta-sized key set -- the base
+    is never shuffled (plan-gated). A real reader scopes each sidecar
+    to its own partition/file; keys here are table-unique so the
+    key-level anti-join is equivalent and stays broadcastable."""
+    dv = spark.read.parquet(dv_dir).select("o_orderkey")
+    return spark.read.parquet(base).join(
+        F.broadcast(dv), on="o_orderkey", how="left_anti")
+
+
+def apply_deletion_vectors(spark: SparkSession, base: str,
+                           dv_dir: str) -> list[str]:
+    """MOR -> COW compaction: fold the sidecars into data files by
+    rewriting the affected partitions (the merge.py swap discipline)
+    and dropping their DVs. After this, a plain scan with no merge tax
+    equals the MOR read -- pinned in tests. Returns rewritten months.
+
+    Production would trigger this per partition when its deleted
+    fraction crosses a threshold; here every DV'd partition compacts,
+    the threshold=0 case."""
+    months = sorted(
+        d.name for d in Path(dv_dir).glob("o_month=*") if d.is_dir())
+    if not months:
+        return []
+    live = mor_read(spark, base, dv_dir).filter(
+        F.col("o_month").isin([m.split("=", 1)[1] for m in months]))
+    import tempfile
+
+    newver = tempfile.mkdtemp(prefix="spark_graft_dv_compact_")
+    live.write.mode("overwrite").partitionBy("o_month").parquet(newver)
+    for m in months:
+        dst = Path(base) / m
+        src = Path(newver) / m
+        if dst.exists():
+            shutil.rmtree(dst)
+        # a delete may empty a partition entirely: drop, don't move
+        if src.exists():
+            shutil.move(str(src), str(dst))
+        shutil.rmtree(Path(dv_dir) / m, ignore_errors=True)
+    shutil.rmtree(newver, ignore_errors=True)
+    return months
+
+
+_REV_SQL = ("CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) "
+            "AS BIGINT)) AS DOUBLE) / 1000000")
+
+
+@query(
+    "q_delete_merge_on_read",
+    oracle=f"""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_live,
+       {_REV_SQL} AS total_price,
+       (SELECT CAST(COUNT(DISTINCT strftime(CAST(o_orderdate AS
+                TIMESTAMP), '%Y-%m')) AS BIGINT)
+        FROM orders WHERE o_orderkey % {_DEL_MOD} = 0) AS n_dv_months,
+       TRUE AS base_untouched,
+       TRUE AS dv_smaller_than_rewrite
+FROM orders
+WHERE o_orderkey % {_DEL_MOD} <> 0
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_delete_merge_on_read(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE round trip: a scattered key set (every
+    17th order -- every month partition affected) is deleted by
+    writing kilobyte sidecars only, then the MOR scan's per-priority
+    checksums are pinned against the SQL reconstruction of the
+    post-DELETE table. `base_untouched` proves no data file was
+    rewritten (the whole point -- copy-on-write would have rewritten
+    every partition for this delta); `dv_smaller_than_rewrite` proves
+    the sidecar bytes undercut that rewrite; `n_dv_months` counts the
+    per-partition delete files and is re-derived relationally by the
+    oracle."""
+    base = staged_partitioned_orders(spark, sf_dir)
+    dv_dir, facts = write_deletion_vectors(spark, sf_dir, base)
+    return (
+        mor_read(spark, base, dv_dir)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .withColumn("n_dv_months",
+                    F.lit(facts["n_dv_months"]).cast("bigint"))
+        .withColumn("base_untouched",
+                    F.lit(bool(facts["base_untouched"])))
+        .withColumn("dv_smaller_than_rewrite",
+                    F.lit(bool(facts["dv_smaller_than_rewrite"])))
+        .orderBy("priority")
+    )

@@ -36,6 +36,8 @@ _VERSION = 1
 _EVOLVED_AT = "1995-07-01"
 # the date o_custkey was widened int32 -> int64 in the writer
 _WIDENED_AT = "1995-07-01"
+# the date the writer renamed o_totalprice -> total_price
+_RENAMED_AT = "1995-07-01"
 
 _REV_SQL = ("CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) "
             "AS BIGINT)) AS DOUBLE) / 1000000")
@@ -180,4 +182,91 @@ def q_schema_evolution_widening(spark: SparkSession,
         )
         .withColumn("widened", F.lit(bool(widened)))
         .orderBy("order_year")
+    )
+
+
+# --- column rename across generations ---------------------------------
+
+def staged_renamed_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation parquet directory where a column was RENAMED in
+    the writer: gen=0 (pre-boundary) calls the revenue column
+    `o_totalprice`, gen=1 calls it `total_price`. The directory a
+    pipeline leaves behind after a naming-convention migration that
+    nobody backfilled."""
+    slug = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(sf_dir, "orders.parquet")
+
+    def build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        old = o.filter(F.col("o_orderdate") < _RENAMED_AT)
+        new = o.filter(
+            F.col("o_orderdate") >= _RENAMED_AT
+        ).withColumnRenamed("o_totalprice", "total_price")
+        old.write.mode("overwrite").parquet(f"{tmp}/gen=0")
+        new.write.mode("overwrite").parquet(f"{tmp}/gen=1")
+
+    return _staged(
+        f"spark_graft_schemarename_v{_VERSION}_{slug}_{fp}", build
+    )
+
+
+# per-generation name of the canonical `total_price` column -- the
+# rename map a real table format keeps in metadata (Iceberg tracks it
+# by field id; Delta by column-mapping). Parquet footers alone CANNOT
+# express a rename: mergeSchema on this directory silently forks the
+# column into o_totalprice-with-NULLs and total_price-with-NULLs (the
+# failure mode, pinned as a pytest in tests/test_schema_evolution.py).
+_RENAME_MAP = {"gen=0": "o_totalprice", "gen=1": "total_price"}
+
+
+@query(
+    "q_schema_evolution_rename",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       """ + _REV_SQL + """ AS total_price,
+       TRUE AS rename_unified
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_schema_evolution_rename(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Column-rename scan: the mixed-name directory is read through an
+    explicit per-generation rename map -- each generation is projected
+    to the canonical name at scan time and the slices unioned BY NAME,
+    the mechanism behind Iceberg's field-id renames and Delta's column
+    mapping. No historical rewrite: the map is metadata, the per-file
+    reader just projects a differently-named physical column. The
+    per-priority exact revenue checksum spans BOTH generations, so a
+    dropped slice, a double-read, or a column forked into two (what
+    footer-merging would do -- pinned as the negative pytest) breaks
+    the hash; `rename_unified` pins that exactly one revenue column
+    survived unification.
+
+    Scale shape: identical to the sibling evolution lanes -- schema
+    resolution is metadata-only, then one map-side pass + a K-group
+    aggregate. The per-generation projection adds zero passes: it IS
+    the scan's ReadSchema, one per file group."""
+    src = staged_renamed_orders(spark, sf_dir)
+    gens = []
+    for gen, phys in _RENAME_MAP.items():
+        gens.append(
+            spark.read.parquet(f"{src}/{gen}")
+            .select(
+                "o_orderpriority",
+                F.col(phys).alias("total_price"),
+            )
+        )
+    df = gens[0].unionByName(gens[1])
+    unified = df.columns.count("total_price") == 1
+    return (
+        df.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("total_price").alias("total_price"),
+        )
+        .withColumn("rename_unified", F.lit(bool(unified)))
+        .orderBy("priority")
     )

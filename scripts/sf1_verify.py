@@ -105,6 +105,30 @@ DEFAULT = [
     # r11: the PPM/BMP round trip over 10x doc_ids (1e8-offset ids
     # exercise the pixel arithmetic far outside the sf0.1 range)
     "q_multimodal_image_decode",
+    # r11 mid-round: the rename scan at 10x (both generations' exact
+    # revenue checksums through the per-generation projection)
+    "q_schema_evolution_rename",
+    # r11 mid-round: merge-on-read at the 10x partitioned orders --
+    # ~10x deleted keys still ride a broadcast anti-join, the base
+    # inventory must stay byte-identical over ~10x files, and the
+    # sidecar-vs-rewrite byte inequality must hold at 10x
+    "q_delete_merge_on_read",
+    # r11 mid-round: the histogram rollup at the 10x changelog --
+    # 10x counts per (type, day) vector cell, quantile bins must
+    # stay integer-exact against the fact replay
+    "q_quantile_histogram_rollup",
+    # r11 mid-round: theta set algebra at 10x user cardinalities --
+    # the week cohorts grow ~10x; retention/churn sketch estimates
+    # must stay in-band (still near exact mode at lgK=12)
+    "q_theta_set_algebra",
+    # r11 mid-round: KLL at 10x -- the sketch's n stays a lossless
+    # counter through the merge and both quantile values must hold
+    # the p +- 0.03 rank band over 10x items
+    "q_kll_quantile_sketch",
+    # r11 mid-round: spec evolution at the 10x orders -- both specs'
+    # partition filters must survive ~10x directory counts and the
+    # straddling aggregate must stay hash-exact
+    "q_partition_evolution",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

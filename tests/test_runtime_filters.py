@@ -156,6 +156,42 @@ def test_merge_schema_refuses_type_conflicts(spark, tmp_path):
          .option("recursiveFileLookup", "true").parquet(bad).schema)
 
 
+def test_renamed_generations_differ_in_name(spark):
+    """staged_renamed_orders: gen=0 must call the revenue column
+    o_totalprice, gen=1 total_price -- the rename premise, pinned so a
+    refactor cannot quietly write both generations with one name (the
+    query would still pass its oracle but stop testing renames)."""
+    from discogs_xml_to_parquet_spark.queries import schema_evolution as SE
+
+    root = SE.staged_renamed_orders(spark, SF_SMOKE)
+    old_cols = spark.read.parquet(f"{root}/gen=0").columns
+    new_cols = spark.read.parquet(f"{root}/gen=1").columns
+    assert "o_totalprice" in old_cols and "total_price" not in old_cols
+    assert "total_price" in new_cols and "o_totalprice" not in new_cols
+
+
+def test_merge_schema_forks_renamed_column(spark):
+    """The documented failure mode behind the explicit rename map:
+    footer reconciliation has no rename concept, so mergeSchema on the
+    renamed directory SUCCEEDS but silently forks the revenue column
+    into o_totalprice-with-NULLs and total_price-with-NULLs -- every
+    row half-NULL, every whole-table SUM half-blind. This is why real
+    formats track renames in metadata (Iceberg field ids, Delta column
+    mapping) and why q_schema_evolution_rename projects per generation
+    instead of merging footers."""
+    from discogs_xml_to_parquet_spark.queries import schema_evolution as SE
+
+    root = SE.staged_renamed_orders(spark, SF_SMOKE)
+    forked = (spark.read.option("mergeSchema", "true")
+              .option("recursiveFileLookup", "true").parquet(root))
+    assert {"o_totalprice", "total_price"} <= set(forked.columns)
+    n = forked.count()
+    half_nulls = forked.filter(
+        F.col("o_totalprice").isNull() | F.col("total_price").isNull()
+    ).count()
+    assert half_nulls == n  # every row is blind in one fork or the other
+
+
 def test_bucketed_fact_tables_reuse_within_app(spark):
     """bucketed_fact_tables: the second call must short-circuit on
     tableExists (no rewrite -- data files untouched), and the tables

@@ -1,0 +1,92 @@
+"""Theta set-algebra invariants (queries/theta_sets.py): the
+production retention algebra never touches the fact, estimates are
+EXACT below the sketch's nominal capacity, and re-merging merged
+sketches is sound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.queries.theta_sets import (
+    _LGK,
+    _W1_HI,
+    _W1_LO,
+    _W3_HI,
+    _W3_LO,
+    retention_from_sketches,
+    staged_day_theta,
+)
+from discogs_xml_to_parquet_spark.tables import load
+from tests.conftest import SF_SMOKE
+
+
+def test_retention_reads_only_sketch_table(spark):
+    """The point of storing sketches: the cohort algebra's plan reads
+    the sketch parquet (two window branches, both MV-sized) and the
+    events fact ZERO times."""
+    from tests.test_plans import plan_of
+
+    d = staged_day_theta(spark, SF_SMOKE)
+    plan = plan_of(retention_from_sketches(spark, d))
+    assert "events.parquet" not in plan, plan
+
+
+def test_estimates_exact_below_nominal_capacity(spark):
+    """At lgK=12 a theta sketch holds up to ~4k hashes before
+    sampling; these cohorts are far smaller, so every estimate --
+    including the intersected and differenced sketches -- must equal
+    the exact count, not just band-match. This pins the algebra's
+    correctness independent of the band's slack."""
+    d = staged_day_theta(spark, SF_SMOKE)
+    est = {r["event_type"]: r
+           for r in retention_from_sketches(spark, d).collect()}
+    ev = load(spark, SF_SMOKE, "events")
+
+    def cohort(lo, hi):
+        return (
+            ev.filter(F.to_date("ts").between(lo, hi))
+            .select("event_type", "user_id").distinct()
+        )
+
+    w1 = {(r["event_type"], r["user_id"])
+          for r in cohort(_W1_LO, _W1_HI).collect()}
+    w3 = {(r["event_type"], r["user_id"])
+          for r in cohort(_W3_LO, _W3_HI).collect()}
+    types = {t for t, _ in w1} | {t for t, _ in w3}
+    for t in types:
+        a = {u for tt, u in w1 if tt == t}
+        b = {u for tt, u in w3 if tt == t}
+        r = est[t]
+        assert round(r["est_w1"]) == len(a), t
+        assert round(r["est_w3"]) == len(b), t
+        assert round(r["est_retained"]) == len(a & b), t
+        assert round(r["est_churned"]) == len(a - b), t
+
+
+def test_remerging_merged_sketches_is_sound(spark):
+    """Union of the two window-union sketches == one union over all
+    the member days directly: merges of merges lose nothing (the
+    property that lets stored weekly rollups serve monthly queries
+    without re-reading days)."""
+    d = staged_day_theta(spark, SF_SMOKE)
+    days = spark.read.parquet(d)
+    in_windows = days.filter(
+        F.col("day").between(_W1_LO, _W1_HI)
+        | F.col("day").between(_W3_LO, _W3_HI))
+    direct = (
+        in_windows.groupBy("event_type")
+        .agg(F.theta_sketch_estimate(
+            F.theta_union_agg("user_sketch", _LGK)).alias("est"))
+    )
+    staged2 = (
+        in_windows.withColumn(
+            "w", F.when(F.col("day") <= _W1_HI, 1).otherwise(3))
+        .groupBy("event_type", "w")
+        .agg(F.theta_union_agg("user_sketch", _LGK).alias("wsk"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_estimate(
+            F.theta_union_agg("wsk", _LGK)).alias("est"))
+    )
+    a = {r["event_type"]: r["est"] for r in direct.collect()}
+    b = {r["event_type"]: r["est"] for r in staged2.collect()}
+    assert a == b

@@ -35,10 +35,14 @@ DERIVED_AT_ROUND = 10
 # - q_source_python_datasource CHANGED: the stream reader's offsets
 #   became filename SETS (ADVICE r10 backfill fix) -- the registered
 #   connector the driver query reads through changed.
-# The three r11-NEW queries (q_vacuum_retention,
-# q_schema_evolution_widening, q_multimodal_image_decode) need no
-# entry: rank 0 covers never-checked, and their modules (merge,
-# schema_evolution, multimodal_image) ride forward whole. No pins:
+# The nine r11-NEW queries (q_vacuum_retention,
+# q_schema_evolution_widening, q_schema_evolution_rename,
+# q_multimodal_image_decode, q_delete_merge_on_read,
+# q_quantile_histogram_rollup, q_theta_set_algebra,
+# q_kll_quantile_sketch, q_partition_evolution) need no entry: rank 0
+# covers never-checked, and their modules (merge, schema_evolution,
+# multimodal_image, deletion_vectors, quantile_rollup, theta_sets,
+# kll_quantiles, partition_evolution) ride forward whole. No pins:
 # the conversion trio's evidence is r10, fresh until r13 under the
 # max-3-rounds-unverified guarantee.
 R11_CHANGED = frozenset(
@@ -125,23 +129,30 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r11_window_contents():
-    """The round-11 membership decisions, pinned explicitly: the two
-    NEW lanes lead with their riding modules (merge whole -- VACUUM
-    retention plus the r10 trio re-checking the ADVICE guards;
-    schema_evolution whole -- the widening lane plus the r9 scan),
-    the CHANGED connector and setsim join follow, then the oldest
-    evidence: tpch_extra's six r7 queries (q10 rides) and the r7
-    cohort through nested. The 50-cut lands mid-nested after
-    q_array_ops, so q_nested_collect leads the r12 remainder with
-    python_udfs. Nothing in the window has evidence fresher than r7
-    except the new/changed/riding heads."""
+    """The round-11 membership decisions, pinned explicitly: the
+    nine NEW lanes lead with their riding modules (merge whole --
+    VACUUM retention plus the r10 trio re-checking the ADVICE guards;
+    schema_evolution whole -- widening + rename plus the r9 scan;
+    the MOR deletion-vector, histogram-rollup, theta-set-algebra,
+    KLL-quantile, and partition-spec-evolution modules), the CHANGED
+    connector and setsim join follow, then the oldest evidence:
+    tpch_extra's six r7 queries (q10 rides) and the r7 cohort through
+    joins. The 50-cut lands mid-joins after q_join_semi, so
+    q_join_anti leads the r12 remainder with the joins tail, nested,
+    and python_udfs.
+    Nothing in the window has evidence fresher than r7 except the
+    new/changed/riding heads."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         # new + riding + changed heads
         "q_vacuum_retention", "q_merge_upsert", "q_time_travel",
         "q_table_diff",
-        "q_schema_evolution_widening", "q_schema_evolution_scan",
+        "q_schema_evolution_widening", "q_schema_evolution_rename",
+        "q_schema_evolution_scan",
         "q_multimodal_image_decode",
+        "q_delete_merge_on_read", "q_quantile_histogram_rollup",
+        "q_theta_set_algebra", "q_kll_quantile_sketch",
+        "q_partition_evolution",
         "q_source_python_datasource", "q_setsim_prefix_join",
         # oldest evidence: tpch_extra (q10 r10 rides at module head)
         "q10_returned_items", "q14_promo_revenue", "q18_large_volume",
@@ -155,13 +166,14 @@ def test_r11_window_contents():
         "q_agg_distinct", "q_agg_grouping_sets",
         "q_source_csv_roundtrip", "q_source_json_roundtrip",
         "q_pivot", "q_percentiles",
-        "q_join_star_revenue", "q_skew_salted_join",
-        "q_explode_wordcount", "q_array_ops",
+        "q_join_star_revenue", "q_join_semi",
     ):
         assert must in win, must
-    assert win[-1] == "q_array_ops"  # cut mid-nested
+    assert win[-1] == "q_join_semi"  # cut mid-joins
     for out in (
         # the r7 remainder -> r12 leaders
+        "q_join_anti", "q_join_nonequi_bands", "q_join_full_outer",
+        "q_skew_salted_join", "q_explode_wordcount", "q_array_ops",
         "q_nested_collect",
         "q_pandas_udf_scalar", "q_apply_in_pandas",
         # r8-green stays out
