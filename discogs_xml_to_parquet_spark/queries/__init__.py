@@ -50,17 +50,26 @@ pin=(), max_round=10):
 - 13: partition_evolution rank 0 (q_partition_evolution NEW --
   Iceberg-style spec evolution: old slices pruned by month, new
   slices by month+priority, no historical rewrite);
-- 14: python_datasource CHANGED (ADVICE r10: the stream reader's
+- 14: bucket_pruning rank 0 (q_bucket_pruning NEW -- point lookup
+  opens <= |keys| of 16 bucket files, SelectedBucketsCount-proven;
+  the autoBucketedScan subtlety pinned both ways);
+- 15-16: streaming_merge rank 0 (q_stream_merge_sink NEW -- the
+  transactional foreachBatch MERGE sink: non-idempotent increments
+  exactly once across a kill/resume, batchId txn set inside the
+  version manifest, one atomic flip; the dependency fold pulls
+  r10's q_stream_restart forward to ride at 15 -- its WAL helpers
+  are what the sink lane reuses);
+- 17: python_datasource CHANGED (ADVICE r10: the stream reader's
   offsets became filename SETS -- backfill-proof exactly-once);
-- 15: setsim CHANGED (item 1: the distinct-token-set collapse --
+- 18: setsim CHANGED (item 1: the distinct-token-set collapse --
   5.2 s at sf0.1 / 3.4x wall for 10x data, was 47 s / 22x);
-- 16-22: tpch_extra, the oldest-evidence module (six r7 queries;
+- 19-25: tpch_extra, the oldest-evidence module (six r7 queries;
   r10-green q10_returned_items rides at the module head);
-- 23-50: the r7 cohort in evidence order -- dedup (11), packing,
+- 26-50: the r7 cohort in evidence order -- dedup (11), packing,
   quality (2), curation_full, aggregates (4), formats (2),
-  reshaping (4), joins (first 3 of 7); the 50-cut lands mid-joins
-  after q_join_semi, so q_join_anti leads the r12 remainder with
-  the joins tail, nested, python_udfs, and the r8 cohort.
+  reshaping (4, whole); the 50-cut lands exactly at the module
+  boundary after q_percentiles, so joins (7) leads the r12
+  remainder with nested, python_udfs, and the r8 cohort.
 
 After this window nothing in the registry has evidence older than r7,
 and the oldest unchecked evidence anywhere is r7 (the joins tail,
@@ -107,33 +116,44 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # (month, priority)-partitioned, each scanned under its OWN spec
     # with per-spec PartitionFilters -- no historical rewrite)
     partition_evolution,
-    # 14: q_source_python_datasource CHANGED (filename-set stream
+    # 14: q_bucket_pruning NEW (point lookup against a
+    # custkey-bucketed table opens <= |keys| of 16 bucket files --
+    # SelectedBucketsCount from the executed plan rides as the proof;
+    # the autoBucketedScan planner subtlety pinned both ways)
+    bucket_pruning,
+    # 15-16: q_stream_merge_sink NEW (transactional streaming MERGE:
+    # foreachBatch applies non-idempotent increments exactly once
+    # across a kill/resume -- batchId set rides in the version
+    # manifest, data+log commit in one atomic flip); its import
+    # drags r10's streaming_restart forward (q_stream_restart rides
+    # at 15, re-greening the WAL helpers this lane reuses)
+    streaming_merge,
+    # 17: q_source_python_datasource CHANGED (filename-set stream
     # offsets -- backfill-proof exactly-once, ADVICE r10)
     python_datasource,
-    # 15: q_setsim_prefix_join CHANGED (distinct-set collapse before
+    # 18: q_setsim_prefix_join CHANGED (distinct-set collapse before
     # the prefix join -- the r10 scale-killer fix)
     setsim,
-    # 16-22: oldest evidence, r7 cohort begins (q10 rides at head)
+    # 19-25: oldest evidence, r7 cohort begins (q10 rides at head)
     tpch_extra,
-    # 23-33: dedup (11 queries, r7)
+    # 26-36: dedup (11 queries, r7)
     dedup,
-    # 34: packing (r7)
+    # 37: packing (r7)
     packing,
-    # 35-36: quality (r7)
+    # 38-39: quality (r7)
     quality,
-    # 37: curation_full (r7; folds after its dedup/packing/quality deps)
+    # 40: curation_full (r7; folds after its dedup/packing/quality deps)
     curation_full,
-    # 38-41: aggregates (r7)
+    # 41-44: aggregates (r7)
     aggregates,
-    # 42-43: formats (r7)
+    # 45-46: formats (r7)
     formats,
-    # 44-47: reshaping (r7)
+    # 47-50: reshaping (r7) -- the cut lands exactly at the module
+    # boundary after q_percentiles; joins leads the r12 remainder
     reshaping,
-    # 48-54: joins (r7) -- the cut lands mid-module after
-    # q_join_semi; q_join_anti leads the r12 remainder
-    joins,
     # --- 50-query window cut ---
     # r7-green remainder: first in line for round 12
+    joins,
     nested,
     python_udfs,
     # r8-green
@@ -176,8 +196,9 @@ _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
 )
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401,E402
-    # r10-green (freshest evidence, rotated out of the window)
-    streaming_restart,
+    # r10-green (freshest evidence, rotated out of the window;
+    # streaming_restart is absent here -- streaming_merge imports it,
+    # so it already registered at the window head)
     compaction,
     sketch_rollup,
     constraints,

@@ -100,7 +100,15 @@ def mor_read(spark: SparkSession, base: str, dv_dir: str) -> DataFrame:
     BroadcastHashJoin LeftAnti on the delta-sized key set -- the base
     is never shuffled (plan-gated). A real reader scopes each sidecar
     to its own partition/file; keys here are table-unique so the
-    key-level anti-join is equivalent and stays broadcastable."""
+    key-level anti-join is equivalent and stays broadcastable.
+
+    A table with no sidecars (nothing deleted, or everything already
+    compacted away) is a plain scan: guarded explicitly, because
+    spark.read.parquet on the empty _dv root would fail schema
+    inference instead of meaning 'no deletes' (the ADVICE r10
+    empty-input lesson from snapshot_diff)."""
+    if not any(Path(dv_dir).glob("o_month=*")):
+        return spark.read.parquet(base)
     dv = spark.read.parquet(dv_dir).select("o_orderkey")
     return spark.read.parquet(base).join(
         F.broadcast(dv), on="o_orderkey", how="left_anti")

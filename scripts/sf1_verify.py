@@ -129,6 +129,14 @@ DEFAULT = [
     # partition filters must survive ~10x directory counts and the
     # straddling aggregate must stay hash-exact
     "q_partition_evolution",
+    # r11 mid-round: bucket pruning at the 10x orders -- the 10x
+    # corpus hashes the same keys to the same buckets; the lookup
+    # must stay <= 3 of 16 buckets and hash-exact
+    "q_bucket_pruning",
+    # r11 mid-round: the transactional streaming-MERGE sink at the
+    # 10x orders -- ~10x delta keys per quarterly batch, the kill/
+    # resume cycle must still apply every increment exactly once
+    "q_stream_merge_sink",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

@@ -78,6 +78,16 @@ def test_compaction_folds_sidecars_losslessly(spark, tmp_path):
     assert all(k % _DEL_MOD != 0 for k in got)
 
 
+def test_mor_read_with_no_sidecars_is_plain_scan(spark, tmp_path):
+    """An empty _dv root means 'no deletes', not a schema-inference
+    crash: the MOR read must return the full base."""
+    base = staged_partitioned_orders(spark, SF_SMOKE)
+    empty_dv = tmp_path / "dv"
+    empty_dv.mkdir()
+    n_base = spark.read.parquet(base).count()
+    assert mor_read(spark, base, str(empty_dv)).count() == n_base
+
+
 def test_compaction_drops_fully_deleted_partition(spark, tmp_path):
     """A DELETE that empties a partition entirely: compaction must
     remove the partition directory, not crash moving a file that was
