@@ -62,7 +62,7 @@ pin=(), max_round=10):
 - 17: python_datasource CHANGED (ADVICE r10: the stream reader's
   offsets became filename SETS -- backfill-proof exactly-once);
 - 18: setsim CHANGED (item 1: the distinct-token-set collapse --
-  5.2 s at sf0.1 / 3.4x wall for 10x data, was 47 s / 22x);
+  ~4-5 s at sf0.1 / 3.7-4.6x wall for 10x data, was 47 s / 22x);
 - 19-25: tpch_extra, the oldest-evidence module (six r7 queries;
   r10-green q10_returned_items rides at the module head);
 - 26-50: the r7 cohort in evidence order -- dedup (11), packing,

@@ -52,12 +52,14 @@ answer -- output-bound by construction. The threshold comparison is
 exact integer cross-multiplication (20*i >= 19*u), no floats
 anywhere.
 
-Measured (local[32], same box; the r11 bench run of record, which
-BENCH_DETAIL.json's queries_at_headline_sf now carries in-artifact):
-the r10 plan = 47.2 s at sf0.1 / 69.6 s at sf1; this plan = 5.2 s at
-sf0.1 / 19.3 s at sf1 -- 9x faster at sf0.1 and the sf1/sf0.1 wall
-ratio at 3.7x for 10x data and 10x output (r9's bound was <= ~4x;
-r10 measured 22x). Two levers, both visible in the profile: the collapse cuts the
+Measured (local[32], same box; BENCH_DETAIL.json's
+queries_at_headline_sf carries both sides in-artifact): the r10 plan
+= 47.2 s at sf0.1 / 69.6 s at sf1; this plan = 4.2-5.2 s at sf0.1 /
+19.3-19.6 s at sf1 across the round's runs -- ~9x faster at sf0.1
+and the sf1/sf0.1 wall ratio in the 3.7-4.6x band for 10x data and
+10x output (r9's bound was <= ~4x; r10 measured 22x -- the
+superlinear candidate term is gone, the residual above the output
+ratio is the verification stage's broadcast build). Two levers, both visible in the profile: the collapse cuts the
 candidate space to C(df_sets, 2) (960k candidate pairs -> the
 verification stage, vs 1.8M over docs), and localCheckpoint staging
 of the three fan-out frames (doc_sets / sets / prefix) removes ~10 s

@@ -31,7 +31,7 @@ DERIVED_AT_ROUND = 10
 # Round-11 policy inputs that artifacts cannot express:
 # - q_setsim_prefix_join CHANGED: the r11 distinct-token-set collapse
 #   rewrote candidate generation (values identical, hash re-pinned
-#   locally at sf0.001/sf0.01; 9x faster at sf0.1, 3.4x-for-10x).
+#   locally at sf0.001/sf0.01; ~9x faster at sf0.1, 3.7-4.6x-for-10x).
 # - q_source_python_datasource CHANGED: the stream reader's offsets
 #   became filename SETS (ADVICE r10 backfill fix) -- the registered
 #   connector the driver query reads through changed.
