@@ -61,3 +61,13 @@ def dsum(col: Column | str) -> Column:
 
 def davg(col: Column | str) -> Column:
     return dsum(col) / F.count(F.lit(1))
+
+
+def rev_sql(col: str) -> str:
+    """The DuckDB oracle-side mirror of dsum(col), as ONE shared
+    helper: the module-docstring snippet had been copy-pasted into
+    seven query modules, so a future change to the micros-scaling
+    contract would have had seven silent drift points. Generates the
+    byte-identical expression the inline copies used."""
+    return (f"CAST(SUM(CAST(floor({col} * {_SCALE} + 0.5) "
+            f"AS BIGINT)) AS DOUBLE) / {_SCALE}")

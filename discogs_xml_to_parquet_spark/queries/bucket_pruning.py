@@ -47,7 +47,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint as _source_fingerprint,
@@ -103,8 +103,7 @@ def selected_buckets(df: DataFrame) -> tuple[int, int]:
     return (int(m.group(1)), int(m.group(2))) if m else (-1, -1)
 
 
-_REV_SQL = ("CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) "
-            "AS BIGINT)) AS DOUBLE) / 1000000")
+_REV_SQL = rev_sql("o_totalprice")
 
 
 @query(

@@ -45,7 +45,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
 from discogs_xml_to_parquet_spark.queries.merge import (
     _inventory,
     staged_partitioned_orders,
@@ -147,8 +147,7 @@ def apply_deletion_vectors(spark: SparkSession, base: str,
     return months
 
 
-_REV_SQL = ("CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) "
-            "AS BIGINT)) AS DOUBLE) / 1000000")
+_REV_SQL = rev_sql("o_totalprice")
 
 
 @query(

@@ -88,7 +88,7 @@ def quantiles_from_sketches(spark: SparkSession,
     return (
         days.rollup("event_type")
         .agg(
-            F.kll_merge_agg_double("val_sketch").alias("merged"),
+            F.kll_merge_agg_double("val_sketch", _K).alias("merged"),
             F.sum("n_values").alias("n_values"),
             F.grouping("event_type").alias("_is_total"),
         )

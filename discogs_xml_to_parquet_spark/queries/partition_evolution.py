@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint as _source_fingerprint,
@@ -77,6 +77,20 @@ def staged_evolved_partitions(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _spec_reads(spark: SparkSession,
+                root: str) -> tuple[DataFrame, DataFrame]:
+    """The ONE definition of each generation's filtered read -- both
+    the aggregated scan and the pruning proof derive from these exact
+    frames, so the gate cannot drift from the plan that produces the
+    row (the shingle-stage lesson from e3725d4; bucket_pruning.py
+    applies the same rule by parsing the very frame it aggregates)."""
+    month_pred = F.col("o_month").between(_Q_MONTH_LO, _Q_MONTH_HI)
+    pri = F.col("o_orderpriority") == _Q_PRIORITY
+    old = spark.read.parquet(f"{root}/spec=0").filter(month_pred & pri)
+    new = spark.read.parquet(f"{root}/spec=1").filter(month_pred & pri)
+    return old, new
+
+
 def evolved_scan(spark: SparkSession, root: str) -> DataFrame:
     """The spec-aware read for the lane's predicate: each generation
     scanned under ITS OWN spec with the predicate pushed to that
@@ -85,15 +99,7 @@ def evolved_scan(spark: SparkSession, root: str) -> DataFrame:
     unioned by name. This is what a format's planner derives from
     manifests; spelled explicitly so both PartitionFilters are
     visible and gateable."""
-    month_pred = F.col("o_month").between(_Q_MONTH_LO, _Q_MONTH_HI)
-    old = (
-        spark.read.parquet(f"{root}/spec=0")
-        .filter(month_pred & (F.col("o_orderpriority") == _Q_PRIORITY))
-    )
-    new = (
-        spark.read.parquet(f"{root}/spec=1")
-        .filter(month_pred & (F.col("o_orderpriority") == _Q_PRIORITY))
-    )
+    old, new = _spec_reads(spark, root)
     cols = ["o_month", "o_orderpriority", "o_orderkey", "o_totalprice"]
     return old.select(*cols).unionByName(new.select(*cols))
 
@@ -106,21 +112,17 @@ def _pruning_facts(spark: SparkSession, root: str) -> dict:
     partition filters (priority can only be a data filter there); the
     new spec's scan must carry BOTH month and priority partition
     filters -- the 5x directory skip the evolved spec exists for.
+    Derived from the SAME frames evolved_scan unions (_spec_reads).
     Metadata-only: .explain of an unexecuted frame reads no data."""
     from discogs_xml_to_parquet_spark.plans import formatted_plan
-
-    month_pred = F.col("o_month").between(_Q_MONTH_LO, _Q_MONTH_HI)
-    pri = F.col("o_orderpriority") == _Q_PRIORITY
 
     def partition_filters(df: DataFrame) -> str:
         plan = formatted_plan(df)
         return "".join(
             ln for ln in plan.splitlines() if "PartitionFilters" in ln)
 
-    old_pf = partition_filters(
-        spark.read.parquet(f"{root}/spec=0").filter(month_pred & pri))
-    new_pf = partition_filters(
-        spark.read.parquet(f"{root}/spec=1").filter(month_pred & pri))
+    old, new = _spec_reads(spark, root)
+    old_pf, new_pf = partition_filters(old), partition_filters(new)
     return {
         "old_spec_pruned": (
             "o_month" in old_pf and "o_orderpriority" not in old_pf),
@@ -129,8 +131,7 @@ def _pruning_facts(spark: SparkSession, root: str) -> dict:
     }
 
 
-_REV_SQL = ("CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) "
-            "AS BIGINT)) AS DOUBLE) / 1000000")
+_REV_SQL = rev_sql("o_totalprice")
 
 
 @query(

@@ -15,7 +15,9 @@ reads kilobyte rows.
 
 Binning is EXACT across engines by construction: bounds [0, 1024)
 with width 16.0 are binary-exact doubles, so `floor(value / 16.0)`
-rounds identically in Spark and DuckDB (one IEEE division + floor),
+rounds identically in Spark and DuckDB (one IEEE division + floor;
+both sides clamp into [0, 63] BEFORE the int cast, so a wild
+out-of-range value saturates instead of overflowing DuckDB's INT32),
 and the emitted quantile BINS are integers -- no float tolerance, no
 band; the oracle replays the same binning against the raw fact and
 the driver hash pins equality. The bin->value mapping (bin b covers
@@ -161,7 +163,7 @@ def rollup_from_histograms(spark: SparkSession, hist_dir: str) -> DataFrame:
     oracle="""
 WITH f AS (
   SELECT event_type,
-         LEAST(63, GREATEST(0, CAST(FLOOR(value / 16.0) AS INT))) AS pos
+         CAST(LEAST(63, GREATEST(0, FLOOR(value / 16.0))) AS INT) AS pos
   FROM events
   WHERE value IS NOT NULL
     AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'

@@ -61,7 +61,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
 from discogs_xml_to_parquet_spark.queries.merge import (
     staged_partitioned_orders,
 )
@@ -153,54 +153,67 @@ def apply_batch(spark: SparkSession, root: Path,
     if batch_id in applied:
         return "skipped"
     # learn the batch's months from a filesystem listing of its own
-    # partitioned spill (no driver-side collect -- merge.py's rule)
+    # partitioned spill (no driver-side collect -- merge.py's rule).
+    # BOTH scratch dirs are freed in the finally: the lane's designed
+    # mid-batch kill interrupts this function near-every run, and an
+    # un-freed spill/newver is a full quarter of rewritten partitions
+    # leaked OUTSIDE the bounded work_dir root, per run -- the exact
+    # /tmp-growth class staging.work_dir exists to stop.
     spill = tempfile.mkdtemp(prefix="spark_graft_smbatch_")
-    batch_df.write.mode("overwrite").partitionBy("o_month").parquet(spill)
-    months = sorted(
-        d.name for d in Path(spill).glob("o_month=*") if d.is_dir())
-    vname = f"v{len(applied) + 1}"
-    vdir = root / vname
-    if vdir.exists():            # orphan of a crashed attempt: rebuild
-        shutil.rmtree(vdir)
-    if not months:               # empty batch commits only metadata
-        vdir.mkdir()
-        for m in sorted(p.name for p in (root / cur).glob("o_month=*")):
-            (vdir / m).symlink_to((root / cur / m).resolve())
-    else:
-        month_vals = [m.split("=", 1)[1] for m in months]
-        current_read = spark.read.parquet(str(root / cur)).filter(
-            F.col("o_month").isin(month_vals))
-        keys = spark.read.parquet(spill).select("o_orderkey").withColumn(
-            "_hit", F.lit(True))
-        merged = (
-            current_read.join(F.broadcast(keys), "o_orderkey", "left")
-            .select(
-                "o_orderkey", "o_custkey",
-                F.when(F.col("_hit"), F.lit("U"))
-                .otherwise(F.col("o_orderstatus"))
-                .alias("o_orderstatus"),
-                F.when(F.col("_hit"), F.col("o_totalprice") + 10.0)
-                .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-                "o_orderdate", "o_orderpriority", "o_month",
-            )
-        )
-        newver = tempfile.mkdtemp(prefix="spark_graft_smver_")
-        merged.write.mode("overwrite").partitionBy("o_month").parquet(
-            newver)
-        vdir.mkdir()
-        for m in months:
-            shutil.move(str(Path(newver) / m), str(vdir / m))
-        for m in sorted(p.name for p in (root / cur).glob("o_month=*")):
-            if m not in months:
+    newver = None
+    try:
+        batch_df.write.mode("overwrite").partitionBy(
+            "o_month").parquet(spill)
+        months = sorted(
+            d.name for d in Path(spill).glob("o_month=*") if d.is_dir())
+        vname = f"v{len(applied) + 1}"
+        vdir = root / vname
+        if vdir.exists():        # orphan of a crashed attempt: rebuild
+            shutil.rmtree(vdir)
+        if not months:           # empty batch commits only metadata
+            vdir.mkdir()
+            for m in sorted(
+                    p.name for p in (root / cur).glob("o_month=*")):
                 (vdir / m).symlink_to((root / cur / m).resolve())
-        shutil.rmtree(newver, ignore_errors=True)
-    (vdir / "_applied.json").write_text(
-        json.dumps({"applied": applied + [batch_id]}))
-    shutil.rmtree(spill, ignore_errors=True)
-    tmp = root / "_current.tmp"
-    tmp.write_text(vname)
-    os.replace(tmp, root / "_current")   # THE commit point
-    return vname
+        else:
+            month_vals = [m.split("=", 1)[1] for m in months]
+            current_read = spark.read.parquet(str(root / cur)).filter(
+                F.col("o_month").isin(month_vals))
+            keys = spark.read.parquet(spill).select(
+                "o_orderkey").withColumn("_hit", F.lit(True))
+            merged = (
+                current_read.join(F.broadcast(keys), "o_orderkey", "left")
+                .select(
+                    "o_orderkey", "o_custkey",
+                    F.when(F.col("_hit"), F.lit("U"))
+                    .otherwise(F.col("o_orderstatus"))
+                    .alias("o_orderstatus"),
+                    F.when(F.col("_hit"), F.col("o_totalprice") + 10.0)
+                    .otherwise(F.col("o_totalprice"))
+                    .alias("o_totalprice"),
+                    "o_orderdate", "o_orderpriority", "o_month",
+                )
+            )
+            newver = tempfile.mkdtemp(prefix="spark_graft_smver_")
+            merged.write.mode("overwrite").partitionBy(
+                "o_month").parquet(newver)
+            vdir.mkdir()
+            for m in months:
+                shutil.move(str(Path(newver) / m), str(vdir / m))
+            for m in sorted(
+                    p.name for p in (root / cur).glob("o_month=*")):
+                if m not in months:
+                    (vdir / m).symlink_to((root / cur / m).resolve())
+        (vdir / "_applied.json").write_text(
+            json.dumps({"applied": applied + [batch_id]}))
+        tmp = root / "_current.tmp"
+        tmp.write_text(vname)
+        os.replace(tmp, root / "_current")   # THE commit point
+        return vname
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
+        if newver is not None:
+            shutil.rmtree(newver, ignore_errors=True)
 
 
 def run_merge_sink_lane(
@@ -284,8 +297,7 @@ def run_merge_sink_lane(
     return spark.read.parquet(str(table / cur)), facts
 
 
-_REV_SQL = ("CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) "
-            "AS BIGINT)) AS DOUBLE) / 1000000")
+_REV_SQL = rev_sql("o_totalprice")
 
 
 @query(

@@ -99,18 +99,29 @@ def retention_from_sketches(spark: SparkSession,
     days = spark.read.parquet(sketch_dir)
     w1 = _window_sketches(days, _W1_LO, _W1_HI, "w1")
     w3 = _window_sketches(days, _W3_LO, _W3_HI, "w3")
+    # LEFT join: a type with week-1 users but no week-3 activity is a
+    # fully-churned cohort (retained 0, churned |w1|), matching the
+    # oracle's w1 LEFT JOIN w3 -- an inner join here would silently
+    # drop it and hash-mismatch on any corpus with a dormant type.
+    # (A type with w3 but no w1 has no week-1 cohort to report; both
+    # engines drop it, by the same join direction.)
     return (
-        w1.join(F.broadcast(w3), "event_type")
+        w1.join(F.broadcast(w3), "event_type", "left")
         .select(
             "event_type",
             F.theta_sketch_estimate("sk_w1").alias("est_w1"),
-            F.theta_sketch_estimate("sk_w3").alias("est_w3"),
-            F.theta_sketch_estimate(
-                F.theta_intersection("sk_w1", "sk_w3")
-            ).alias("est_retained"),
-            F.theta_sketch_estimate(
-                F.theta_difference("sk_w1", "sk_w3")
-            ).alias("est_churned"),
+            F.when(F.col("sk_w3").isNull(), F.lit(0.0))
+            .otherwise(F.theta_sketch_estimate("sk_w3"))
+            .alias("est_w3"),
+            F.when(F.col("sk_w3").isNull(), F.lit(0.0))
+            .otherwise(F.theta_sketch_estimate(
+                F.theta_intersection("sk_w1", "sk_w3")))
+            .alias("est_retained"),
+            F.when(F.col("sk_w3").isNull(),
+                   F.theta_sketch_estimate("sk_w1"))
+            .otherwise(F.theta_sketch_estimate(
+                F.theta_difference("sk_w1", "sk_w3")))
+            .alias("est_churned"),
         )
     )
 
@@ -179,7 +190,10 @@ def q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             w3.groupBy("event_type").agg(
                 F.count(F.lit(1)).alias("users_w3")),
             "event_type",
+            "left",   # a dormant type has users_w3 = 0, not no row
         )
+        .withColumn("users_w3",
+                    F.coalesce(F.col("users_w3"), F.lit(0)))
     )
     band = (F.col("users_w1") + F.col("users_w3")
             - F.col("retained")) * _BAND

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.queries.kll_quantiles import (
+    _K,
     _RANGE_HI,
     _RANGE_LO,
     quantiles_from_sketches,
@@ -59,9 +60,9 @@ def test_remerged_quantiles_track_exact(spark):
         F.col("day").between(_RANGE_LO, _RANGE_HI))
     total = (
         days.groupBy("event_type")
-        .agg(F.kll_merge_agg_double("val_sketch").alias("tsk"))
+        .agg(F.kll_merge_agg_double("val_sketch", _K).alias("tsk"))
         .agg(F.kll_sketch_get_quantile_double(
-            F.kll_merge_agg_double("tsk"), F.lit(0.5)).alias("p50"))
+            F.kll_merge_agg_double("tsk", _K), F.lit(0.5)).alias("p50"))
     ).first()["p50"]
     vals = sorted(
         r["value"]

@@ -52,7 +52,10 @@ def test_estimates_exact_below_nominal_capacity(spark):
           for r in cohort(_W1_LO, _W1_HI).collect()}
     w3 = {(r["event_type"], r["user_id"])
           for r in cohort(_W3_LO, _W3_HI).collect()}
-    types = {t for t, _ in w1} | {t for t, _ in w3}
+    # the lane reports one row per WEEK-1 cohort (w1 LEFT JOIN w3 on
+    # both sides); a w3-only type has no week-1 cohort to retain from
+    types = {t for t, _ in w1}
+    assert set(est) == types
     for t in types:
         a = {u for tt, u in w1 if tt == t}
         b = {u for tt, u in w3 if tt == t}
@@ -61,6 +64,33 @@ def test_estimates_exact_below_nominal_capacity(spark):
         assert round(r["est_w3"]) == len(b), t
         assert round(r["est_retained"]) == len(a & b), t
         assert round(r["est_churned"]) == len(a - b), t
+
+
+def test_dormant_type_reports_fully_churned(spark, tmp_path):
+    """A type with week-1 users but NO week-3 activity must appear as
+    a fully-churned cohort (retained 0, churned |w1|) -- the case the
+    oracle's LEFT JOIN keeps and an inner sketch join would silently
+    drop. Built from a synthetic day-sketch MV so the case exists
+    regardless of the corpus."""
+    from pyspark.sql import functions as F2
+
+    days = spark.createDataFrame(
+        [("dormant", "2024-01-02", 101), ("dormant", "2024-01-02", 102),
+         ("alive", "2024-01-03", 201), ("alive", "2024-01-16", 201)],
+        "event_type string, day string, user_id long",
+    ).groupBy("event_type", F2.to_date("day").alias("day")).agg(
+        F2.theta_sketch_agg("user_id", _LGK).alias("user_sketch"),
+        F2.count(F2.lit(1)).alias("n_events"),
+    )
+    mv = str(tmp_path / "mv")
+    days.write.parquet(mv)
+    rows = {r["event_type"]: r
+            for r in retention_from_sketches(spark, mv).collect()}
+    assert round(rows["dormant"]["est_w1"]) == 2
+    assert rows["dormant"]["est_w3"] == 0.0
+    assert rows["dormant"]["est_retained"] == 0.0
+    assert round(rows["dormant"]["est_churned"]) == 2
+    assert round(rows["alive"]["est_retained"]) == 1
 
 
 def test_remerging_merged_sketches_is_sound(spark):
