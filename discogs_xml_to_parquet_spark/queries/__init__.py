@@ -59,17 +59,20 @@ pin=(), max_round=10):
   version manifest, one atomic flip; the dependency fold pulls
   r10's q_stream_restart forward to ride at 15 -- its WAL helpers
   are what the sink lane reuses);
-- 17: python_datasource CHANGED (ADVICE r10: the stream reader's
+- 17: ttl rank 0 (q_retention_ttl NEW -- TTL enforcement: expired
+  partitions unlink as metadata, proven no-read; only the cutoff's
+  boundary partition rewritten);
+- 18: python_datasource CHANGED (ADVICE r10: the stream reader's
   offsets became filename SETS -- backfill-proof exactly-once);
-- 18: setsim CHANGED (item 1: the distinct-token-set collapse --
+- 19: setsim CHANGED (item 1: the distinct-token-set collapse --
   ~4-5 s at sf0.1 / 3.7-4.6x wall for 10x data, was 47 s / 22x);
-- 19-25: tpch_extra, the oldest-evidence module (six r7 queries;
+- 20-26: tpch_extra, the oldest-evidence module (six r7 queries;
   r10-green q10_returned_items rides at the module head);
-- 26-50: the r7 cohort in evidence order -- dedup (11), packing,
+- 27-50: the r7 cohort in evidence order -- dedup (11), packing,
   quality (2), curation_full, aggregates (4), formats (2),
-  reshaping (4, whole); the 50-cut lands exactly at the module
-  boundary after q_percentiles, so joins (7) leads the r12
-  remainder with nested, python_udfs, and the r8 cohort.
+  reshaping (first 3 of 4); the 50-cut lands mid-reshaping after
+  q_minby_maxby, so q_percentiles leads the r12 remainder with
+  joins, nested, python_udfs, and the r8 cohort.
 
 After this window nothing in the registry has evidence older than r7,
 and the oldest unchecked evidence anywhere is r7 (the joins tail,
@@ -128,28 +131,33 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # drags r10's streaming_restart forward (q_stream_restart rides
     # at 15, re-greening the WAL helpers this lane reuses)
     streaming_merge,
-    # 17: q_source_python_datasource CHANGED (filename-set stream
+    # 17: q_retention_ttl NEW (TTL enforcement: ~42 expired
+    # partitions unlink as metadata -- proven no-read by the
+    # unreadable-files pytest -- and only the cutoff's boundary
+    # partition is rewritten; imports merge, already emitted)
+    ttl,
+    # 18: q_source_python_datasource CHANGED (filename-set stream
     # offsets -- backfill-proof exactly-once, ADVICE r10)
     python_datasource,
-    # 18: q_setsim_prefix_join CHANGED (distinct-set collapse before
+    # 19: q_setsim_prefix_join CHANGED (distinct-set collapse before
     # the prefix join -- the r10 scale-killer fix)
     setsim,
-    # 19-25: oldest evidence, r7 cohort begins (q10 rides at head)
+    # 20-26: oldest evidence, r7 cohort begins (q10 rides at head)
     tpch_extra,
-    # 26-36: dedup (11 queries, r7)
+    # 27-37: dedup (11 queries, r7)
     dedup,
-    # 37: packing (r7)
+    # 38: packing (r7)
     packing,
-    # 38-39: quality (r7)
+    # 39-40: quality (r7)
     quality,
-    # 40: curation_full (r7; folds after its dedup/packing/quality deps)
+    # 41: curation_full (r7; folds after its dedup/packing/quality deps)
     curation_full,
-    # 41-44: aggregates (r7)
+    # 42-45: aggregates (r7)
     aggregates,
-    # 45-46: formats (r7)
+    # 46-47: formats (r7)
     formats,
-    # 47-50: reshaping (r7) -- the cut lands exactly at the module
-    # boundary after q_percentiles; joins leads the r12 remainder
+    # 48-50: reshaping (r7) -- the cut lands mid-module after
+    # q_minby_maxby; q_percentiles leads the r12 remainder
     reshaping,
     # --- 50-query window cut ---
     # r7-green remainder: first in line for round 12

@@ -137,6 +137,10 @@ DEFAULT = [
     # 10x orders -- ~10x delta keys per quarterly batch, the kill/
     # resume cycle must still apply every increment exactly once
     "q_stream_merge_sink",
+    # r11 mid-round: TTL at the 10x orders -- ~42 dropped months of
+    # 10x bytes cost the same metadata unlinks; the boundary rewrite
+    # and the retained checksums must stay hash-exact
+    "q_retention_ttl",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

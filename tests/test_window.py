@@ -35,18 +35,19 @@ DERIVED_AT_ROUND = 10
 # - q_source_python_datasource CHANGED: the stream reader's offsets
 #   became filename SETS (ADVICE r10 backfill fix) -- the registered
 #   connector the driver query reads through changed.
-# The eleven r11-NEW queries (q_vacuum_retention,
+# The twelve r11-NEW queries (q_vacuum_retention,
 # q_schema_evolution_widening, q_schema_evolution_rename,
 # q_multimodal_image_decode, q_delete_merge_on_read,
 # q_quantile_histogram_rollup, q_theta_set_algebra,
 # q_kll_quantile_sketch, q_partition_evolution, q_bucket_pruning,
-# q_stream_merge_sink) need no entry: rank 0 covers never-checked,
-# and their modules (merge, schema_evolution, multimodal_image,
-# deletion_vectors, quantile_rollup, theta_sets, kll_quantiles,
-# partition_evolution, bucket_pruning, streaming_merge -- the last
-# dragging r10's streaming_restart forward via the dependency fold)
-# ride forward whole. No pins: the conversion trio's evidence is
-# r10, fresh until r13 under the max-3-rounds-unverified guarantee.
+# q_stream_merge_sink, q_retention_ttl) need no entry: rank 0 covers
+# never-checked, and their modules (merge, schema_evolution,
+# multimodal_image, deletion_vectors, quantile_rollup, theta_sets,
+# kll_quantiles, partition_evolution, bucket_pruning,
+# streaming_merge -- dragging r10's streaming_restart forward via
+# the dependency fold -- and ttl) ride forward whole. No pins: the
+# conversion trio's evidence is r10, fresh until r13 under the
+# max-3-rounds-unverified guarantee.
 R11_CHANGED = frozenset(
     {"q_setsim_prefix_join", "q_source_python_datasource"})
 R11_PIN: tuple[str, ...] = ()
@@ -132,18 +133,18 @@ def test_window_contains_every_never_checked_query():
 
 def test_r11_window_contents():
     """The round-11 membership decisions, pinned explicitly: the
-    eleven NEW lanes lead with their riding modules (merge whole --
+    twelve NEW lanes lead with their riding modules (merge whole --
     VACUUM retention plus the r10 trio re-checking the ADVICE guards;
     schema_evolution whole -- widening + rename plus the r9 scan;
     the MOR deletion-vector, histogram-rollup, theta-set-algebra,
     KLL-quantile, partition-spec-evolution, and bucket-pruning
     modules; the transactional streaming-MERGE sink, whose import
-    drags r10's q_stream_restart forward to ride), the CHANGED
-    connector and setsim join follow, then the oldest evidence:
-    tpch_extra's six r7 queries (q10 rides) and the r7 cohort
-    through reshaping. The 50-cut lands at the module boundary after
-    q_percentiles, so joins leads the r12 remainder with nested and
-    python_udfs.
+    drags r10's q_stream_restart forward to ride; and the TTL
+    enforcement lane), the CHANGED connector and setsim join follow,
+    then the oldest evidence: tpch_extra's six r7 queries (q10
+    rides) and the r7 cohort through reshaping. The 50-cut lands
+    mid-reshaping after q_minby_maxby, so q_percentiles leads the
+    r12 remainder with joins, nested, and python_udfs.
     Nothing in the window has evidence fresher than r7 except the
     new/changed/riding heads."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
@@ -157,7 +158,7 @@ def test_r11_window_contents():
         "q_delete_merge_on_read", "q_quantile_histogram_rollup",
         "q_theta_set_algebra", "q_kll_quantile_sketch",
         "q_partition_evolution", "q_bucket_pruning",
-        "q_stream_merge_sink", "q_stream_restart",
+        "q_stream_merge_sink", "q_stream_restart", "q_retention_ttl",
         "q_source_python_datasource", "q_setsim_prefix_join",
         # oldest evidence: tpch_extra (q10 r10 rides at module head)
         "q10_returned_items", "q14_promo_revenue", "q18_large_volume",
@@ -170,12 +171,13 @@ def test_r11_window_contents():
         "q_curation_pipeline",
         "q_agg_distinct", "q_agg_grouping_sets",
         "q_source_csv_roundtrip", "q_source_json_roundtrip",
-        "q_pivot", "q_unpivot", "q_minby_maxby", "q_percentiles",
+        "q_pivot", "q_unpivot", "q_minby_maxby",
     ):
         assert must in win, must
-    assert win[-1] == "q_percentiles"  # cut at the reshaping boundary
+    assert win[-1] == "q_minby_maxby"  # cut mid-reshaping
     for out in (
         # the r7 remainder -> r12 leaders
+        "q_percentiles",
         "q_join_star_revenue", "q_join_left_outer",
         "q_join_semi", "q_join_anti", "q_join_nonequi_bands",
         "q_join_full_outer",
