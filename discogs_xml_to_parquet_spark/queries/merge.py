@@ -61,7 +61,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint as _source_fingerprint,
@@ -83,6 +83,7 @@ _MONTH_LO, _MONTH_HI = "1995-01", "1995-06"     # its partition range
 _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
          "o_orderdate", "o_orderpriority", "o_month"]
 _VERSION = 1
+_REV = rev_sql("o_totalprice")   # the shared oracle-side dsum mirror
 
 
 def staged_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
@@ -289,8 +290,7 @@ merged AS (
 )
 SELECT o_month,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
-            AS DOUBLE) / 1000000 AS revenue,
+       {_REV} AS revenue,
        COUNT(*) FILTER (WHERE o_orderstatus = 'U') AS n_updated,
        COUNT(*) FILTER (WHERE o_orderstatus = 'I') AS n_inserted,
        TRUE AS untouched_preserved,
@@ -419,14 +419,12 @@ merged AS (
   SELECT o_totalprice, o_orderstatus FROM delta
 )
 SELECT 'v0' AS version, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
-            AS DOUBLE) / 1000000 AS revenue,
+       {_REV} AS revenue,
        0 AS n_changed, TRUE AS storage_shared, TRUE AS v0_intact
 FROM orders
 UNION ALL
 SELECT 'v1', COUNT(*),
-       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
-            AS DOUBLE) / 1000000,
+       {_REV},
        COUNT(*) FILTER (WHERE o_orderstatus IN ('U', 'I')),
        TRUE, TRUE
 FROM merged
@@ -740,16 +738,14 @@ v2 AS (
   SELECT o_totalprice, o_orderstatus FROM d2
 )
 SELECT 'v0' AS version, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
-            AS DOUBLE) / 1000000 AS revenue,
+       {_REV} AS revenue,
        0 AS n_changed,
        TRUE AS bytes_reclaimed, TRUE AS kept_intact,
        TRUE AS expired_unreadable
 FROM orders
 UNION ALL
 SELECT 'v2', COUNT(*),
-       CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
-            AS DOUBLE) / 1000000,
+       {_REV},
        COUNT(*) FILTER (WHERE o_orderstatus IN ('U', 'I', 'V')),
        TRUE, TRUE, TRUE
 FROM v2

@@ -35,7 +35,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint,
@@ -46,8 +46,7 @@ from discogs_xml_to_parquet_spark.tables import load
 # bump when the staged-fact construction changes
 _FACT_VERSION = 1
 
-_REV_SQL = ("CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) "
-            "* 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000")
+_REV_SQL = rev_sql("(l_extendedprice * (1 - l_discount))")
 
 
 # moved to staging.py (shared harness utilities, outside the queries

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from discogs_xml_to_parquet_spark.functions.exact import dsum
+from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint as _source_fingerprint,
@@ -39,8 +39,7 @@ _WIDENED_AT = "1995-07-01"
 # the date the writer renamed o_totalprice -> total_price
 _RENAMED_AT = "1995-07-01"
 
-_REV_SQL = ("CAST(SUM(CAST(floor((o_totalprice) * 1000000 + 0.5) "
-            "AS BIGINT)) AS DOUBLE) / 1000000")
+_REV_SQL = rev_sql("(o_totalprice)")
 
 
 def staged_evolving_orders(spark: SparkSession, sf_dir: str) -> str:

@@ -28,10 +28,12 @@ the cutoff, a live row dropped with its partition, or a boundary row
 mis-filtered all break the per-priority checksums; `n_dropped_months`
 is re-derived by the oracle from the date domain), and the layout
 booleans carry the physical proof -- `dropped_without_read` (expired
-dirs were unlinked, and since the engine never listed a file inside
-them, their bytes were provably not read: pinned harder in pytest by
-making an expired partition's files UNREADABLE before enforcement),
-`untouched_preserved` (every younger month byte-identical), and
+dirs were unlinked, and neither the engine nor the fact computation
+ever opens a file inside them: the inventory is scoped to young
+months, and pytest plants a root-proof read trap -- an expired "file"
+that is really a directory, which errors ANY read attempt even under
+root's DAC_OVERRIDE -- before enforcement), `untouched_preserved`
+(every younger month byte-identical, both directions), and
 `boundary_rewritten` (exactly one partition got new files).
 
 Scale shape: one filtered read + write of the boundary partition;
@@ -60,6 +62,22 @@ _CUTOFF = "1998-07-15"          # retain o_orderdate >= this
 _CUTOFF_MONTH = "1998-07"       # the partition the cutoff cuts through
 
 
+def _inventory_young(table: str) -> dict[str, tuple[int, str]]:
+    """merge.py's _inventory restricted to the partitions the policy
+    must NOT touch (months after the boundary). Restricting it is
+    load-bearing twice over: inventorying the whole table would (a)
+    md5-read every EXPIRED byte driver-side, falsifying the lane's
+    no-read claim in substance even though the engine never scans
+    them, and (b) cost O(table) in a lane whose point is
+    O(1)+O(boundary)."""
+    out: dict[str, tuple[int, str]] = {}
+    for d in Path(table).glob("o_month=*"):
+        if d.is_dir() and d.name.split("=", 1)[1] > _CUTOFF_MONTH:
+            for rel, v in _inventory(str(d)).items():
+                out[f"{d.name}/{rel}"] = v
+    return out
+
+
 def enforce_ttl(spark: SparkSession, table: str) -> dict:
     """Apply the retention policy to the o_month-partitioned table at
     `table`, in place. Returns the layout facts."""
@@ -68,7 +86,7 @@ def enforce_ttl(spark: SparkSession, table: str) -> dict:
     expired = [m for m in months
                if m.split("=", 1)[1] < _CUTOFF_MONTH]
     boundary = f"o_month={_CUTOFF_MONTH}"
-    before = _inventory(table)
+    before_young = _inventory_young(table)
 
     # 1. whole expired partitions: unlink, never read
     for m in expired:
@@ -95,17 +113,18 @@ def enforce_ttl(spark: SparkSession, table: str) -> dict:
         finally:
             shutil.rmtree(newver, ignore_errors=True)
 
-    after = _inventory(table)
-    young = {r for r in before
-             if r.split("/", 1)[0].split("=", 1)[1] > _CUTOFF_MONTH}
+    after_young = _inventory_young(table)
     return {
         "n_dropped_months": len(expired),
-        # no file under an expired dir was ever opened -- pytest makes
-        # them unreadable to prove the claim mechanically
+        # no file under an expired dir was ever opened -- pytest
+        # proves it mechanically with a root-proof trap (an expired
+        # "file" that is really a directory errors ANY read, even
+        # under DAC_OVERRIDE)
         "dropped_without_read": all(
             not (Path(table) / m).exists() for m in expired),
-        "untouched_preserved": all(
-            after.get(r) == before[r] for r in young),
+        # full-dict equality, both directions: a changed young file
+        # AND a stray new one both flip it (merge.py's discipline)
+        "untouched_preserved": before_young == after_young,
         "boundary_rewritten": boundary_rewritten,
     }
 

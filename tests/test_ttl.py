@@ -5,7 +5,6 @@ younger months survive byte-identically."""
 
 from __future__ import annotations
 
-import os
 import shutil
 from pathlib import Path
 
@@ -31,26 +30,27 @@ def _scratch(spark, tmp_path) -> str:
 
 
 def test_expired_partitions_dropped_without_read(spark, tmp_path):
-    """The O(1)-per-partition claim, proven mechanically: every file
-    inside an expired partition is made UNREADABLE before enforcement;
-    if the engine opened any of them the rewrite would crash, so a
-    clean run + the dirs being gone proves metadata-only disposal."""
+    """The O(1)-per-partition claim, proven mechanically with a trap
+    ROOT CANNOT BYPASS: every data file inside every expired partition
+    is replaced by a DIRECTORY of the same name (chmod 000 is vacuous
+    under uid 0's DAC_OVERRIDE, which is how this suite runs). Any
+    read attempt -- parquet footer, md5 inventory, open() -- raises
+    IsADirectoryError regardless of privilege, so a clean run + the
+    dirs being gone proves metadata-only disposal in substance."""
     scratch = _scratch(spark, tmp_path)
     expired = [d for d in Path(scratch).glob("o_month=*")
                if d.name.split("=", 1)[1] < _CUTOFF_MONTH]
     assert expired
-    locked = []
+    n_trapped = 0
     for d in expired:
-        for p in d.rglob("*"):
-            if p.is_file():
-                os.chmod(p, 0o000)
-                locked.append(p)
-    try:
-        facts = enforce_ttl(spark, scratch)
-    finally:
-        for p in locked:         # dirs are gone on success; restore
-            if p.exists():       # permissions only if the run failed
-                os.chmod(p, 0o644)
+        for p in list(d.rglob("*")):
+            if p.is_file() and not p.name.startswith(("_", ".")):
+                p.unlink()
+                p.mkdir()        # same name, now a directory
+                (p / "trap").write_text("read attempts must fail")
+                n_trapped += 1
+    assert n_trapped
+    facts = enforce_ttl(spark, scratch)
     assert facts["dropped_without_read"] is True
     assert facts["n_dropped_months"] == len(expired)
     assert not any(
