@@ -89,13 +89,20 @@ def _window_sketches(days: DataFrame, lo: str, hi: str,
     )
 
 
-def retention_from_sketches(spark: SparkSession,
-                            sketch_dir: str) -> DataFrame:
+def retention_from_sketches(spark: SparkSession, sketch_dir: str,
+                            with_window_estimates: bool = False,
+                            ) -> DataFrame:
     """The production retention algebra: week-1 and week-3 cohort
     sketches per type (unions of stored days), then retained =
     |A intersect B| and churned = |A \\ B| from sketch-on-sketch
     operations. Input is the kilobyte MV -- zero fact scans,
-    plan-gated."""
+    plan-gated.
+
+    The production projection is exactly what the driver row consumes
+    (est_retained/est_churned); the per-window cohort estimates
+    est_w1/est_w3 are a test-only diagnostic behind
+    `with_window_estimates` (ADVICE r11: they were computed on every
+    production run but read by nothing outside the pytest)."""
     days = spark.read.parquet(sketch_dir)
     w1 = _window_sketches(days, _W1_LO, _W1_HI, "w1")
     w3 = _window_sketches(days, _W3_LO, _W3_HI, "w3")
@@ -105,25 +112,26 @@ def retention_from_sketches(spark: SparkSession,
     # drop it and hash-mismatch on any corpus with a dormant type.
     # (A type with w3 but no w1 has no week-1 cohort to report; both
     # engines drop it, by the same join direction.)
-    return (
-        w1.join(F.broadcast(w3), "event_type", "left")
-        .select(
-            "event_type",
+    cols = [
+        F.col("event_type"),
+        F.when(F.col("sk_w3").isNull(), F.lit(0.0))
+        .otherwise(F.theta_sketch_estimate(
+            F.theta_intersection("sk_w1", "sk_w3")))
+        .alias("est_retained"),
+        F.when(F.col("sk_w3").isNull(),
+               F.theta_sketch_estimate("sk_w1"))
+        .otherwise(F.theta_sketch_estimate(
+            F.theta_difference("sk_w1", "sk_w3")))
+        .alias("est_churned"),
+    ]
+    if with_window_estimates:
+        cols[1:1] = [
             F.theta_sketch_estimate("sk_w1").alias("est_w1"),
             F.when(F.col("sk_w3").isNull(), F.lit(0.0))
             .otherwise(F.theta_sketch_estimate("sk_w3"))
             .alias("est_w3"),
-            F.when(F.col("sk_w3").isNull(), F.lit(0.0))
-            .otherwise(F.theta_sketch_estimate(
-                F.theta_intersection("sk_w1", "sk_w3")))
-            .alias("est_retained"),
-            F.when(F.col("sk_w3").isNull(),
-                   F.theta_sketch_estimate("sk_w1"))
-            .otherwise(F.theta_sketch_estimate(
-                F.theta_difference("sk_w1", "sk_w3")))
-            .alias("est_churned"),
-        )
-    )
+        ]
+    return w1.join(F.broadcast(w3), "event_type", "left").select(*cols)
 
 
 @query(

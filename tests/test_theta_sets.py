@@ -39,7 +39,8 @@ def test_estimates_exact_below_nominal_capacity(spark):
     correctness independent of the band's slack."""
     d = staged_day_theta(spark, SF_SMOKE)
     est = {r["event_type"]: r
-           for r in retention_from_sketches(spark, d).collect()}
+           for r in retention_from_sketches(
+               spark, d, with_window_estimates=True).collect()}
     ev = load(spark, SF_SMOKE, "events")
 
     def cohort(lo, hi):
@@ -85,7 +86,8 @@ def test_dormant_type_reports_fully_churned(spark, tmp_path):
     mv = str(tmp_path / "mv")
     days.write.parquet(mv)
     rows = {r["event_type"]: r
-            for r in retention_from_sketches(spark, mv).collect()}
+            for r in retention_from_sketches(
+                spark, mv, with_window_estimates=True).collect()}
     assert round(rows["dormant"]["est_w1"]) == 2
     assert rows["dormant"]["est_w3"] == 0.0
     assert rows["dormant"]["est_retained"] == 0.0
