@@ -43,14 +43,17 @@ matched prefix positions bound the achievable overlap:
 1 + min(|A|-pos_a, |B|-pos_b) >= ceil(t/(1+t) * (|A|+|B|))) -- both
 provable drops, both integer arithmetic, both evaluated before any
 pair materializes past the join. Verification joins the
-set-count-sized sorted-token table twice, BROADCAST: the set table is
-one row per distinct set, orders of magnitude smaller than the
-candidate pair space, so the arrays ship once per executor and
-|A intersect B| is computed map-side. The expansion joins are
-broadcast equi-joins on set_id whose output cardinality IS the final
-answer -- output-bound by construction. The threshold comparison is
-exact integer cross-multiplication (20*i >= 19*u), no floats
-anywhere.
+set-count-sized sorted-token table twice, broadcast ONLY while the
+distinct-set count is under _BROADCAST_MAX_ROWS (r12, VERDICT r11
+item 1: the set and membership tables are O(corpus) on a
+low-duplication corpus, so an unconditional hint is an OOM at
+100 TB): under the cap the arrays ship once per executor and
+|A intersect B| is computed map-side; over it the same joins shuffle
+on set_id and AQE picks the strategy. The expansion joins are the
+same size-conditional equi-joins on set_id, and their output
+cardinality IS the final answer -- output-bound by construction. The
+threshold comparison is exact integer cross-multiplication
+(20*i >= 19*u), no floats anywhere.
 
 Measured (local[32], same box; BENCH_DETAIL.json's
 queries_at_headline_sf carries both sides in-artifact): the r10 plan
@@ -78,6 +81,20 @@ from discogs_xml_to_parquet_spark.tables import load
 # Jaccard threshold 0.95 = 19/20: selective on the template-generated
 # corpus (~1.6% of all pairs) where 0.6 would pass more than half
 _T_NUM, _T_DEN = 19, 20
+
+# Broadcast ceiling for the verification / expansion build sides
+# (VERDICT r11 item 1): the distinct-set table (with its token
+# arrays) and the doc-level membership table are O(corpus), not O(K)
+# -- on a LOW-duplication 100 TB corpus "distinct sets" ~= documents,
+# and a FORCED broadcast of an unbounded frame is a guaranteed
+# driver/executor OOM no matter how much smaller it is than the
+# candidate space. Below the ceiling the hint is strictly better (the
+# candidate pairs -- the big side -- never shuffle); above it the
+# joins run as plain equi-joins on set_id and AQE picks the strategy
+# from runtime sizes. 2M rows of (set_id, ~100-token array) is
+# O(100 MB) serialized -- comfortably inside executor memory, far
+# under Spark's 8 GB broadcast hard cap.
+_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def _doc_sets(docs: DataFrame) -> DataFrame:
@@ -172,11 +189,22 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_pairs(load(spark, sf_dir, "documents"))
 
 
-def setsim_pairs(docs: DataFrame) -> DataFrame:
+def setsim_pairs(docs: DataFrame,
+                 broadcast_max_rows: int = _BROADCAST_MAX_ROWS,
+                 ) -> DataFrame:
     """The full exact-Jaccard pipeline over any (doc_id, text) frame
     -- factored from the registered query so tests can drive it with
     adversarial synthetic corpora (threshold-boundary pairs, subset
-    chains, identical-set cliques) beyond the bench corpus."""
+    chains, identical-set cliques) beyond the bench corpus.
+
+    `broadcast_max_rows` caps the verification/expansion broadcast
+    hints (see _BROADCAST_MAX_ROWS): the distinct-set and membership
+    counts are read off the already-materialized localCheckpoints (a
+    cached-partition count, no recompute), and any frame over the cap
+    joins by shuffle instead -- the size-conditional plan the same
+    code serves at 60 k docs and at 100 TB. Tests drive the
+    above-threshold path with broadcast_max_rows=0 and pin both plans
+    (test_setsim_corpora.py)."""
     # 1. collapse: one row per doc with its sorted distinct-token
     # array (row-local HOFs -- see _doc_sets); identical arrays share
     # an md5 set_id. Staged ONCE (localCheckpoint, the same pattern
@@ -193,6 +221,16 @@ def setsim_pairs(docs: DataFrame) -> DataFrame:
         .withColumn("n", F.size("toks"))
         .localCheckpoint()  # one dedup serves 4 branches
     )
+    # size-conditional broadcast hints (VERDICT r11 item 1): counts
+    # come off the eager localCheckpoints -- cached-partition counts,
+    # no lineage recompute. members has one row per DOC, sets one per
+    # distinct set; each build side is gated on its own count.
+    n_sets = sets.count()
+    n_docs = doc_sets.count()
+    bc_set = F.broadcast if n_sets <= broadcast_max_rows else (
+        lambda df: df)
+    bc_mem = F.broadcast if n_docs <= broadcast_max_rows else (
+        lambda df: df)
     # 2. prefix tokens of the distinct sets (see _ranked_prefix),
     # staged once: BOTH sides of the candidate self-join read it.
     prefix = _ranked_prefix(sets).localCheckpoint()
@@ -232,8 +270,10 @@ def setsim_pairs(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     # 3. verification over sets: the set table is one row per DISTINCT
-    # SET -- broadcast it so the candidate pairs (the big side) never
-    # shuffle and the token arrays ship once per executor
+    # SET -- below the cap, broadcast it so the candidate pairs (the
+    # big side) never shuffle and the token arrays ship once per
+    # executor; above it, shuffle on set_id (AQE picks from runtime
+    # sizes)
     sa = sets.select(F.col("set_id").alias("set_a"),
                      F.col("toks").alias("toks_a"),
                      F.col("n").alias("n_a"))
@@ -241,7 +281,7 @@ def setsim_pairs(docs: DataFrame) -> DataFrame:
                      F.col("toks").alias("toks_b"),
                      F.col("n").alias("n_b"))
     qual = (
-        cand.join(F.broadcast(sa), "set_a").join(F.broadcast(sb), "set_b")
+        cand.join(bc_set(sa), "set_a").join(bc_set(sb), "set_b")
         .withColumn(
             "n_common",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
@@ -255,15 +295,16 @@ def setsim_pairs(docs: DataFrame) -> DataFrame:
     )
     # 4. expansion. Cross pairs: every member of set_a x every member
     # of set_b (n_common/n_union identical for all of them -- equal
-    # token sets by construction); broadcast the doc-count-sized
-    # membership table, output cardinality = the answer itself.
+    # token sets by construction); the doc-count-sized membership
+    # table broadcasts below the cap, output cardinality = the answer
+    # itself.
     ma = members.select(F.col("set_id").alias("set_a"),
                         F.col("doc_id").alias("da"))
     mb = members.select(F.col("set_id").alias("set_b"),
                         F.col("doc_id").alias("db"))
     cross = (
-        qual.join(F.broadcast(ma), "set_a")
-        .join(F.broadcast(mb), "set_b")
+        qual.join(bc_mem(ma), "set_a")
+        .join(bc_mem(mb), "set_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
@@ -275,10 +316,10 @@ def setsim_pairs(docs: DataFrame) -> DataFrame:
     sizes = sets.select(F.col("set_id").alias("s_id"), "n")
     intra = (
         members.alias("x")
-        .join(F.broadcast(members.alias("y")),
+        .join(bc_mem(members.alias("y")),
               (F.col("x.set_id") == F.col("y.set_id"))
               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .join(F.broadcast(sizes), F.col("x.set_id") == F.col("s_id"))
+        .join(bc_set(sizes), F.col("x.set_id") == F.col("s_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
