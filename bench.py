@@ -122,6 +122,20 @@ SF1_QUERIES = [
     # fact-side cost)
     "q_delete_merge_on_read",
     "q_theta_set_algebra",
+    # r12 (VERDICT r11 item 3): the five r11 lanes that shipped
+    # without sf1 rows get them -- TTL (metadata drops + ONE boundary
+    # partition; the scratch clone is hardlinks, so ~flat), the
+    # transactional streaming-MERGE sink (per-batch O(affected
+    # quarter) + metadata; the kill/resume harness is the fixed
+    # cost), bucket pruning (opens <= 3/16 of a 10x table -- the
+    # pruned fraction IS the scaling story), and the two sketch
+    # rollups (any-range quantiles off kilobyte MVs, ~flat like the
+    # HLL rollup; their exact references are the honest fact cost)
+    "q_retention_ttl",
+    "q_stream_merge_sink",
+    "q_bucket_pruning",
+    "q_kll_quantile_sketch",
+    "q_quantile_histogram_rollup",
 ]
 
 # table -> id columns to offset per shard
@@ -161,6 +175,28 @@ def _cpu_busy() -> float:
         vals = [int(x) for x in f.readline().split()[1:]]
     busy = sum(vals) - vals[3] - vals[4]
     return busy / os.sysconf("SC_CLK_TCK")
+
+
+def _clean_pass_filter(spins: list[float], busy_fracs: list[float],
+                       spin_tol: float = 1.12,
+                       busy_tol: float = 0.08) -> list[int]:
+    """Indices of UNCONTAMINATED passes (VERDICT r11 item 6): a pass
+    counts as clean when its clock calibration sits within spin_tol
+    of the round's fastest pass (clock throttle / steal shows up
+    here) AND its system-wide busy fraction sits within busy_tol of
+    the round's quietest pass (a co-tenant burning cores shows up
+    here -- the bench's own work is identical across passes, so
+    excess busy is someone else's). The r11 driver artifact (passes
+    4-5: wall 73/76 s vs 35 s, pass CPU doubled, spin +5-30%) is
+    exactly what this excludes. At least the reference pass itself
+    always qualifies, so the filtered median is never empty."""
+    ref_spin = min(spins)
+    ref_busy = min(busy_fracs)
+    return [
+        i for i in range(len(spins))
+        if spins[i] <= ref_spin * spin_tol
+        and busy_fracs[i] <= ref_busy + busy_tol
+    ]
 
 
 def _spin_calib(n: int = 2_000_000) -> float:
@@ -299,6 +335,10 @@ def main() -> None:
     # unthrottled 32-cpu box the heavier passes sit well above 1; a
     # pass whose wall inflates while eff_cores DROPS was starved by the
     # host, not slowed by the code.
+    busy_frac = [
+        round(c / (w * os.cpu_count()), 3)
+        for c, w in zip(pass_cpu, pass_wall)
+    ]
     cpu_attr = {
         "pass_wall": pass_wall,
         "pass_cpu": pass_cpu,
@@ -307,7 +347,26 @@ def main() -> None:
         # slowdown + proportional spin_sec inflation = host throttle;
         # stable spin_sec + slower queries = real regression
         "spin_sec": pass_spin,
+        # system-wide busy fraction per pass (VERDICT r11 item 6):
+        # the bench's own work is constant across passes, so a pass
+        # whose fraction jumps was sharing the box with a co-tenant
+        "busy_frac": busy_frac,
         "os_cpus": os.cpu_count(),
+    }
+    # contamination-filtered headline NEXT TO the raw one (VERDICT r11
+    # item 6): per-query medians over only the passes whose spin and
+    # system-busy sit within tolerance of the round's cleanest pass,
+    # so a round measured on a contended host self-adjudicates from
+    # the artifact alone (r11's driver run needed commit archaeology).
+    clean = _clean_pass_filter(pass_spin, busy_frac)
+    timings_clean = {
+        name: round(sorted(ts[i] for i in clean)[len(clean) // 2], 3)
+        for name, ts in runs.items()
+    }
+    filtered = {
+        "value": round(sum(timings_clean.values()), 3),
+        "clean_passes": clean,
+        "queries": timings_clean,
     }
 
     # the reference's core job: gz-XML -> Snappy Parquet throughput over
@@ -512,6 +571,10 @@ def main() -> None:
             "pass_wall": sf1_pass_wall,
             "pass_cpu": sf1_pass_cpu,
             "spin_sec": sf1_pass_spin,
+            "busy_frac": [
+                round(c / (w * os.cpu_count()), 3)
+                for c, w in zip(sf1_pass_cpu, sf1_pass_wall)
+            ],
             "eff_cores": [
                 round(c / w, 2)
                 for c, w in zip(sf1_pass_cpu, sf1_pass_wall)
@@ -527,6 +590,7 @@ def main() -> None:
         "n": N_RUNS,
         "sf": sf,
         "cpu_attribution": cpu_attr,
+        "filtered": filtered,
         "conversion": {
             "files": 8,
             "rows": n_rel,
@@ -597,6 +661,11 @@ def compact_line(full: dict) -> str:
         # slowdown = host clock throttle, not a code regression
         "spin_sec_median": _med(full["cpu_attribution"]["spin_sec"], 3),
         "os_cpus": full["cpu_attribution"]["os_cpus"],
+        # contamination-filtered headline (passes within spin +
+        # system-busy tolerance of the cleanest -- see
+        # _clean_pass_filter); raw value stays the contract number
+        "value_filtered": (full.get("filtered") or {}).get("value"),
+        "clean_passes": (full.get("filtered") or {}).get("clean_passes"),
         "conversion": {
             "rows": full["conversion"]["rows"],
             "f8_rows_per_sec": full["conversion"]["rows_per_sec"],

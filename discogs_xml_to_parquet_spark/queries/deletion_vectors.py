@@ -54,6 +54,8 @@ from discogs_xml_to_parquet_spark.staging import work_dir as _work_dir
 
 _DEL_MOD = 17   # delete keys: o_orderkey % 17 == 0 -- scattered, every
                 # month holds some: copy-on-write's worst case
+_PDEL_MOD = 13  # the positional lane's predicate -- distinct modulus,
+                # so neither lane can satisfy the other's oracle
 
 
 def _stat_inventory(root: str) -> dict[str, tuple[int, int]]:
@@ -163,6 +165,108 @@ def apply_deletion_vectors(spark: SparkSession, base: str,
     return months
 
 
+# ---- positional deletion vectors (r12, VERDICT r11 item 5) ----------
+# The equality sidecars above carry KEYS, which forces every reader to
+# scan the key column just to apply the anti-join -- even a reader
+# whose query never touches it. The physical form Delta deletion
+# vectors and Iceberg positional delete files actually store is
+# (data file, row position): the DELETE resolves its predicate ONCE at
+# write time, and from then on every reader subtracts positions via
+# the scan-provided row identity (_metadata.file_path/row_index in
+# Spark 4) -- the key column drops out of the read path entirely,
+# which the ReadSchema plan gate pins (test_deletion_vectors.py).
+
+
+def write_positional_dvs(spark: SparkSession, sf_dir: str,
+                         base: str) -> tuple[str, dict]:
+    """Execute the DELETE as positional delete files: resolve the
+    predicate against the base ONCE, store (file_path, row_pos) per
+    partition under a `_pdv` root, leave the base untouched. Returns
+    (pdv_dir, layout facts)."""
+    pdv_dir = _work_dir("pdv_sidecar", sf_dir)
+    before = _stat_inventory(base)
+    (
+        spark.read.parquet(base)
+        .filter(F.col("o_orderkey") % _PDEL_MOD == 0)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_pos"),
+            "o_month",
+        )
+        .write.mode("overwrite").partitionBy("o_month").parquet(pdv_dir)
+    )
+    after = _stat_inventory(base)
+    pdv_bytes = sum(
+        p.stat().st_size for p in Path(pdv_dir).rglob("*.parquet"))
+    pdv_months = {
+        d.name for d in Path(pdv_dir).glob("o_month=*") if d.is_dir()}
+    cow_bytes = sum(
+        sz for rel, (sz, _m) in before.items()
+        if rel.split("/", 1)[0] in pdv_months
+    )
+    return pdv_dir, {
+        "n_pdv_months": len(pdv_months),
+        "base_untouched": before == after,
+        "pdv_smaller_than_rewrite": 0 < pdv_bytes < cow_bytes,
+    }
+
+
+def positional_read(spark: SparkSession, base: str,
+                    pdv_dir: str) -> DataFrame:
+    """The positional merge-on-read scan: base MINUS (file, position)
+    pairs, as one BroadcastHashJoin LeftAnti on the scan's OWN row
+    identity -- no data column participates in the subtraction, so
+    column pruning passes through untouched (a reader of two columns
+    reads two columns, key or no key; plan-gated)."""
+    if not any(Path(pdv_dir).glob("o_month=*")):
+        return spark.read.parquet(base)
+    dv = spark.read.parquet(pdv_dir).select("file_path", "row_pos")
+    scan = spark.read.parquet(base)
+    cols = scan.columns
+    return (
+        scan.select(
+            "*",
+            F.col("_metadata.file_path").alias("_dv_fp"),
+            F.col("_metadata.row_index").alias("_dv_ri"),
+        )
+        .join(
+            F.broadcast(dv),
+            (F.col("_dv_fp") == F.col("file_path"))
+            & (F.col("_dv_ri") == F.col("row_pos")),
+            "left_anti",
+        )
+        .select(*cols)
+    )
+
+
+def apply_positional_dvs(spark: SparkSession, base: str,
+                         pdv_dir: str) -> list[str]:
+    """MOR -> COW compaction for the positional form: rewrite the
+    affected partitions from the positional read and drop their
+    delete files -- after it, a plain scan equals the MOR read
+    (pytest-pinned), mirroring apply_deletion_vectors."""
+    months = sorted(
+        d.name for d in Path(pdv_dir).glob("o_month=*") if d.is_dir())
+    if not months:
+        return []
+    live = positional_read(spark, base, pdv_dir).filter(
+        F.col("o_month").isin([m.split("=", 1)[1] for m in months]))
+    import tempfile
+
+    newver = tempfile.mkdtemp(prefix="spark_graft_pdv_compact_")
+    live.write.mode("overwrite").partitionBy("o_month").parquet(newver)
+    for m in months:
+        dst = Path(base) / m
+        src = Path(newver) / m
+        if dst.exists():
+            shutil.rmtree(dst)
+        if src.exists():
+            shutil.move(str(src), str(dst))
+        shutil.rmtree(Path(pdv_dir) / m, ignore_errors=True)
+    shutil.rmtree(newver, ignore_errors=True)
+    return months
+
+
 _REV_SQL = rev_sql("o_totalprice")
 
 
@@ -210,5 +314,51 @@ def q_delete_merge_on_read(spark: SparkSession,
                     F.lit(bool(facts["base_untouched"])))
         .withColumn("dv_smaller_than_rewrite",
                     F.lit(bool(facts["dv_smaller_than_rewrite"])))
+        .orderBy("priority")
+    )
+
+
+@query(
+    "q_delete_positional_dv",
+    oracle=f"""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_live,
+       {_REV_SQL} AS total_price,
+       (SELECT CAST(COUNT(DISTINCT strftime(CAST(o_orderdate AS
+                TIMESTAMP), '%Y-%m')) AS BIGINT)
+        FROM orders WHERE o_orderkey % {_PDEL_MOD} = 0) AS n_pdv_months,
+       TRUE AS base_untouched,
+       TRUE AS pdv_smaller_than_rewrite
+FROM orders
+WHERE o_orderkey % {_PDEL_MOD} <> 0
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_delete_positional_dv(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Positional-delete round trip: every 13th order is deleted as
+    (file, row position) sidecars -- the Delta DV / Iceberg positional
+    physical form -- and the MOR scan's per-priority checksums are
+    pinned against the SQL reconstruction of the post-DELETE table.
+    The read path subtracts by the scan's own row identity, so this
+    aggregate's base scan reads NO key column (ReadSchema plan-gated);
+    `base_untouched` and `pdv_smaller_than_rewrite` carry the same
+    physical proofs as the equality sibling."""
+    base = staged_partitioned_orders(spark, sf_dir)
+    pdv_dir, facts = write_positional_dvs(spark, sf_dir, base)
+    return (
+        positional_read(spark, base, pdv_dir)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .withColumn("n_pdv_months",
+                    F.lit(facts["n_pdv_months"]).cast("bigint"))
+        .withColumn("base_untouched",
+                    F.lit(bool(facts["base_untouched"])))
+        .withColumn("pdv_smaller_than_rewrite",
+                    F.lit(bool(facts["pdv_smaller_than_rewrite"])))
         .orderBy("priority")
     )

@@ -43,6 +43,7 @@ harness isolation (the lane mutates its table), same as merge.py.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from pathlib import Path
@@ -162,7 +163,15 @@ def q_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     row even before the checksums do."""
     base = staged_partitioned_orders(spark, sf_dir)
     scratch = _work_dir("ttl_scratch", sf_dir)
-    shutil.copytree(base, scratch, dirs_exist_ok=True)
+    # hardlink clone (r12): the scratch copy is HARNESS isolation, not
+    # part of the operator -- a byte copy would bill O(table) I/O to a
+    # lane whose claim is O(1)/partition + O(boundary) and dominate its
+    # 10x bench wall. Enforcement never modifies file CONTENT in place
+    # (expired dirs are unlinked; the boundary dir is REPLACED with new
+    # files), so links are safe: the shared base's inodes stay
+    # untouched, pinned by test_ttl's base-inventory check.
+    shutil.copytree(base, scratch, copy_function=os.link,
+                    dirs_exist_ok=True)
     facts = enforce_ttl(spark, scratch)
     return (
         spark.read.parquet(scratch)

@@ -141,6 +141,15 @@ DEFAULT = [
     # 10x bytes cost the same metadata unlinks; the boundary rewrite
     # and the retained checksums must stay hash-exact
     "q_retention_ttl",
+    # r12: positional deletion vectors at the 10x orders -- row
+    # indices resolved at write time must subtract exactly the
+    # predicate's ~10x keys through the 10x file population, with the
+    # base byte-identical and the sidecars under the rewrite bytes
+    "q_delete_positional_dv",
+    # r12: the join-view IVM at the 10x orders |x| lineitem -- the
+    # three delta terms must still partition the 60M new pairs
+    # exactly (hash over per-priority counts + exact revenue)
+    "q_incremental_join_view",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

@@ -89,3 +89,21 @@ def test_young_partitions_byte_identical(spark, tmp_path):
              if r.split("/", 1)[0].split("=", 1)[1] > _CUTOFF_MONTH}
     assert facts["untouched_preserved"] is True
     assert before == after and before
+
+
+def test_driver_row_hardlink_scratch_never_touches_base(spark):
+    """The registered query's scratch is a HARDLINK clone (r12: a
+    byte copy billed O(table) I/O to an O(1)+O(boundary) lane);
+    safety rests on enforcement never modifying file content in
+    place. Run the full driver row and require every shared-base data
+    file byte-identical after it -- a content-mutating regression in
+    enforce_ttl would corrupt the base through the links and break
+    every sibling lane staged on it."""
+    from discogs_xml_to_parquet_spark import registry
+
+    registry.load_all_queries()
+    base = staged_partitioned_orders(spark, SF_SMOKE)
+    before = _inventory(base)
+    rows = registry.QUERIES["q_retention_ttl"](spark, SF_SMOKE).collect()
+    assert rows and all(r["untouched_preserved"] for r in rows)
+    assert _inventory(base) == before

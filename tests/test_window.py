@@ -10,10 +10,10 @@ and r8 suites both went red at judging time because the driver landing
 the round's artifact re-ranked the just-checked queries -- a designed
 tripwire that fired twice is a process bug. window(max_round=
 DERIVED_AT_ROUND) ignores artifacts newer than the pinned round, so
-landing CORRECTNESS_r11.json cannot flip this suite; re-deriving for
-r12 is one deliberate commit: bump DERIVED_AT_ROUND to 11, update
+landing CORRECTNESS_r12.json cannot flip this suite; re-deriving for
+r13 is one deliberate commit: bump DERIVED_AT_ROUND to 12, update
 CHANGED/PIN, and paste the order printed by
-`python scripts/window_plan.py --max-round 11 --changed <r12 changed>`.
+`python scripts/window_plan.py --max-round 12 --changed <r13 changed>`.
 """
 
 from __future__ import annotations
@@ -24,58 +24,55 @@ registry.load_all_queries()
 
 WINDOW_SIZE = 50
 
-# The round whose artifacts this derivation used (artifacts r1..r10;
-# CORRECTNESS_r11.json and later are ignored by the fixed-point test).
-DERIVED_AT_ROUND = 10
+# The round whose artifacts this derivation used (artifacts r1..r11;
+# CORRECTNESS_r12.json and later are ignored by the fixed-point test).
+DERIVED_AT_ROUND = 11
 
-# Round-11 policy inputs that artifacts cannot express:
-# - q_setsim_prefix_join CHANGED: the r11 distinct-token-set collapse
-#   rewrote candidate generation (values identical, hash re-pinned
-#   locally at sf0.001/sf0.01; ~9x faster at sf0.1, 3.7-4.6x-for-10x).
-# - q_source_python_datasource CHANGED: the stream reader's offsets
-#   became filename SETS (ADVICE r10 backfill fix) -- the registered
-#   connector the driver query reads through changed.
-# The twelve r11-NEW queries (q_vacuum_retention,
-# q_schema_evolution_widening, q_schema_evolution_rename,
-# q_multimodal_image_decode, q_delete_merge_on_read,
-# q_quantile_histogram_rollup, q_theta_set_algebra,
-# q_kll_quantile_sketch, q_partition_evolution, q_bucket_pruning,
-# q_stream_merge_sink, q_retention_ttl) need no entry: rank 0 covers
-# never-checked, and their modules (merge, schema_evolution,
-# multimodal_image, deletion_vectors, quantile_rollup, theta_sets,
-# kll_quantiles, partition_evolution, bucket_pruning,
-# streaming_merge -- dragging r10's streaming_restart forward via
-# the dependency fold -- and ttl) ride forward whole. No pins: the
-# conversion trio's evidence is r10, fresh until r13 under the
-# max-3-rounds-unverified guarantee.
-R11_CHANGED = frozenset(
-    {"q_setsim_prefix_join", "q_source_python_datasource"})
-R11_PIN: tuple[str, ...] = ()
-
-# Already-known CHANGED candidates for the r12 derivation (late-r11
-# review fixes to lanes OUTSIDE the r11 window -- values identical,
-# re-verified locally at sf0.01, but plans/oracles/parsers changed):
-# q_constraint_audit (distinct-dim FK fold, engine + oracle),
-# q_hll_union_rollup (one-scan exact reference, column rename),
-# q_compact_files / q_compact_partitioned (reused work dirs),
-# q_stream_restart (in-lane WAL byte-identity guard, work dir),
-# the conversion trio discogs_xml_conversion/_stats/_explode_artists
-# (strict-parser conformance fixes: empty master_id skip, attributed
-# empty unknown tags, empty genre/style and non-empty label
-# rejection, empty-listing guard), q_reservoir_per_group (canonical
-# _doc_hash reuse -- identical expression), and the
-# operators/prefix.py consumers in matching/curation_extra/
-# analytics_extra/features (running_sum null-carry fix +
-# value_at_ranks left join -- latent-contract fixes, plans changed).
-# The dedup-module fixes (simhash null guards, shared shingle
-# candidate stage) land on queries already IN the r11 window, so they
-# get fresh r11 evidence without a derivation change.
+# Round-12 policy inputs that artifacts cannot express -- queries whose
+# code changed since their LAST green driver row:
+# - r12 in-round changes: q_setsim_prefix_join (size-conditional
+#   verification/expansion broadcasts -- VERDICT r11 item 1),
+#   q_theta_set_algebra (production projection slimmed, ADVICE),
+#   q_delete_merge_on_read (stat-only untouched fact, ADVICE),
+#   q_bucket_pruning (memoized sibling session, ADVICE),
+#   q_retention_ttl (hardlink scratch clone).
+# - late-r11 changes to lanes outside the r11 window (values identical,
+#   re-verified locally at sf0.01, but engine/oracle/parser code
+#   changed): q_constraint_audit (distinct-dim FK fold),
+#   q_hll_union_rollup (one-scan exact reference, column rename), the
+#   conversion trio (strict-parser conformance fixes, commit 4ecc7ab
+#   -- also their max-3-rounds freshness pin expires r13, closed here
+#   as CHANGED, VERDICT r11 item 7), and the operators/prefix.py
+#   consumers (commit e3725d4: running_sum null-carry fix ->
+#   q_budget_select, q_histogram_equidepth; value_at_ranks left-join
+#   fix -> q_stats_mad, q_percentile_cont_exact).
+# DELIBERATELY NOT CHANGED: q_compact_files / q_compact_partitioned
+# (late-r11 change was work-dir reuse -- harness footprint only) and
+# q_reservoir_per_group (canonical _doc_hash reuse, an identical
+# expression by construction); both rotate on evidence age, which
+# keeps every r7-evidence query inside this window (item 2's target:
+# oldest evidence anywhere >= r8 after r12).
+# The two r12-NEW queries (q_delete_positional_dv,
+# q_incremental_join_view) need no entry: rank 0 covers never-checked,
+# and their modules ride forward whole (deletion_vectors dragging
+# merge via the dependency fold; incremental bringing
+# q_incremental_rollup).
+R12_CHANGED = frozenset({
+    "q_setsim_prefix_join", "q_theta_set_algebra",
+    "q_delete_merge_on_read", "q_bucket_pruning", "q_retention_ttl",
+    "q_constraint_audit", "q_hll_union_rollup",
+    "discogs_xml_conversion", "discogs_conversion_stats",
+    "discogs_explode_artists",
+    "q_budget_select", "q_histogram_equidepth",
+    "q_stats_mad", "q_percentile_cont_exact",
+})
+R12_PIN: tuple[str, ...] = ()
 
 
 def test_import_order_is_policy_fixed_point():
     """The first 50 registered queries ARE the policy window."""
     want = registry.window(
-        size=WINDOW_SIZE, changed=R11_CHANGED, pin=R11_PIN,
+        size=WINDOW_SIZE, changed=R12_CHANGED, pin=R12_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     got = list(registry.QUERIES)[:WINDOW_SIZE]
@@ -107,10 +104,10 @@ def test_derivation_is_stable_under_new_artifacts(tmp_path):
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
     pinned = registry.window(
         size=WINDOW_SIZE, artifacts_dir=str(tmp_path),
-        changed=R11_CHANGED, pin=R11_PIN, max_round=DERIVED_AT_ROUND,
+        changed=R12_CHANGED, pin=R12_PIN, max_round=DERIVED_AT_ROUND,
     )
     baseline = registry.window(
-        size=WINDOW_SIZE, changed=R11_CHANGED, pin=R11_PIN,
+        size=WINDOW_SIZE, changed=R12_CHANGED, pin=R12_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     assert pinned == baseline
@@ -131,72 +128,74 @@ def test_window_contains_every_never_checked_query():
     assert not missing, f"never-checked queries outside window: {missing}"
 
 
-def test_r11_window_contents():
-    """The round-11 membership decisions, pinned explicitly: the
-    twelve NEW lanes lead with their riding modules (merge whole --
-    VACUUM retention plus the r10 trio re-checking the ADVICE guards;
-    schema_evolution whole -- widening + rename plus the r9 scan;
-    the MOR deletion-vector, histogram-rollup, theta-set-algebra,
-    KLL-quantile, partition-spec-evolution, and bucket-pruning
-    modules; the transactional streaming-MERGE sink, whose import
-    drags r10's q_stream_restart forward to ride; and the TTL
-    enforcement lane), the CHANGED connector and setsim join follow,
-    then the oldest evidence: tpch_extra's six r7 queries (q10
-    rides) and the r7 cohort through reshaping. The 50-cut lands
-    mid-reshaping after q_minby_maxby, so q_percentiles leads the
-    r12 remainder with joins, nested, and python_udfs.
-    Nothing in the window has evidence fresher than r7 except the
-    new/changed/riding heads."""
+def test_r12_window_contents():
+    """The round-12 membership decisions, pinned explicitly: the two
+    NEW lanes lead with their riding modules (deletion_vectors whole,
+    its merge dependency folding the COW quartet in first;
+    incremental whole), the five r12-CHANGED lanes and the late-r11
+    CHANGED cohort follow (curation_extra dragging clustering,
+    analytics_extra, features, sketch_rollup, constraints, the
+    conversion trio), then the oldest evidence: reshaping riding for
+    r7 q_percentiles and the COMPLETE r7 cohort (joins, nested,
+    python_udfs). The 50-cut lands mid-matching after
+    q_fuzzy_blocked, so q_funnel_conversion leads the r13 remainder.
+    After this window the oldest evidence anywhere is r8."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
-        # new + riding + changed heads
-        "q_vacuum_retention", "q_merge_upsert", "q_time_travel",
-        "q_table_diff",
-        "q_schema_evolution_widening", "q_schema_evolution_rename",
-        "q_schema_evolution_scan",
-        "q_multimodal_image_decode",
-        "q_delete_merge_on_read", "q_quantile_histogram_rollup",
-        "q_theta_set_algebra", "q_kll_quantile_sketch",
-        "q_partition_evolution", "q_bucket_pruning",
-        "q_stream_merge_sink", "q_stream_restart", "q_retention_ttl",
-        "q_source_python_datasource", "q_setsim_prefix_join",
-        # oldest evidence: tpch_extra (q10 r10 rides at module head)
-        "q10_returned_items", "q14_promo_revenue", "q18_large_volume",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q19_discounted_revenue", "q21_suppliers_waiting",
-        # the r7 cohort (first/last of each family)
-        "q_dedup_exact", "q_dedup_containment",
-        "q_pack_sequences",
-        "q_quality_repetition", "q_quality_gopher_filter",
-        "q_curation_pipeline",
-        "q_agg_distinct", "q_agg_grouping_sets",
-        "q_source_csv_roundtrip", "q_source_json_roundtrip",
-        "q_pivot", "q_unpivot", "q_minby_maxby",
+        # rank 0 + riders
+        "q_delete_positional_dv", "q_delete_merge_on_read",
+        "q_merge_upsert", "q_time_travel", "q_table_diff",
+        "q_vacuum_retention",
+        "q_incremental_join_view", "q_incremental_rollup",
+        # r12 changed
+        "q_theta_set_algebra", "q_bucket_pruning", "q_retention_ttl",
+        "q_setsim_prefix_join",
+        # late-r11 changed cohort + riders
+        "q_kmeans_assign", "q_kmeans_update",
+        "q_dedup_chunks", "q_budget_select", "q_dedup_semantic",
+        "q_triangle_count", "q_pareto_frontier",
+        "q_histogram_equidepth", "q_session_window_builtin",
+        "q_stats_mad", "q_feature_normalize", "q_embedding_quantize",
+        "q_percentile_cont_exact",
+        "q_hll_union_rollup", "q_constraint_audit",
+        "discogs_xml_conversion", "discogs_conversion_stats",
+        "discogs_explode_artists",
+        # oldest evidence: reshaping rides for q_percentiles
+        "q_pivot", "q_unpivot", "q_minby_maxby", "q_percentiles",
+        # the complete r7 cohort
+        "q_join_star_revenue", "q_join_left_outer", "q_join_semi",
+        "q_join_anti", "q_join_nonequi_bands", "q_join_full_outer",
+        "q_skew_salted_join",
+        "q_explode_wordcount", "q_array_ops", "q_nested_collect",
+        "q_pandas_udf_scalar", "q_pandas_udf_grouped_agg",
+        "q_python_udtf", "q_apply_in_pandas",
+        # matching begins; the cut
+        "q_fuzzy_levenshtein", "q_fuzzy_blocked",
     ):
         assert must in win, must
-    assert win[-1] == "q_minby_maxby"  # cut mid-reshaping
+    assert win[-1] == "q_fuzzy_blocked"  # cut mid-matching
     for out in (
-        # the r7 remainder -> r12 leaders
-        "q_percentiles",
-        "q_join_star_revenue", "q_join_left_outer",
-        "q_join_semi", "q_join_anti", "q_join_nonequi_bands",
-        "q_join_full_outer",
-        "q_skew_salted_join", "q_explode_wordcount", "q_array_ops",
-        "q_nested_collect",
-        "q_pandas_udf_scalar", "q_apply_in_pandas",
+        # the matching tail -> r13 leaders
+        "q_funnel_conversion", "q_entity_resolution",
+        "q_fuzzy_blocked_stats",
         # r8-green stays out
-        "q_fuzzy_blocked", "q_pagerank_bipartite", "q_stats_mad",
-        # r9-green stays out
-        "q_join_aqe_skew", "q_incremental_rollup",
-        "q_stream_dedup_exact", "q_zorder_layout",
-        "q1_pricing_summary", "q_ann_bruteforce_topk",
-        # r10-green rotated out (q_stream_restart is NOT here: the
-        # streaming_merge dependency fold pulled it into the window)
-        "q_compact_files", "q_hll_union_rollup",
-        "q_constraint_audit", "q_profile_columns",
-        "q_distribution_drift", "discogs_xml_conversion",
-        "q_sessionize_events", "q_stats_moments", "q_scd2_merge",
+        "q_agg_approx_distinct", "q13_customer_distribution",
+        "q_pagerank_bipartite",
+        # deliberately-not-changed late-r11 touches stay on evidence
+        # age (see R12_CHANGED comment)
+        "q_compact_files", "q_compact_partitioned",
         "q_reservoir_per_group",
+        # r9/r10/r11-green stays out
+        "q_join_aqe_skew", "q_stream_dedup_exact", "q_zorder_layout",
+        "q1_pricing_summary", "q_ann_bruteforce_topk",
+        "q_profile_columns", "q_distribution_drift",
+        "q_sessionize_events", "q_stats_moments", "q_scd2_merge",
+        "q_dedup_exact", "q_curation_pipeline", "q_agg_rollup",
+        "q_stream_merge_sink", "q_stream_restart",
+        "q_schema_evolution_widening", "q_multimodal_image_decode",
+        "q_quantile_histogram_rollup", "q_kll_quantile_sketch",
+        "q_partition_evolution", "q_source_python_datasource",
+        "q10_returned_items",
     ):
         assert out not in win, out
 
@@ -211,6 +210,8 @@ def test_module_deps_reflect_imports():
     deps = registry._module_deps()
     assert set(deps["curation_full"]) >= {"dedup", "packing", "quality"}
     assert "clustering" in deps["curation_extra"]
+    assert "merge" in deps["deletion_vectors"]
+    assert "merge" in deps["incremental"]
     for consumer in ("binary_source", "schema_evolution",
                      "streaming_restart", "compaction"):
         assert "runtime_filters" not in deps.get(consumer, []), consumer
