@@ -23,6 +23,12 @@ def _full(n_queries: int, n_sf1: int = 12, name_len: int = 16) -> dict:
         "cpu_attribution": {
             "eff_cores": [6.9, 7.1, 5.2], "os_cpus": 32,
             "spin_sec": [0.112, 0.109, 0.115],
+            "busy_frac": [0.21, 0.22, 0.19],
+        },
+        "filtered": {
+            "value": round(sum(qs.values()), 3),
+            "clean_passes": [0, 1, 2],
+            "queries": dict(qs),
         },
         "conversion": {"rows": 1000000, "rows_per_sec": 131822,
                        "eff_cores": [10.1, 9.9, 10.2]},
@@ -50,6 +56,9 @@ def test_current_shape_fits_with_all_sections():
         assert k in d
     assert d["longtail"] and d["sf1"]["queries"]  # nothing trimmed
     assert "queries_omitted" not in d
+    # the contamination-filtered headline rides next to the raw one
+    assert d["value_filtered"] == d["value"]
+    assert d["clean_passes"] == [0, 1, 2]
 
 
 def test_trim_ladder_drops_ballast_before_queries():
@@ -81,3 +90,20 @@ def test_no_sf1_lane_is_allowed():
     full["sf1_spot"] = None
     d = json.loads(compact_line(full))
     assert d["sf1"] is None
+
+
+def test_clean_pass_filter_excludes_contaminated_passes():
+    """The r11 driver artifact's shape (passes 4-5: spin +25%, busy
+    fraction doubled) must be excluded; ordinary jitter must not be;
+    and the reference pass itself always qualifies."""
+    from bench import _clean_pass_filter
+
+    spins = [0.122, 0.124, 0.131, 0.160, 0.155]
+    busy = [0.15, 0.15, 0.18, 0.31, 0.33]
+    assert _clean_pass_filter(spins, busy) == [0, 1, 2]
+    # a quiet box: every pass clean
+    assert _clean_pass_filter(
+        [0.11, 0.112, 0.109], [0.2, 0.21, 0.2]) == [0, 1, 2]
+    # pathological: only the cleanest pass survives, never empty
+    assert _clean_pass_filter(
+        [0.1, 0.2, 0.3], [0.1, 0.4, 0.6]) == [0]
