@@ -55,19 +55,35 @@ cardinality IS the final answer -- output-bound by construction. The
 threshold comparison is exact integer cross-multiplication
 (20*i >= 19*u), no floats anywhere.
 
-Measured (local[32], same box; BENCH_DETAIL.json's
-queries_at_headline_sf carries both sides in-artifact): the r10 plan
-= 47.2 s at sf0.1 / 69.6 s at sf1; this plan = 4.2-5.2 s at sf0.1 /
-19.3-19.6 s at sf1 across the round's runs -- ~9x faster at sf0.1
-and the sf1/sf0.1 wall ratio in the 3.7-4.6x band for 10x data and
-10x output (r9's bound was <= ~4x; r10 measured 22x -- the
-superlinear candidate term is gone, the residual above the output
-ratio is the verification stage's broadcast build). Two levers, both visible in the profile: the collapse cuts the
-candidate space to C(df_sets, 2) (960k candidate pairs -> the
-verification stage, vs 1.8M over docs), and localCheckpoint staging
-of the three fan-out frames (doc_sets / sets / prefix) removes ~10 s
-of pure lineage recompute that the ~10-consumer DAG otherwise pays
-(every branch re-ran the tokenization from the scan).
+r12 rewrite -- SURROGATE IDS + DEDUP AFTER VERIFY (on top of the r11
+collapse): profiling the r11 plan at sf1 showed the wall was NOT in
+the broadcast build the r11 notes guessed at, but in the candidate
+stream itself -- 9.6M matched pairs distinct-ed as md5-STRING pairs
+(the pipeline's one big exchange, ~64 B/row both sides hash-agg'd),
+then verified. Three changes, each measured in isolation:
+
+  1. every set gets an 8-byte surrogate `sid` at MV materialization
+     (md5 stays the collapse identity -- 128-bit, collision-safe at
+     any corpus size; the surrogate is collision-free by
+     construction, a dimension-table key);
+  2. the pre-verification distinct is GONE (measured multiplicity
+     ~1.0); the dedup runs after the threshold filter, on the 20k
+     qualifying set pairs instead of 9.6M candidates;
+  3. the verification CPU is rebalanced by one explicit pair-keyed
+     exchange of (sid_a, sid_b) longs -- without it the
+     array_intersect work runs inside the prefix join's TOK-keyed
+     output partitions, where the clique-shared rare tokens
+     concentrate the match explosion on a few cores (measured 9 s
+     skewed vs 1.7 s rebalanced at sf0.1, identical row counts).
+
+Measured (local[32], same box): the r10 plan = 47.2 s at sf0.1 /
+69.6 s at sf1; the r11 collapse = ~5.5 s / ~19 s (22x -> ~4-5x);
+this plan = 4.4-5.3 s at sf0.1 / 12.8-14.6 s at sf1 -- the sf1/sf0.1
+wall ratio lands at ~2.9x for 10x data and exactly 10x output,
+under r9's <= ~4x bound with margin. The other r11 lever stays:
+localCheckpoint staging of the fan-out frames (doc_sets / sets /
+members / prefix) removes ~10 s of lineage recompute the
+~10-consumer DAG otherwise pays.
 """
 
 from __future__ import annotations
@@ -129,20 +145,23 @@ def _doc_sets(docs: DataFrame) -> DataFrame:
 def _ranked_prefix(sets: DataFrame) -> DataFrame:
     """Prefix tokens of the distinct sets under the global rarity
     order (set frequency, then token): per-set positions come from a
-    row_number window PARTITIONED BY set_id (bounded, never global),
-    and only the first |d| - ceil(t*|d|) + 1 tokens survive
-    (all-integer ceil). (pos, n) ride along so the candidate join can
-    evaluate the positional and length filters as residuals.
-    Factored out of the query so the plan gate can inspect this
-    stage's window spec directly -- the query localCheckpoints the
-    result (both sides of the self-join read it), which cuts the
-    lineage out of the final plan."""
-    stok = sets.select("set_id", "n", F.explode("toks").alias("tok"))
+    row_number window PARTITIONED BY the set's surrogate id (bounded,
+    never global), and only the first |d| - ceil(t*|d|) + 1 tokens
+    survive (all-integer ceil). (pos, n) ride along so the candidate
+    join can evaluate the positional and length filters as residuals.
+    Keys are the 8-byte `sid` surrogate, not the md5 string -- the
+    candidate stream downstream carries two ids per matched row, so
+    key width is THE bandwidth knob (r12). Factored out of the query
+    so the plan gate can inspect this stage's window spec directly --
+    the query localCheckpoints the result (both sides of the
+    self-join read it), which cuts the lineage out of the final
+    plan."""
+    stok = sets.select("sid", "n", F.explode("toks").alias("tok"))
     df_tok = stok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = stok.join(df_tok, "tok").withColumn(
         "pos",
         F.row_number().over(
-            Window.partitionBy("set_id").orderBy("df", "tok")
+            Window.partitionBy("sid").orderBy("df", "tok")
         ),
     )
     return ranked.filter(
@@ -150,7 +169,7 @@ def _ranked_prefix(sets: DataFrame) -> DataFrame:
         <= F.col("n")
         - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) DIV {_T_DEN}")
         + 1
-    ).select("set_id", "tok", "pos", "n")
+    ).select("sid", "tok", "pos", "n")
 
 
 @query(
@@ -214,12 +233,21 @@ def setsim_pairs(docs: DataFrame,
     # tokenization from the scan (measured ~10 s of pure recompute
     # at sf0.1 across the ~10 consumers of this lineage).
     doc_sets = _doc_sets(docs).localCheckpoint()
-    members = doc_sets.select("set_id", "doc_id")
+    # Each distinct set also gets an 8-byte SURROGATE id (r12): the
+    # md5 remains the collapse IDENTITY (128-bit -- collision-safe at
+    # any corpus size), but every downstream join/comparison keys on
+    # `sid`, a dimension-table surrogate minted at MV materialization
+    # (monotonically_increasing_id frozen by the localCheckpoint --
+    # stable for the run, collision-free by construction). The
+    # candidate stream carries two ids per matched row, so 8-byte
+    # longs vs 32-char hex strings is a 4x cut in its width and in
+    # every hash probe against the verification build side.
     sets = (
         doc_sets.select("set_id", "toks")
         .dropDuplicates(["set_id"])
         .withColumn("n", F.size("toks"))
-        .localCheckpoint()  # one dedup serves 4 branches
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint()  # one dedup serves 4 branches; sid frozen
     )
     # size-conditional broadcast hints (VERDICT r11 item 1): counts
     # come off the eager localCheckpoints -- cached-partition counts,
@@ -231,6 +259,13 @@ def setsim_pairs(docs: DataFrame,
         lambda df: df)
     bc_mem = F.broadcast if n_docs <= broadcast_max_rows else (
         lambda df: df)
+    # membership on the surrogate key: one gated set-table join at
+    # staging, then the three expansion joins all probe by long
+    members = (
+        doc_sets.join(bc_set(sets.select("set_id", "sid")), "set_id")
+        .select("sid", "doc_id")
+        .localCheckpoint()
+    )
     # 2. prefix tokens of the distinct sets (see _ranked_prefix),
     # staged once: BOTH sides of the candidate self-join read it.
     prefix = _ranked_prefix(sets).localCheckpoint()
@@ -244,87 +279,115 @@ def setsim_pairs(docs: DataFrame,
     # lossless. Integer form throughout. J = 1 pairs (identical sets)
     # cannot appear here -- they collapsed to one set_id -- and are
     # reconstructed in the intra-clique expansion below.
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.set_id") < F.col("b.set_id"))
-            & (F.col("a.n") * _T_DEN >= _T_NUM * F.col("b.n"))
-            & (F.col("b.n") * _T_DEN >= _T_NUM * F.col("a.n"))
-            & (
-                (
-                    F.least(
-                        F.col("a.n") - F.col("a.pos"),
-                        F.col("b.n") - F.col("b.pos"),
-                    )
-                    + 1
+    # NO pre-verification distinct (r12): a pair can match on several
+    # prefix tokens, but the measured multiplicity is ~1.0 on this
+    # corpus (prefix length ~= |d|/20 + 1), while distinct-ing the
+    # candidate stream cost a full exchange + two-sided hash-agg of
+    # its WIDEST incarnation -- 9.6M candidate rows at sf1, the
+    # pipeline's single largest shuffle, carried as md5-string pairs
+    # in r11. The dedup moves AFTER the threshold filter (qualifying
+    # set pairs: 20k rows at sf1, output-bound).
+    cand = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.sid") < F.col("b.sid"))
+        & (F.col("a.n") * _T_DEN >= _T_NUM * F.col("b.n"))
+        & (F.col("b.n") * _T_DEN >= _T_NUM * F.col("a.n"))
+        & (
+            (
+                F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
                 )
-                * (_T_NUM + _T_DEN)
-                >= _T_NUM * (F.col("a.n") + F.col("b.n"))
-            ),
-        )
-        .select(
-            F.col("a.set_id").alias("set_a"),
-            F.col("b.set_id").alias("set_b"),
-        )
-        .distinct()
+                + 1
+            )
+            * (_T_NUM + _T_DEN)
+            >= _T_NUM * (F.col("a.n") + F.col("b.n"))
+        ),
+    ).select(
+        F.col("a.sid").alias("sid_a"),
+        F.col("b.sid").alias("sid_b"),
     )
     # 3. verification over sets: the set table is one row per DISTINCT
     # SET -- below the cap, broadcast it so the candidate pairs (the
     # big side) never shuffle and the token arrays ship once per
     # executor; above it, shuffle on set_id (AQE picks from runtime
-    # sizes)
-    sa = sets.select(F.col("set_id").alias("set_a"),
-                     F.col("toks").alias("toks_a"),
-                     F.col("n").alias("n_a"))
-    sb = sets.select(F.col("set_id").alias("set_b"),
-                     F.col("toks").alias("toks_b"),
-                     F.col("n").alias("n_b"))
+    # sizes). BOTH sides join the SAME canonical frame via aliases
+    # (no per-side column renames inside the build side): identical
+    # broadcast children canonicalize equal, so ReuseExchange ships
+    # the set table ONCE instead of building it per join -- at sf1
+    # the toks-array broadcast is the verification stage's dominant
+    # cost, and r11's renamed-projection spelling built it twice
+    # (plan-gated in test_setsim_broadcast.py).
+    # ... but the verification work must NOT run inside the prefix
+    # join's output partitions: those are keyed by TOK, and the match
+    # explosion concentrates in the few partitions holding the
+    # clique-shared rare tokens -- measured 9 s for the skewed
+    # spelling vs 1.7 s rebalanced at sf0.1, with identical row
+    # counts. One explicit pair-keyed exchange of the (sid_a, sid_b)
+    # long pairs (16 bytes/row -- 4x narrower than r11's md5-string
+    # distinct, and no hash-agg on either side) spreads the
+    # array_intersect CPU evenly; the partition count is pinned so
+    # AQE's byte-targeted coalescing cannot fold this CPU-bound stage
+    # onto a handful of cores (150 MB of pairs at sf1 is "3
+    # partitions" by bytes but 32 cores of intersect work).
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_shuffle, "sid_a", "sid_b")
+    va, vb = sets.alias("va"), sets.alias("vb")
     qual = (
-        cand.join(bc_set(sa), "set_a").join(bc_set(sb), "set_b")
+        cand.join(bc_set(va), F.col("sid_a") == F.col("va.sid"))
+        .join(bc_set(vb), F.col("sid_b") == F.col("vb.sid"))
         .withColumn(
             "n_common",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
+            F.size(F.array_intersect("va.toks", "vb.toks")).cast("long"),
         )
         .withColumn(
             "n_union",
-            (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("long"),
+            (F.col("va.n") + F.col("vb.n") - F.col("n_common"))
+            .cast("long"),
         )
         .filter(F.col("n_common") * _T_DEN >= _T_NUM * F.col("n_union"))
-        .select("set_a", "set_b", "n_common", "n_union")
+        .select("sid_a", "sid_b", "n_common", "n_union")
+        # the one dedup, AFTER the threshold filter: qualifying set
+        # pairs only (output-bound, 3 orders smaller than candidates)
+        .dropDuplicates(["sid_a", "sid_b"])
     )
     # 4. expansion. Cross pairs: every member of set_a x every member
     # of set_b (n_common/n_union identical for all of them -- equal
     # token sets by construction); the doc-count-sized membership
     # table broadcasts below the cap, output cardinality = the answer
-    # itself.
-    ma = members.select(F.col("set_id").alias("set_a"),
-                        F.col("doc_id").alias("da"))
-    mb = members.select(F.col("set_id").alias("set_b"),
-                        F.col("doc_id").alias("db"))
+    # itself. Same one-build discipline: the THREE membership joins
+    # (two cross sides + the intra self-join's build side) all
+    # broadcast the same canonical frame, so the doc-level table ships
+    # once, not three times.
+    xa, xb = members.alias("xa"), members.alias("xb")
     cross = (
-        qual.join(bc_mem(ma), "set_a")
-        .join(bc_mem(mb), "set_b")
+        qual.join(bc_mem(xa), F.col("sid_a") == F.col("xa.sid"))
+        .join(bc_mem(xb), F.col("sid_b") == F.col("xb.sid"))
         .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
+            F.least("xa.doc_id", "xb.doc_id").alias("doc_a"),
+            F.greatest("xa.doc_id", "xb.doc_id").alias("doc_b"),
             "n_common", "n_union",
         )
     )
     # Intra-clique pairs: two docs with the SAME token set have J = 1
-    # >= t always; n_common = n_union = |set|
-    sizes = sets.select(F.col("set_id").alias("s_id"), "n")
+    # >= t always; n_common = n_union = |set|. The size lookup joins
+    # the canonical set frame too (the spare toks column rides a
+    # broadcast that already shipped -- reuse beats a second, slimmer
+    # build).
+    vs = sets.alias("vs")
     intra = (
         members.alias("x")
         .join(bc_mem(members.alias("y")),
-              (F.col("x.set_id") == F.col("y.set_id"))
+              (F.col("x.sid") == F.col("y.sid"))
               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .join(bc_set(sizes), F.col("x.set_id") == F.col("s_id"))
+        .join(bc_set(vs), F.col("x.sid") == F.col("vs.sid"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("n").cast("long").alias("n_common"),
-            F.col("n").cast("long").alias("n_union"),
+            F.col("vs.n").cast("long").alias("n_common"),
+            F.col("vs.n").cast("long").alias("n_union"),
         )
     )
     return cross.unionByName(intra).orderBy("doc_a", "doc_b")

@@ -1048,9 +1048,9 @@ def test_setsim_candidates_come_from_prefix_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the ranking stage is localCheckpoint-staged (its lineage is cut
     # from the final plan), so gate its window spec on the stage
-    # builder directly: partitioned by set_id -- the COLLAPSED domain,
-    # so clique size never enters the candidate space -- and never by
-    # doc_id, never global
+    # builder directly: partitioned by the set surrogate id -- the
+    # COLLAPSED domain, so clique size never enters the candidate
+    # space -- and never by doc_id, never global
     from pyspark.sql import functions as F
 
     from discogs_xml_to_parquet_spark.queries.setsim import (
@@ -1064,10 +1064,12 @@ def test_setsim_candidates_come_from_prefix_equi_join(spark):
         .select("set_id", "toks")
         .dropDuplicates(["set_id"])
         .withColumn("n", F.size("toks"))
+        .withColumn("sid", F.monotonically_increasing_id())
     )
     stage = plan_of(_ranked_prefix(sets))
-    assert "windowspecdefinition(set_id" in stage
+    assert "windowspecdefinition(sid" in stage
     assert "windowspecdefinition(doc_id" not in stage
+    assert "windowspecdefinition(set_id" not in stage  # longs, not md5
     # r10 rewrite properties, preserved by the collapse: the
     # length/positional residuals ride ON the candidate join (never a
     # post-join filter -- they must prune before rows materialize),
