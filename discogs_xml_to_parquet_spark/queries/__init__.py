@@ -19,35 +19,38 @@ DERIVED_AT_ROUND to 12 and pastes the order
 Round-12 window (the first 50), derived by window(changed=R12_CHANGED
 in tests/test_window.py, pin=(), max_round=11):
 
-- 1-6: deletion_vectors leads with rank 0 (q_delete_positional_dv NEW
+- 1: file_skipping rank 0 (q_file_skipping_scan NEW -- min/max file
+  skipping physically executed: range-clustered layout, one-scan
+  stats manifest, envelope-pruned read; oracle pins no-row-lost);
+- 2-7: deletion_vectors rank 0 (q_delete_positional_dv NEW
   -- VERDICT r11 item 5: (file, row position) delete files applied
   via the scan's own row identity, key columns out of the read path;
   q_delete_merge_on_read CHANGED rides -- stat-only inventory), and
   its merge dependency folds in first (the r11-green COW quartet
   re-rides);
-- 7-8: incremental rank 0 (q_incremental_join_view NEW -- item 4:
+- 8-9: incremental rank 0 (q_incremental_join_view NEW -- item 4:
   the delta-join IVM refresh dA|x|B0 U A0|x|dB U dA|x|dB, every scan
   partition-pruned, the MV never re-joined; r9 q_incremental_rollup
   rides);
-- 9-12: the four r12-CHANGED r11 lanes (theta slim projection,
+- 10-13: the four r12-CHANGED r11 lanes (theta slim projection,
   bucket-pruning memoized session, TTL hardlink scratch, setsim's
   size-conditional broadcasts -- item 1);
-- 13-27: the late-r11 CHANGED cohort with its riders --
+- 14-28: the late-r11 CHANGED cohort with its riders --
   curation_extra (q_budget_select: prefix running_sum null-carry
   fix; drags clustering via the dependency fold), analytics_extra
   (q_histogram_equidepth: same fix), features (q_stats_mad +
   q_percentile_cont_exact: value_at_ranks left-join fix),
   sketch_rollup (column rename), constraints (FK fold, engine +
   oracle);
-- 28-30: conversion CHANGED (strict-parser conformance fixes,
+- 29-31: conversion CHANGED (strict-parser conformance fixes,
   commit 4ecc7ab) -- also the max-3-rounds freshness pin due r13,
   closed here (VERDICT r11 item 7);
-- 31-48: the oldest evidence -- reshaping rides for r7
+- 32-49: the oldest evidence -- reshaping rides for r7
   q_percentiles, then the full r7 cohort (joins 7, nested 3,
   python_udfs 4: every r7-evidence query is in this window, VERDICT
   r11 item 2);
-- 49-50: matching (r8) begins; the cut lands after q_fuzzy_blocked,
-  so q_funnel_conversion leads the r13 remainder.
+- 50: matching (r8) begins; the cut lands after
+  q_fuzzy_levenshtein, so q_fuzzy_blocked leads the r13 remainder.
 
 After this window the oldest evidence anywhere is r8 (matching's
 tail, sketches, tpch_extra2, graph_iter, ...). NOT marked changed,
@@ -62,61 +65,66 @@ the window.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # 1-6: q_delete_positional_dv NEW (positional deletion vectors:
+    # 1: q_file_skipping_scan NEW (min/max data skipping on a
+    # non-partition column: a kilobyte JSON stats manifest names the
+    # envelope-intersecting files and the scan opens ONLY those --
+    # the physical complement of q_zorder_layout's zone-map audit)
+    file_skipping,
+    # 2-7: q_delete_positional_dv NEW (positional deletion vectors:
     # the reader subtracts (file, row position) pairs via
     # _metadata.row_index -- no key column in the read path) +
     # q_delete_merge_on_read CHANGED (stat-only untouched fact); the
     # module imports merge, so the COW MERGE / time travel / diff /
     # vacuum quartet folds in ahead of it
     deletion_vectors,
-    # 7-8: q_incremental_join_view NEW (join-view IVM: three
+    # 8-9: q_incremental_join_view NEW (join-view IVM: three
     # delta-join terms, all six scans month-pruned, MV enters as its
     # materialized form) + r9 q_incremental_rollup riding
     incremental,
-    # 9: q_theta_set_algebra CHANGED (production projection slimmed
+    # 10: q_theta_set_algebra CHANGED (production projection slimmed
     # to what the driver row consumes -- ADVICE r11)
     theta_sets,
-    # 10: q_bucket_pruning CHANGED (conf-flipped sibling session
+    # 11: q_bucket_pruning CHANGED (conf-flipped sibling session
     # memoized per application -- ADVICE r11)
     bucket_pruning,
-    # 11: q_retention_ttl CHANGED (hardlink scratch clone: harness
+    # 12: q_retention_ttl CHANGED (hardlink scratch clone: harness
     # isolation no longer bills O(table) I/O to the O(1)+O(boundary)
     # lane)
     ttl,
-    # 12: q_setsim_prefix_join CHANGED (VERDICT r11 item 1: the
+    # 13: q_setsim_prefix_join CHANGED (VERDICT r11 item 1: the
     # verification/expansion broadcasts are size-conditional -- the
     # plan that survives a low-duplication 100 TB corpus)
     setsim,
-    # 13-17: q_budget_select CHANGED (prefix running_sum null-carry
+    # 14-18: q_budget_select CHANGED (prefix running_sum null-carry
     # fix, commit e3725d4); its clustering import folds in first
     curation_extra,
-    # 18-21: q_histogram_equidepth CHANGED (same prefix fix)
+    # 19-22: q_histogram_equidepth CHANGED (same prefix fix)
     analytics_extra,
-    # 22-25: q_stats_mad + q_percentile_cont_exact CHANGED
+    # 23-26: q_stats_mad + q_percentile_cont_exact CHANGED
     # (value_at_ranks keeps all-out-of-range groups, left join)
     features,
-    # 26: q_hll_union_rollup CHANGED (one-scan exact reference,
+    # 27: q_hll_union_rollup CHANGED (one-scan exact reference,
     # column rename)
     sketch_rollup,
-    # 27: q_constraint_audit CHANGED (distinct-dim FK fold, engine +
+    # 28: q_constraint_audit CHANGED (distinct-dim FK fold, engine +
     # oracle)
     constraints,
-    # 28-30: conversion trio CHANGED (five strict-parser conformance
+    # 29-31: conversion trio CHANGED (five strict-parser conformance
     # gaps closed against the reference, commit 4ecc7ab); also the
     # freshness pin due r13
     conversion,
-    # 31-34: reshaping rides whole for r7 q_percentiles (pivot/
+    # 32-35: reshaping rides whole for r7 q_percentiles (pivot/
     # unpivot/minby_maxby are r11-green riders)
     reshaping,
-    # 35-41: joins (7, r7)
+    # 36-42: joins (7, r7)
     joins,
-    # 42-44: nested (3, r7)
+    # 43-45: nested (3, r7)
     nested,
-    # 45-48: python_udfs (4, r7) -- with these, every r7-evidence
+    # 46-49: python_udfs (4, r7) -- with these, every r7-evidence
     # query is checked this round
     python_udfs,
-    # 49-50: matching (r8) -- the cut lands after q_fuzzy_blocked;
-    # q_funnel_conversion leads the r13 remainder
+    # 50: matching (r8) -- the cut lands after q_fuzzy_levenshtein;
+    # q_fuzzy_blocked leads the r13 remainder
     matching,
     # --- 50-query window cut ---
     # r8-green remainder: first in line for round 13

@@ -150,6 +150,11 @@ DEFAULT = [
     # three delta terms must still partition the 60M new pairs
     # exactly (hash over per-priority counts + exact revenue)
     "q_incremental_join_view",
+    # r12: min/max file skipping at the 10x orders -- the sharded key
+    # domain (1e8 offsets) clusters into 16 range files whose
+    # envelopes must still prune the [100, 200] lookup to a strict
+    # subset, hash-exact against the raw-table reconstruction
+    "q_file_skipping_scan",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

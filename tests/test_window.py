@@ -52,11 +52,11 @@ DERIVED_AT_ROUND = 11
 # expression by construction); both rotate on evidence age, which
 # keeps every r7-evidence query inside this window (item 2's target:
 # oldest evidence anywhere >= r8 after r12).
-# The two r12-NEW queries (q_delete_positional_dv,
-# q_incremental_join_view) need no entry: rank 0 covers never-checked,
-# and their modules ride forward whole (deletion_vectors dragging
-# merge via the dependency fold; incremental bringing
-# q_incremental_rollup).
+# The three r12-NEW queries (q_file_skipping_scan,
+# q_delete_positional_dv, q_incremental_join_view) need no entry:
+# rank 0 covers never-checked, and their modules ride forward whole
+# (deletion_vectors dragging merge via the dependency fold;
+# incremental bringing q_incremental_rollup).
 R12_CHANGED = frozenset({
     "q_setsim_prefix_join", "q_theta_set_algebra",
     "q_delete_merge_on_read", "q_bucket_pruning", "q_retention_ttl",
@@ -129,20 +129,21 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r12_window_contents():
-    """The round-12 membership decisions, pinned explicitly: the two
-    NEW lanes lead with their riding modules (deletion_vectors whole,
-    its merge dependency folding the COW quartet in first;
-    incremental whole), the five r12-CHANGED lanes and the late-r11
-    CHANGED cohort follow (curation_extra dragging clustering,
-    analytics_extra, features, sketch_rollup, constraints, the
-    conversion trio), then the oldest evidence: reshaping riding for
-    r7 q_percentiles and the COMPLETE r7 cohort (joins, nested,
-    python_udfs). The 50-cut lands mid-matching after
-    q_fuzzy_blocked, so q_funnel_conversion leads the r13 remainder.
-    After this window the oldest evidence anywhere is r8."""
+    """The round-12 membership decisions, pinned explicitly: the
+    three NEW lanes lead with their riding modules (file_skipping;
+    deletion_vectors whole, its merge dependency folding the COW
+    quartet in first; incremental whole), the five r12-CHANGED lanes
+    and the late-r11 CHANGED cohort follow (curation_extra dragging
+    clustering, analytics_extra, features, sketch_rollup,
+    constraints, the conversion trio), then the oldest evidence:
+    reshaping riding for r7 q_percentiles and the COMPLETE r7 cohort
+    (joins, nested, python_udfs). The 50-cut lands at matching's
+    first query, so q_fuzzy_blocked leads the r13 remainder. After
+    this window the oldest evidence anywhere is r8."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         # rank 0 + riders
+        "q_file_skipping_scan",
         "q_delete_positional_dv", "q_delete_merge_on_read",
         "q_merge_upsert", "q_time_travel", "q_table_diff",
         "q_vacuum_retention",
@@ -170,14 +171,14 @@ def test_r12_window_contents():
         "q_pandas_udf_scalar", "q_pandas_udf_grouped_agg",
         "q_python_udtf", "q_apply_in_pandas",
         # matching begins; the cut
-        "q_fuzzy_levenshtein", "q_fuzzy_blocked",
+        "q_fuzzy_levenshtein",
     ):
         assert must in win, must
-    assert win[-1] == "q_fuzzy_blocked"  # cut mid-matching
+    assert win[-1] == "q_fuzzy_levenshtein"  # cut at matching's head
     for out in (
         # the matching tail -> r13 leaders
-        "q_funnel_conversion", "q_entity_resolution",
-        "q_fuzzy_blocked_stats",
+        "q_fuzzy_blocked", "q_funnel_conversion",
+        "q_entity_resolution", "q_fuzzy_blocked_stats",
         # r8-green stays out
         "q_agg_approx_distinct", "q13_customer_distribution",
         "q_pagerank_bipartite",
