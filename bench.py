@@ -199,6 +199,18 @@ def _clean_pass_filter(spins: list[float], busy_fracs: list[float],
     ]
 
 
+def _true_med(xs: list[float], nd: int = 3) -> float:
+    """Proper median: averages the middle pair for even-length input.
+    The headline lane's upper-middle shortcut is harmless over 5
+    passes, but the FILTERED medians often see 2 clean passes, where
+    upper-middle degenerates to max() and biases the clean number
+    ABOVE the raw one it exists to correct."""
+    s = sorted(xs)
+    n = len(s)
+    m = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(m, nd)
+
+
 def _spin_calib(n: int = 2_000_000) -> float:
     """Clock attribution (VERDICT r10 item 2): wall seconds for a
     FIXED single-threaded pure-Python workload, sampled before each
@@ -360,7 +372,7 @@ def main() -> None:
     # the artifact alone (r11's driver run needed commit archaeology).
     clean = _clean_pass_filter(pass_spin, busy_frac)
     timings_clean = {
-        name: round(sorted(ts[i] for i in clean)[len(clean) // 2], 3)
+        name: _true_med([ts[i] for i in clean])
         for name, ts in runs.items()
     }
     filtered = {
@@ -552,6 +564,26 @@ def main() -> None:
                     force(name)
                     runs01.append(time.perf_counter() - t0)
                 sf01_timings[name] = round(sorted(runs01)[1], 3)
+        # contamination filter for the LANE too (same rule as the
+        # headline): the 10x ratios are the artifact's scale
+        # evidence, and a throttled lane pass inflates sf1 walls
+        # while the sf0.1 denominators come from a different time
+        # window -- the filtered ratios let a contended round
+        # self-adjudicate (guarded: zero completed passes on an
+        # over-budget box means no per-pass attribution to filter)
+        sf1_busy = [
+            round(c / (w * os.cpu_count()), 3)
+            for c, w in zip(sf1_pass_cpu, sf1_pass_wall)
+        ]
+        sf1_clean = (
+            _clean_pass_filter(sf1_pass_spin[:passes], sf1_busy)
+            if passes else []
+        )
+        sf1_filtered = {
+            n: _true_med([ts[i] for i in sf1_clean])
+            for n, ts in sf1_runs.items()
+            if sf1_clean and len(ts) >= passes
+        }
         sf1_spot = {
             "sf": round(float(sf) * 10, 4),
             "queries": sf1_timings,
@@ -563,6 +595,12 @@ def main() -> None:
             "vs_headline_x": {
                 n: round(sf1_timings[n] / sf01_timings[n], 2)
                 for n in SF1_QUERIES if sf01_timings.get(n)
+            },
+            "clean_passes": sf1_clean,
+            "queries_filtered": sf1_filtered,
+            "vs_headline_x_filtered": {
+                n: round(sf1_filtered[n] / sf01_timings[n], 2)
+                for n in sf1_filtered if sf01_timings.get(n)
             },
             "out_rows": out_rows,
             "out_rows_at_headline_sf": out_rows_01,
