@@ -37,5 +37,16 @@ def get_spark(app_name: str = "discogs-xml-to-parquet-spark",
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # Long-lived sessions (the bench runs ~200 queries in one JVM;
+        # a notebook or job server does the same) accumulate
+        # localCheckpoint RDD blocks: the ContextCleaner only frees a
+        # block after a DRIVER GC collects its RDD handle, and the
+        # default periodic-GC interval (30 min) is longer than an
+        # entire bench run -- storage fills, later heavy queries pay
+        # eviction + old-gen pressure (measured: setsim's sf1 wall
+        # climbing 25 -> 40 s across repeats in one session while
+        # fresh sessions held ~13 s flat). 90 s bounds the dead-block
+        # window at a negligible System.gc() cost.
+        .config("spark.cleaner.periodicGC.interval", "90s")
     )
     return builder.getOrCreate()
