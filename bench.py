@@ -505,6 +505,7 @@ def main() -> None:
             out_rows[name] = registry.QUERIES[name](spark, sf1_dir).count()
             out_rows_01[name] = registry.QUERIES[name](spark, sf_dir).count()
             force_sf1(name)  # warm: plan + codegen at the new stats
+            force(name)      # warm the headline-SF twin too
         # lane wall budget: the whole bench must finish inside the
         # driver's timeout, and a throttled box can triple a pass --
         # degrade to fewer (even partial) recorded passes rather than
@@ -515,6 +516,27 @@ def main() -> None:
         # triggers) -- but only once every query has >= 1 timing, so
         # the medians below never divide by an empty list. "passes"
         # reports completed full passes.
+        # Each pass runs every query at sf1 IMMEDIATELY FOLLOWED by
+        # its headline-SF twin (r12): the 10x ratio is the lane's
+        # whole point, and its two sides must be measured under the
+        # SAME conditions. The previous shape took denominators from
+        # the interleaved headline lane or a hot back-to-back block
+        # after the lane -- systematically cooler than the lane
+        # interior -- and the mismatch alone moved setsim's measured
+        # ratio between 3.5x and 4.8x on an otherwise-quiet box.
+        # Adjacent same-pass runs share session temperature, storage
+        # pressure, and whatever the co-tenant is doing.
+        #
+        # JMH discipline (r12): a forced JVM GC precedes every
+        # measured run, so one query's garbage (q_fuzzy_blocked's
+        # 7.2M-pair shuffles directly precede setsim) never bills the
+        # NEXT query's wall as old-gen pressure -- measured 19 s ->
+        # 15 s for setsim-after-fuzzy at sf1, while solo runs were
+        # 13.5 s all along. Headline passes stay GC-free: their raw
+        # value is the round-over-round comparable and its queries
+        # are too small for cross-billing to matter.
+        jvm_gc = spark.sparkContext._jvm.System.gc
+        sf01_runs: dict[str, list[float]] = {n: [] for n in SF1_QUERIES}
         lane_t0 = time.perf_counter()
         passes = 0
         over_budget = False
@@ -525,9 +547,16 @@ def main() -> None:
             sf1_pass_spin.append(_spin_calib())
             pw0, pc0 = time.perf_counter(), _cpu_busy()
             for name in SF1_QUERIES:
+                jvm_gc()
                 t0 = time.perf_counter()
                 force_sf1(name)
-                sf1_runs[name].append(time.perf_counter() - t0)
+                t1 = time.perf_counter()
+                jvm_gc()
+                t1b = time.perf_counter()
+                force(name)
+                t2 = time.perf_counter()
+                sf1_runs[name].append(t1 - t0)
+                sf01_runs[name].append(t2 - t1b)
                 if (passes >= 1
                         and time.perf_counter() - lane_t0 > 600):
                     over_budget = True
@@ -542,28 +571,10 @@ def main() -> None:
             n: round(sorted(ts)[len(ts) // 2], 3)
             for n, ts in sf1_runs.items()
         }
-        # headline-SF walls for the NON-headline sf1 queries (median
-        # of 3 after a warm pass), so every 10x ratio is
-        # self-contained in the artifact -- the r10 verdict had to
-        # reconstruct setsim's sf0.1 wall from commit prose to judge
-        # its 22x; vs_headline_x now covers the whole lane. Skipped
-        # when the lane tripped its wall budget: on a throttled box
-        # these extra ~25 runs would undo the degrade-to-partial
-        # protection and risk losing the whole JSON line (the ratios
-        # can wait a round; the budget flag tells the reader why).
-        sf01_timings: dict[str, float] = {
-            n: timings[n] for n in SF1_QUERIES if timings.get(n)}
-        if not over_budget:
-            for name in SF1_QUERIES:
-                if name in sf01_timings:
-                    continue
-                force(name)  # warm at the headline SF
-                runs01 = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    force(name)
-                    runs01.append(time.perf_counter() - t0)
-                sf01_timings[name] = round(sorted(runs01)[1], 3)
+        sf01_timings = {
+            n: round(sorted(ts)[len(ts) // 2], 3)
+            for n, ts in sf01_runs.items()
+        }
         # contamination filter for the LANE too (same rule as the
         # headline): the 10x ratios are the artifact's scale
         # evidence, and a throttled lane pass inflates sf1 walls
@@ -584,6 +595,11 @@ def main() -> None:
             for n, ts in sf1_runs.items()
             if sf1_clean and len(ts) >= passes
         }
+        sf01_filtered = {
+            n: _true_med([ts[i] for i in sf1_clean])
+            for n, ts in sf01_runs.items()
+            if sf1_clean and len(ts) >= passes
+        }
         sf1_spot = {
             "sf": round(float(sf) * 10, 4),
             "queries": sf1_timings,
@@ -599,8 +615,8 @@ def main() -> None:
             "clean_passes": sf1_clean,
             "queries_filtered": sf1_filtered,
             "vs_headline_x_filtered": {
-                n: round(sf1_filtered[n] / sf01_timings[n], 2)
-                for n in sf1_filtered if sf01_timings.get(n)
+                n: round(sf1_filtered[n] / sf01_filtered[n], 2)
+                for n in sf1_filtered if sf01_filtered.get(n)
             },
             "out_rows": out_rows,
             "out_rows_at_headline_sf": out_rows_01,
