@@ -188,15 +188,20 @@ def _clean_pass_filter(spins: list[float], busy_fracs: list[float],
     here -- the bench's own work is identical across passes, so
     excess busy is someone else's). The r11 driver artifact (passes
     4-5: wall 73/76 s vs 35 s, pass CPU doubled, spin +5-30%) is
-    exactly what this excludes. At least the reference pass itself
-    always qualifies, so the filtered median is never empty."""
+    exactly what this excludes. The spin and busy references can be
+    DIFFERENT passes (fastest clock during co-tenant load, quiet pass
+    clock-throttled), so the intersection can be empty -- in that
+    split-minima case fall back to the argmin-spin pass alone
+    (ADVICE r12: an empty filter crashed the whole bench line), so
+    the filtered median is never empty."""
     ref_spin = min(spins)
     ref_busy = min(busy_fracs)
-    return [
+    clean = [
         i for i in range(len(spins))
         if spins[i] <= ref_spin * spin_tol
         and busy_fracs[i] <= ref_busy + busy_tol
     ]
+    return clean if clean else [spins.index(ref_spin)]
 
 
 def _true_med(xs: list[float], nd: int = 3) -> float:

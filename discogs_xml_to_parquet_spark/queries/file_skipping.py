@@ -128,6 +128,13 @@ def pruned_range_read(spark: SparkSession, manifest_dir: str,
     intersects [lo, hi], hand the EXPLICIT list to the reader, apply
     the residual row filter. Returns (frame, layout facts)."""
     entries = _manifest_entries(manifest_dir)
+    # the staged table is never empty, so an empty manifest is always
+    # a build bug (ADVICE r12: the empty-keep fallback below reads
+    # entries[0] and would raise an opaque IndexError instead)
+    assert entries, (
+        f"empty/corrupt skipping manifest at {manifest_dir}: "
+        "build_manifest wrote no entries for a non-empty table"
+    )
     keep = [
         e["file"] for e in entries
         if not (e["max_custkey"] < lo or e["min_custkey"] > hi)

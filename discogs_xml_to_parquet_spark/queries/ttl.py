@@ -63,6 +63,18 @@ _CUTOFF = "1998-07-15"          # retain o_orderdate >= this
 _CUTOFF_MONTH = "1998-07"       # the partition the cutoff cuts through
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hardlink when possible, byte-copy across filesystems (ADVICE
+    r12: os.link raises EXDEV if SPARK_LOCAL_DIRS/tmpdir overrides
+    land the staged base and the scratch on different mounts; both
+    sit under tempfile.gettempdir() today, so the link path is the
+    one actually taken)."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
 def _inventory_young(table: str) -> dict[str, tuple[int, str]]:
     """merge.py's _inventory restricted to the partitions the policy
     must NOT touch (months after the boundary). Restricting it is
@@ -170,7 +182,7 @@ def q_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (expired dirs are unlinked; the boundary dir is REPLACED with new
     # files), so links are safe: the shared base's inodes stay
     # untouched, pinned by test_ttl's base-inventory check.
-    shutil.copytree(base, scratch, copy_function=os.link,
+    shutil.copytree(base, scratch, copy_function=_link_or_copy,
                     dirs_exist_ok=True)
     facts = enforce_ttl(spark, scratch)
     return (

@@ -107,3 +107,21 @@ def test_clean_pass_filter_excludes_contaminated_passes():
     # pathological: only the cleanest pass survives, never empty
     assert _clean_pass_filter(
         [0.1, 0.2, 0.3], [0.1, 0.4, 0.6]) == [0]
+
+
+def test_clean_pass_filter_split_minima_never_empty():
+    """ADVICE r12: min-spin and min-busy on DIFFERENT passes, with
+    neither satisfying both tolerances, used to return [] and crash
+    the headline median. The fallback keeps the argmin-spin pass."""
+    from bench import _clean_pass_filter
+
+    # pass 0: fastest clock but a co-tenant burning cores (busy 0.5
+    # vs quietest 0.1); pass 1: quiet box but clock throttled (spin
+    # 2x the reference). No pass passes both gates.
+    spins = [0.10, 0.20]
+    busy = [0.50, 0.10]
+    assert _clean_pass_filter(spins, busy) == [0]
+    # three-pass variant: the two contaminated extremes plus a middle
+    # pass failing both gates; still the argmin-spin pass survives
+    assert _clean_pass_filter(
+        [0.10, 0.15, 0.20], [0.50, 0.30, 0.10]) == [0]
