@@ -60,6 +60,7 @@ from discogs_xml_to_parquet_spark.queries.merge import (
 from discogs_xml_to_parquet_spark.registry import query
 from discogs_xml_to_parquet_spark.staging import (
     source_fingerprint as _source_fingerprint,
+    stage_df,
     staged as _staged,
 )
 from discogs_xml_to_parquet_spark.tables import load
@@ -195,9 +196,9 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cut"))
     )
     tagged = e.crossJoin(cut)
-    base = _rollup(
+    base = stage_df(_rollup(
         tagged.filter(F.col("ts") < F.col("cut"))
-    ).localCheckpoint()
+    ))
     delta = _rollup(tagged.filter(F.col("ts") >= F.col("cut")))
     merged = merge_rollups(base, delta)
     return (
@@ -299,5 +300,5 @@ def q_incremental_join_view(spark: SparkSession,
     cross-boundary pair missed, or a stale MV row all break it."""
     orders_dir = staged_partitioned_orders(spark, sf_dir)
     items_dir = staged_lineitem_by_shipmonth(spark, sf_dir)
-    mv = join_view_base(spark, orders_dir, items_dir).localCheckpoint()
+    mv = stage_df(join_view_base(spark, orders_dir, items_dir))
     return join_view_refresh(spark, mv, orders_dir, items_dir)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.queries._fragments import cc_ctes
 from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import stage_df
 from discogs_xml_to_parquet_spark.tables import load
 
 
@@ -440,7 +441,7 @@ def q_fuzzy_blocked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         blocked_pairs_df(load(spark, sf_dir, "customer"))
         .withColumn("ln1", F.length("name1").cast("long"))
-        .localCheckpoint()
+        .transform(stage_df)
     )
     stats = pairs.groupBy("edit_dist", "ln1").agg(
         F.count(F.lit(1)).alias("n_pairs")

@@ -92,6 +92,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import stage_df
 from discogs_xml_to_parquet_spark.tables import load
 
 # Jaccard threshold 0.95 = 19/20: selective on the template-generated
@@ -232,7 +233,7 @@ def setsim_pairs(docs: DataFrame,
     # branches -- without staging, every branch re-runs the
     # tokenization from the scan (measured ~10 s of pure recompute
     # at sf0.1 across the ~10 consumers of this lineage).
-    doc_sets = _doc_sets(docs).localCheckpoint()
+    doc_sets = stage_df(_doc_sets(docs))
     # Each distinct set also gets an 8-byte SURROGATE id (r12): the
     # md5 remains the collapse IDENTITY (128-bit -- collision-safe at
     # any corpus size), but every downstream join/comparison keys on
@@ -247,7 +248,7 @@ def setsim_pairs(docs: DataFrame,
         .dropDuplicates(["set_id"])
         .withColumn("n", F.size("toks"))
         .withColumn("sid", F.monotonically_increasing_id())
-        .localCheckpoint()  # one dedup serves 4 branches; sid frozen
+        .transform(stage_df)  # one dedup serves 4 branches; sid frozen
     )
     # size-conditional broadcast hints (VERDICT r11 item 1): counts
     # come off the eager localCheckpoints -- cached-partition counts,
@@ -264,11 +265,11 @@ def setsim_pairs(docs: DataFrame,
     members = (
         doc_sets.join(bc_set(sets.select("set_id", "sid")), "set_id")
         .select("sid", "doc_id")
-        .localCheckpoint()
+        .transform(stage_df)
     )
     # 2. prefix tokens of the distinct sets (see _ranked_prefix),
     # staged once: BOTH sides of the candidate self-join read it.
-    prefix = _ranked_prefix(sets).localCheckpoint()
+    prefix = stage_df(_ranked_prefix(sets))
     a, b = prefix.alias("a"), prefix.alias("b")
     # LENGTH filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
     # POSITIONAL filter: overlap <= 1 + min(|A|-pos_a, |B|-pos_b)

@@ -48,5 +48,16 @@ def get_spark(app_name: str = "discogs-xml-to-parquet-spark",
         # fresh sessions held ~13 s flat). 90 s bounds the dead-block
         # window at a negligible System.gc() cost.
         .config("spark.cleaner.periodicGC.interval", "90s")
+        # Cached staging frames keep their partitioning CONTRACT
+        # (Spark 3.5 flipped this to true, letting AQE re-coalesce a
+        # cached plan's output and erase its hash-partitioning):
+        # graph_iter persists the src-partitioned edge list precisely
+        # so every unrolled PageRank round's join and aggregate can
+        # consume it exchange-free -- with the default, every consumer
+        # sees UnknownPartitioning and re-shuffles O(edges) per round
+        # (the r12 4.79x sf1 ratio). The cost is AQE not re-coalescing
+        # inside cached plans, which staged frames don't want anyway.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "false")
     )
     return builder.getOrCreate()

@@ -86,3 +86,37 @@ def work_dir(kind: str, key: str) -> str:
     if path.exists():
         shutil.rmtree(path)
     return str(path)
+
+
+def stage_df(df):
+    """Cut lineage and materialize a mid-computation frame (the staged
+    lanes: setsim's fan-out frames, graph_iter's edge lists and rank
+    rounds, matching's candidate pool, incremental's stored MV).
+
+    Default = `localCheckpoint()`: executor-memory blocks, zero I/O,
+    NON-reliable -- on a real cluster a lost executor fails the job
+    instead of recomputing (VERDICT r12 item 5). Production mode: set
+    SPARK_GRAFT_CHECKPOINT_DIR (e.g. an HDFS/S3 path via
+    `spark.checkpoint.dir` conventions) and the same call sites write
+    RELIABLE checkpoints there, so at 1000 executors a lost node
+    replays from the checkpoint store. The env is read per call, so
+    one pytest process can exercise both modes back-to-back.
+
+    Both forms preserve the physical plan's outputPartitioning into
+    the LogicalRDD (Dataset.checkpoint shares that code path), so
+    partitioning-reuse plans (graph_iter's src-partitioned edge list)
+    hold in either mode."""
+    import os
+
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir mints a fresh UUID SUBDIR under the given
+        # path per call, so getCheckpointDir() never string-equals the
+        # env value -- compare by containment to set it exactly once
+        # per (session, dir) instead of littering a subdir per stage
+        cur = sc.getCheckpointDir()
+        if not (cur and ckpt_dir.rstrip("/") in cur):
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()

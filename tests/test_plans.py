@@ -531,6 +531,36 @@ def test_pagerank_round1_is_join_free(spark):
     assert equi_joins == _ITERS - 1  # rounds 2..N; round 1 is join-free
 
 
+def test_pagerank_edge_list_shuffles_once(spark):
+    """VERDICT r12 item 2: the degree-annotated edge list must be
+    hash-partitioned by src exactly ONCE (the window's exchange inside
+    the persisted staging frame) and every unrolled round must consume
+    it in place. The r12 plan instead re-broadcast the whole edge list
+    as a HashedRelation per round (~300 MB at sf1; impossible at
+    100 TB). Gates, on the EXECUTED (AQE-final) plan:
+    - no relation broadcast anywhere (the 1-row node count rides
+      IdentityBroadcastMode, which stays allowed);
+    - the rank joins take the shuffled-hash path;
+    - exactly one DISTINCT src attribute is ever single-key exchanged.
+      Each self-reference of the staged frame gets fresh expr ids, so
+      a per-round edge re-shuffle shows up as 3 distinct src#N
+      attributes (the r12-shape failure), while the one legitimate
+      window exchange inside the cache always uses the canonical id."""
+    import re
+
+    df = registry.QUERIES["q_pagerank_bipartite"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashedRelationBroadcastMode" not in plan
+    assert "ShuffledHashJoin" in plan
+    src_exchanged = set(
+        re.findall(r"Exchange hashpartitioning\((src#\d+)L, \d+\)", plan)
+    )
+    assert len(src_exchanged) == 1, (
+        f"edge list re-exchanged per round: {sorted(src_exchanged)}"
+    )
+
+
 def test_label_propagation_rounds_checkpoint_and_group_limit(spark):
     """Each LPA round's plurality argmax must plan a WindowGroupLimit
     (the shuffle carries ~1 candidate label per node, not the whole
