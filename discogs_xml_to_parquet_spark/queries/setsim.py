@@ -113,6 +113,26 @@ _T_NUM, _T_DEN = 19, 20
 # under Spark's 8 GB broadcast hard cap.
 _BROADCAST_MAX_ROWS = 2_000_000
 
+# Byte ceiling for the same build sides (VERDICT r12 item 3): the row
+# cap alone is corpus-DEPENDENT -- 2M rows of 10-token sets is
+# ~100 MB, but 2M rows of 5k-token legal documents is ~50 GB, past
+# the 8 GB broadcast hard cap and any executor's memory. The gate
+# therefore also MEASURES the build side: one map-only aggregate over
+# the already-staged frame sums per-token payload + slot overhead
+# (no sampling -- the frames are cached, the pass is a column scan),
+# and a side over EITHER cap joins by shuffle. 512 MiB keeps the
+# hashed relation a comfortable fraction of a production executor
+# heap while still broadcasting every bench-scale corpus.
+_BROADCAST_MAX_BYTES = 512 * 2**20
+
+# Per-token estimate: UTF8String payload + array slot + object
+# overhead inside the broadcast HashedRelation; per-row fixed cost:
+# the non-array columns (md5 string, sid long, n int) + row/array
+# headers + hash-table entry.
+_TOKEN_OVERHEAD = 20
+_SETS_ROW_OVERHEAD = 96
+_MEMBERS_ROW_OVERHEAD = 56
+
 
 def _doc_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, toks, set_id): each document's sorted distinct-token
@@ -211,20 +231,25 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def setsim_pairs(docs: DataFrame,
                  broadcast_max_rows: int = _BROADCAST_MAX_ROWS,
+                 broadcast_max_bytes: int = _BROADCAST_MAX_BYTES,
                  ) -> DataFrame:
     """The full exact-Jaccard pipeline over any (doc_id, text) frame
     -- factored from the registered query so tests can drive it with
     adversarial synthetic corpora (threshold-boundary pairs, subset
     chains, identical-set cliques) beyond the bench corpus.
 
-    `broadcast_max_rows` caps the verification/expansion broadcast
-    hints (see _BROADCAST_MAX_ROWS): the distinct-set and membership
-    counts are read off the already-materialized localCheckpoints (a
-    cached-partition count, no recompute), and any frame over the cap
-    joins by shuffle instead -- the size-conditional plan the same
-    code serves at 60 k docs and at 100 TB. Tests drive the
-    above-threshold path with broadcast_max_rows=0 and pin both plans
-    (test_setsim_corpora.py)."""
+    `broadcast_max_rows` / `broadcast_max_bytes` cap the
+    verification/expansion broadcast hints (see _BROADCAST_MAX_ROWS /
+    _BROADCAST_MAX_BYTES): counts AND measured build-side bytes are
+    read off the already-materialized staged frames (a map-only pass
+    over cached partitions, no lineage recompute), and any frame over
+    EITHER cap joins by shuffle instead -- the size-conditional plan
+    the same code serves at 60 k docs and at 100 TB, corpus-width
+    independent since r13 (a few million short sets broadcast; the
+    same row count of 5k-token documents shuffles). Tests drive the
+    above-threshold path with broadcast_max_rows=0, the byte path
+    with a wide-document corpus under the row cap, and pin both plans
+    (test_setsim_broadcast.py)."""
     # 1. collapse: one row per doc with its sorted distinct-token
     # array (row-local HOFs -- see _doc_sets); identical arrays share
     # an md5 set_id. Staged ONCE (localCheckpoint, the same pattern
@@ -250,16 +275,40 @@ def setsim_pairs(docs: DataFrame,
         .withColumn("sid", F.monotonically_increasing_id())
         .transform(stage_df)  # one dedup serves 4 branches; sid frozen
     )
-    # size-conditional broadcast hints (VERDICT r11 item 1): counts
-    # come off the eager localCheckpoints -- cached-partition counts,
-    # no lineage recompute. members has one row per DOC, sets one per
-    # distinct set; each build side is gated on its own count.
-    n_sets = sets.count()
-    n_docs = doc_sets.count()
-    bc_set = F.broadcast if n_sets <= broadcast_max_rows else (
-        lambda df: df)
-    bc_mem = F.broadcast if n_docs <= broadcast_max_rows else (
-        lambda df: df)
+    # size-conditional broadcast hints (VERDICT r11 item 1, byte gate
+    # r12 item 3): counts AND build-side byte estimates come off the
+    # eager staged frames -- map-only passes over cached partitions,
+    # no lineage recompute. members has one row per DOC (sid long +
+    # doc_id, fixed width), sets one per distinct set (its width is
+    # the TOKEN ARRAYS -- the quantity the row cap cannot see); each
+    # build side is gated on its own count and its own bytes.
+    set_stats = sets.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(
+            F.sum(F.aggregate(
+                "toks", F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t) + _TOKEN_OVERHEAD)),
+            F.lit(0).cast("long"),
+        ).alias("tok_bytes"),
+    ).first()
+    n_sets = set_stats["rows"]
+    sets_bytes = set_stats["tok_bytes"] + n_sets * _SETS_ROW_OVERHEAD
+    mem_stats = doc_sets.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(
+            F.sum(F.length(F.col("doc_id").cast("string"))),
+            F.lit(0).cast("long"),
+        ).alias("id_bytes"),
+    ).first()
+    n_docs = mem_stats["rows"]
+    members_bytes = (mem_stats["id_bytes"]
+                     + n_docs * _MEMBERS_ROW_OVERHEAD)
+    bc_set = F.broadcast if (
+        n_sets <= broadcast_max_rows
+        and sets_bytes <= broadcast_max_bytes) else (lambda df: df)
+    bc_mem = F.broadcast if (
+        n_docs <= broadcast_max_rows
+        and members_bytes <= broadcast_max_bytes) else (lambda df: df)
     # membership on the surrogate key: one gated set-table join at
     # staging, then the three expansion joins all probe by long
     members = (

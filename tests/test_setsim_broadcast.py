@@ -115,6 +115,46 @@ def test_gate_counts_sets_and_docs_separately(spark):
             plan)                                     # membership joins
 
 
+def test_byte_gate_blocks_wide_documents(spark):
+    """VERDICT r12 item 3: the ROW cap is corpus-width blind -- a
+    few WIDE documents (huge token arrays) sail under any row
+    threshold while their broadcast build weighs arbitrarily much.
+    This corpus passes the default 2M-row gate by 5 orders of
+    magnitude, but its measured build-side bytes exceed a 256-byte
+    cap (the token arrays alone weigh ~40 KiB; even the narrow
+    membership table measures ~450 B), so NO broadcast may appear;
+    the same corpus under the default byte cap must still broadcast
+    (the gate measures, not disables)."""
+    wide = [
+        (i, " ".join(f"w{i}t{j}" for j in range(200)))
+        for i in range(6)
+    ]
+    # a qualifying wide pair so the output is non-trivial: doc 7
+    # shares doc 0's 200 tokens plus 10 extras -> J = 200/210 < 19/20
+    # (rejected) and doc 8 = doc 0 plus 1 extra -> 200/201 >= 19/20
+    wide.append((7, wide[0][1] + " " + " ".join(
+        f"x{j}" for j in range(10))))
+    wide.append((8, wide[0][1] + " extraZ"))
+    df = spark.createDataFrame(wide, "doc_id long, text string")
+    with _no_auto_broadcast(spark):
+        capped = setsim_pairs(df, broadcast_max_bytes=256)
+        plan = plan_of(capped)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        default_plan = plan_of(setsim_pairs(df))
+        assert "BroadcastHashJoin" in default_plan, default_plan
+
+        def rows(frame):
+            return sorted(
+                (r["doc_a"], r["doc_b"], r["n_common"], r["n_union"])
+                for r in frame.collect()
+            )
+
+        got = rows(capped)
+        assert got == rows(setsim_pairs(df))
+        assert got == _expected(wide), (got, _expected(wide))
+
+
 def test_zero_threshold_handles_empty_corpus(spark):
     """The count()-based gate must not break the zero-token/empty
     degenerate path."""
@@ -130,8 +170,11 @@ def test_default_cap_matches_documented_constant(spark):
     from discogs_xml_to_parquet_spark.queries import setsim
 
     assert setsim._BROADCAST_MAX_ROWS == 2_000_000
+    assert setsim._BROADCAST_MAX_BYTES == 512 * 2**20
     import inspect
 
     sig = inspect.signature(setsim_pairs)
     assert (sig.parameters["broadcast_max_rows"].default
             == setsim._BROADCAST_MAX_ROWS)
+    assert (sig.parameters["broadcast_max_bytes"].default
+            == setsim._BROADCAST_MAX_BYTES)
