@@ -2,7 +2,7 @@
 
 Import order IS driver-check order (the registry dict preserves
 insertion order and the driver checks the first 50 registered queries
--- r01-r11 all cut at exactly 50). Rotation policy: queries with no
+-- r01-r12 all cut at exactly 50). Rotation policy: queries with no
 CORRECTNESS row anywhere go first, then fixed/changed queries, then
 pinned modules, then the module whose passing evidence is oldest.
 
@@ -11,136 +11,93 @@ from the CORRECTNESS_r*.json artifacts (VERDICT r6 item 6), and
 tests/test_window.py pins that the first 50 imports below agree with
 it. The derivation is PINNED to the artifacts that existed when it was
 made (window(max_round=DERIVED_AT_ROUND) -- VERDICT r8 item 1): the
-driver landing CORRECTNESS_r12.json cannot flip the fixed-point test
-red; re-deriving for r13 is a deliberate commit that bumps
-DERIVED_AT_ROUND to 12 and pastes the order
-`python scripts/window_plan.py --max-round 12 --changed ...` prints.
+driver landing CORRECTNESS_r13.json cannot flip the fixed-point test
+red; re-deriving for r14 is a deliberate commit that bumps
+DERIVED_AT_ROUND to 13 and pastes the order
+`python scripts/window_plan.py --max-round 13 --changed ...` prints.
 
-Round-12 window (the first 50), derived by window(changed=R12_CHANGED
-in tests/test_window.py, pin=(), max_round=11):
+Round-13 window (the first 50), derived by window(changed=R13_CHANGED
+in tests/test_window.py, pin=(), max_round=12). The design intent
+(VERDICT r12 item 1): retire the r8 evidence cohort -- all 28
+r8-evidence queries re-verify this round, so after r13 the oldest
+evidence anywhere is r9.
 
-- 1: file_skipping rank 0 (q_file_skipping_scan NEW -- min/max file
-  skipping physically executed: range-clustered layout, one-scan
-  stats manifest, envelope-pruned read; oracle pins no-row-lost);
-- 2-7: deletion_vectors rank 0 (q_delete_positional_dv NEW
-  -- VERDICT r11 item 5: (file, row position) delete files applied
-  via the scan's own row identity, key columns out of the read path;
-  q_delete_merge_on_read CHANGED rides -- stat-only inventory), and
-  its merge dependency folds in first (the r11-green COW quartet
-  re-rides);
-- 8-9: incremental rank 0 (q_incremental_join_view NEW -- item 4:
-  the delta-join IVM refresh dA|x|B0 U A0|x|dB U dA|x|dB, every scan
-  partition-pruned, the MV never re-joined; r9 q_incremental_rollup
-  rides);
-- 10-13: the four r12-CHANGED r11 lanes (theta slim projection,
-  bucket-pruning memoized session, TTL hardlink scratch, setsim's
-  size-conditional broadcasts -- item 1);
-- 14-28: the late-r11 CHANGED cohort with its riders --
-  curation_extra (q_budget_select: prefix running_sum null-carry
-  fix; drags clustering via the dependency fold), analytics_extra
-  (q_histogram_equidepth: same fix), features (q_stats_mad +
-  q_percentile_cont_exact: value_at_ranks left-join fix),
-  sketch_rollup (column rename), constraints (FK fold, engine +
-  oracle);
-- 29-31: conversion CHANGED (strict-parser conformance fixes,
-  commit 4ecc7ab) -- also the max-3-rounds freshness pin due r13,
-  closed here (VERDICT r11 item 7);
-- 32-49: the oldest evidence -- reshaping rides for r7
-  q_percentiles, then the full r7 cohort (joins 7, nested 3,
-  python_udfs 4: every r7-evidence query is in this window, VERDICT
-  r11 item 2);
-- 50: matching (r8) begins; the cut lands after
-  q_fuzzy_levenshtein, so q_fuzzy_blocked leads the r13 remainder.
+- 1: lakehouse rank 0 (q_lakehouse_read_path NEW -- the COMPOSED
+  read path: partition pruning x bucket-transform pruning x min/max
+  file skipping planned off ONE stats manifest, the Iceberg scan
+  shape; closes VERDICT r12 "what's missing" #5);
+- 2: file_skipping CHANGED (non-empty-manifest guard, ADVICE r12);
+- 3-9: the staged-lane cohort CHANGED by the reliable-checkpoint
+  rework (commit 80458ce: staging.stage_df gives every staged lane a
+  SPARK_GRAFT_CHECKPOINT_DIR production mode) -- incremental (whose
+  merge import folds the COW quartet in first), ttl (also the EXDEV
+  hardlink fallback, ADVICE r12), setsim (also the r13 BYTE gate on
+  the verification/expansion broadcasts, VERDICT r12 item 3);
+- 10-17: matching CHANGED (same stage_df rework; its r8-evidence
+  tail q_fuzzy_blocked/q_funnel_conversion/q_entity_resolution/
+  q_fuzzy_blocked_stats leads the r8 cohort) and graph_iter CHANGED
+  (the partition-aware PageRank edge staging, VERDICT r12 item 2);
+- 18-25: streaming_queries -- the four true-readStream lanes
+  CHANGED (memory sinks -> file sinks, VERDICT r12 item 6), the four
+  r9-evidence batch faces ride the module;
+- 26-47: the rest of the r8 cohort on evidence age -- sketches,
+  tpch_extra2 (q13/q17/q7/q22/q15), pipeline (pii/sample/span-
+  shingles/rollup-reuse), ranges (the range-join trio), cohorts,
+  setops, temporal (asof + the multimodal feature trio);
+- 48-50: the oldest r9 evidence fills the window -- runtime_filters
+  (the DPP+bloom trio's first two ride in, q_join_bloom_dpp is cut
+  at exactly 50).
 
-After this window the oldest evidence anywhere is r8 (matching's
-tail, sketches, tpch_extra2, graph_iter, ...). NOT marked changed,
-deliberately: q_compact_files/q_compact_partitioned (late-r11 change
-was work-dir reuse -- harness footprint only, values and plans
-identical) and q_reservoir_per_group (canonical _doc_hash reuse, an
-IDENTICAL expression by construction); both rotate on evidence age.
-
-The staging helpers these modules share live in ../staging.py, OUTSIDE
-this package, so importing them cannot drag a query module forward in
-the window.
+After this window the oldest evidence anywhere is r9 (binary_source,
+tpch_extra3, layout, text_analysis, ...). The staging helpers the
+staged lanes share live in ../staging.py, OUTSIDE this package, so
+importing them cannot drag a query module forward in the window.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # 1: q_file_skipping_scan NEW (min/max data skipping on a
-    # non-partition column: a kilobyte JSON stats manifest names the
-    # envelope-intersecting files and the scan opens ONLY those --
-    # the physical complement of q_zorder_layout's zone-map audit)
+    # 1: q_lakehouse_read_path NEW (rank 0)
+    lakehouse,
+    # 2: q_file_skipping_scan CHANGED (manifest guard)
     file_skipping,
-    # 2-7: q_delete_positional_dv NEW (positional deletion vectors:
-    # the reader subtracts (file, row position) pairs via
-    # _metadata.row_index -- no key column in the read path) +
-    # q_delete_merge_on_read CHANGED (stat-only untouched fact); the
-    # module imports merge, so the COW MERGE / time travel / diff /
-    # vacuum quartet folds in ahead of it
-    deletion_vectors,
-    # 8-9: q_incremental_join_view NEW (join-view IVM: three
-    # delta-join terms, all six scans month-pruned, MV enters as its
-    # materialized form) + r9 q_incremental_rollup riding
+    # 3-6: merge folds in first (incremental imports it): the COW
+    # MERGE / time travel / diff / vacuum quartet re-rides
+    merge,
+    # 7-8: q_incremental_rollup + q_incremental_join_view CHANGED
+    # (stage_df rework)
     incremental,
-    # 10: q_theta_set_algebra CHANGED (production projection slimmed
-    # to what the driver row consumes -- ADVICE r11)
-    theta_sets,
-    # 11: q_bucket_pruning CHANGED (conf-flipped sibling session
-    # memoized per application -- ADVICE r11)
-    bucket_pruning,
-    # 12: q_retention_ttl CHANGED (hardlink scratch clone: harness
-    # isolation no longer bills O(table) I/O to the O(1)+O(boundary)
-    # lane)
+    # 9: q_retention_ttl CHANGED (EXDEV-safe hardlink clone)
     ttl,
-    # 13: q_setsim_prefix_join CHANGED (VERDICT r11 item 1: the
-    # verification/expansion broadcasts are size-conditional -- the
-    # plan that survives a low-duplication 100 TB corpus)
+    # 10: q_setsim_prefix_join CHANGED (byte-gated broadcasts)
     setsim,
-    # 14-18: q_budget_select CHANGED (prefix running_sum null-carry
-    # fix, commit e3725d4); its clustering import folds in first
-    curation_extra,
-    # 19-22: q_histogram_equidepth CHANGED (same prefix fix)
-    analytics_extra,
-    # 23-26: q_stats_mad + q_percentile_cont_exact CHANGED
-    # (value_at_ranks keeps all-out-of-range groups, left join)
-    features,
-    # 27: q_hll_union_rollup CHANGED (one-scan exact reference,
-    # column rename)
-    sketch_rollup,
-    # 28: q_constraint_audit CHANGED (distinct-dim FK fold, engine +
-    # oracle)
-    constraints,
-    # 29-31: conversion trio CHANGED (five strict-parser conformance
-    # gaps closed against the reference, commit 4ecc7ab); also the
-    # freshness pin due r13
-    conversion,
-    # 32-35: reshaping rides whole for r7 q_percentiles (pivot/
-    # unpivot/minby_maxby are r11-green riders)
-    reshaping,
-    # 36-42: joins (7, r7)
-    joins,
-    # 43-45: nested (3, r7)
-    nested,
-    # 46-49: python_udfs (4, r7) -- with these, every r7-evidence
-    # query is checked this round
-    python_udfs,
-    # 50: matching (r8) -- the cut lands after q_fuzzy_levenshtein;
-    # q_fuzzy_blocked leads the r13 remainder
+    # 11-15: matching CHANGED (stage_df rework) -- carries 4 of the
+    # r8 cohort
     matching,
-    # --- 50-query window cut ---
-    # r8-green remainder: first in line for round 13
-    sketches,
-    tpch_extra2,
+    # 16-17: graph_iter CHANGED (partition-aware edge staging)
     graph_iter,
+    # 18-25: the four true-readStream lanes CHANGED (file sinks);
+    # the r9 batch faces ride
+    streaming_queries,
+    # 26-28: r8 evidence -- approx sketches
+    sketches,
+    # 29-33: r8 evidence -- TPC-H q13/q17/q7/q22/q15
+    tpch_extra2,
+    # 34-37: r8 evidence -- pii/sample/span-shingles/rollup-reuse
     pipeline,
+    # 38-40: r8 evidence -- the range-join trio
     ranges,
+    # 41: r8 evidence -- cohort retention
     cohorts,
+    # 42-43: r8 evidence -- set operations
     setops,
+    # 44-47: r8 evidence -- asof join + the multimodal feature trio
     temporal,
-    # r9-green
+    # 48-50: oldest r9 evidence; the 50-cut lands ON
+    # q_join_bloom_dpp, runtime_filters' third query
     runtime_filters,
+    # --- 50-query window cut ---
+    # r9-green remainder: first in line for round 14
     binary_source,
     tpch_extra3,
-    streaming_queries,
     layout,
     text_analysis,
     windows,
@@ -162,7 +119,7 @@ _query("q_ann_bruteforce_topk", oracle=similarity.BRUTEFORCE_ORACLE)(
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401,E402
     # r10-green (compaction + sampling stay on evidence age: their
-    # late-r11 changes were harness-only -- see module docstring)
+    # late-r11 changes were harness-only -- see r12 window notes)
     compaction,
     profiling,
     drift,
@@ -179,9 +136,7 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401,E402
     scoring,
     formats_extra,
     sampling,
-    # r11-green (freshest evidence, rotated out of the window;
-    # streaming_restart precedes streaming_merge exactly as the
-    # dependency fold would emit them)
+    # r11-green
     schema_evolution,
     multimodal_image,
     quantile_rollup,
@@ -197,4 +152,20 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401,E402
     curation_full,
     aggregates,
     formats,
+    # r12-green (freshest evidence, rotated out of the window;
+    # deletion_vectors' merge import is already satisfied above)
+    deletion_vectors,
+    theta_sets,
+    bucket_pruning,
+    clustering,
+    curation_extra,
+    analytics_extra,
+    features,
+    sketch_rollup,
+    constraints,
+    conversion,
+    reshaping,
+    joins,
+    nested,
+    python_udfs,
 )

@@ -1,0 +1,274 @@
+"""The COMPOSED lakehouse read path (VERDICT r12 item 5 "what's
+missing"): partition pruning AND bucket pruning AND min/max file
+skipping executed together against ONE table -- the three-stage
+metadata reduction every production lakehouse scan runs, where the
+repo's single-mechanism lanes (q_partition_evolution,
+q_bucket_pruning, q_file_skipping_scan) each prove one stage alone.
+
+Why this is the ICEBERG spelling, not three catalog features on one
+DataFrameWriter: Spark's own `partitionBy(...).bucketBy(...)` catalog
+layout writes AT MOST one file per (partition, bucket) cell per task
+-- once partition dirs and bucket hashing have fixed the file set,
+there is nothing left for a min/max envelope to skip WITHIN a cell
+(SelectedBucketsCount and file skipping are geometrically exclusive
+on that layout). Real lakehouses compose the three the other way
+around: bucketing is a PARTITION TRANSFORM (Iceberg `bucket(N, key)`)
+so each (month, bucket) cell is a directory holding MANY
+range-clustered files, and the driver plans the whole reduction off
+the table's file-stats manifest --
+
+  manifest (O(files) kilobytes, never a data row)
+    |> partition gate : keep files whose year matches the predicate
+    |> bucket gate    : keep files whose bucket id is in
+                        {pmod(murmur3(key), N)} for the lookup keys
+                        -- computed with Spark's OWN hash() so the
+                        write-side assignment and the read-side
+                        pruning can never disagree
+    |> skip gate      : keep files whose [min, max] price envelope
+                        intersects the range predicate
+    |> explicit file list -> ONE parquet scan
+
+The final scan reads with basePath so the partition columns survive
+discovery, and the partition predicate is re-applied -- the executed
+plan therefore still shows PartitionFilters on the pruned scan (the
+catalog spelling's gate-1 marker), while gates 2 and 3 are visible as
+the explicit file list (inputFiles == the planned keep set,
+pytest-pinned). Every residual predicate also applies ROW-level on
+the kept files, so an over-wide gate costs I/O, never correctness --
+and the relational oracle recomputes the aggregate from the RAW
+orders table, so a file wrongly dropped by ANY gate breaks the hash.
+
+Scale shape: the driver reads kilobytes of manifest and plans a file
+list; data I/O is |kept files| regardless of table size; the three
+gates multiply (2/7 years x <=3/4 buckets x ~half the price
+envelopes) exactly as Iceberg's scan planning multiplies partition,
+transform, and column-metrics filtering at 100 TB. The facts ride in
+the row as strict-decrease booleans, the file_skipping.py discipline.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
+from discogs_xml_to_parquet_spark.registry import query
+from discogs_xml_to_parquet_spark.staging import (
+    source_fingerprint as _source_fingerprint,
+    staged as _staged,
+)
+from discogs_xml_to_parquet_spark.tables import load
+
+_N_BUCKETS = 4
+_N_RANGE_TASKS = 168   # ~6 range-clustered files per (year, bucket)
+                       # cell: enough that the price gate has files
+                       # to skip inside every kept cell at every SF
+# lookup customers: present at every testdata SF (custkey domain
+# starts at 1), and CHOSEN to murmur3-hash into exactly 3 of the 4
+# buckets ({0, 2, 3} -- pinned by pytest), so the bucket gate is
+# strict while the key set is wide enough that the final aggregate
+# is non-empty even at sf0.001
+_KEYS = (2, 3, 4, 7, 13, 14, 16, 20)
+_Y_LO, _Y_HI = 1996, 1997            # 2 of the 7 order years
+_P_LO, _P_HI = 175_000.0, 325_000.0  # band around the price median
+_VERSION = 1
+
+
+def staged_lakehouse_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders in the composed layout: year partition dirs, bucket
+    partition dirs (the Iceberg bucket-transform spelling --
+    pmod(hash(o_custkey), N) with Spark's own murmur3), and a
+    (year, bucket, price) range-cluster so each cell's files carry
+    tight price envelopes. Built once per container per
+    (sf_dir, fingerprint), atomic publish."""
+    slug = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(sf_dir, "orders.parquet")
+    return _staged(
+        f"spark_graft_lakehouse_v{_VERSION}_{slug}_{fp}",
+        lambda tmp: (
+            load(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .withColumn(
+                "o_bucket",
+                F.pmod(F.hash("o_custkey"), F.lit(_N_BUCKETS)),
+            )
+            .repartitionByRange(
+                _N_RANGE_TASKS, "o_year", "o_bucket", "o_totalprice")
+            .write.mode("overwrite")
+            .partitionBy("o_year", "o_bucket")
+            .parquet(tmp)
+        ),
+    )
+
+
+def build_lakehouse_manifest(spark: SparkSession, table: str,
+                             dest: str) -> None:
+    """INDEX: one scan of the layout grouped by the scan's own file
+    identity -> per-file (year, bucket, price min/max, rows), landed
+    executor-side as one JSON manifest (coalesce(1).write.json, the
+    Delta-checkpoint shape). year/bucket are partition values, so
+    min == max per file -- asserted here, because a file straddling
+    two partition values would silently break both metadata gates."""
+    (
+        spark.read.option("basePath", table).parquet(table)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(
+            F.min("o_year").alias("year"),
+            F.max("o_year").alias("year_max"),
+            F.min("o_bucket").alias("bucket"),
+            F.max("o_bucket").alias("bucket_max"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(
+            F.assert_true(
+                (F.col("year") == F.col("year_max"))
+                & (F.col("bucket") == F.col("bucket_max")),
+                F.lit("file straddles partition values"),
+            ).isNull()
+        )
+        .drop("year_max", "bucket_max")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(dest)
+    )
+
+
+def staged_lakehouse_manifest(spark: SparkSession, sf_dir: str,
+                              table: str) -> str:
+    slug = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(sf_dir, "orders.parquet")
+    return _staged(
+        f"spark_graft_lakehouse_manifest_v{_VERSION}_{slug}_{fp}",
+        lambda tmp: build_lakehouse_manifest(spark, table, tmp),
+    )
+
+
+def _manifest_entries(manifest_dir: str) -> list[dict]:
+    """Driver-side manifest read -- kilobytes of metadata, the same
+    class of operation as the transaction-log reads in merge.py and
+    file_skipping.py."""
+    out: list[dict] = []
+    for part in sorted(Path(manifest_dir).glob("part-*.json")):
+        for line in part.read_text().splitlines():
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+def key_buckets(spark: SparkSession, keys: tuple[int, ...]) -> set[int]:
+    """The bucket ids the lookup keys hash into, computed with
+    Spark's own murmur3 (`hash()` is the expression bucketed writes
+    partition by) over a |keys|-row metadata frame -- a Python-side
+    reimplementation could drift from the JVM hash and prune a bucket
+    that DID hold a key."""
+    rows = (
+        spark.createDataFrame([(k,) for k in keys], "o_custkey long")
+        .select(F.pmod(F.hash("o_custkey"), F.lit(_N_BUCKETS))
+                .alias("b"))
+        .collect()
+    )
+    return {r["b"] for r in rows}
+
+
+def planned_read(spark: SparkSession, table: str, manifest_dir: str,
+                 keys: tuple[int, ...] = _KEYS,
+                 y_lo: int = _Y_LO, y_hi: int = _Y_HI,
+                 p_lo: float = _P_LO, p_hi: float = _P_HI,
+                 gates: tuple[str, ...] = ("partition", "bucket",
+                                           "skip"),
+                 ) -> tuple[DataFrame, dict]:
+    """The three-gate scan plan: reduce the manifest stage by stage,
+    hand the surviving explicit file list to ONE parquet reader
+    (basePath keeps the partition columns alive so the year predicate
+    still plans as PartitionFilters), and re-apply every predicate
+    row-level. `gates` lets tests disable a stage to pin that each
+    one strictly reduces the file set on its own."""
+    entries = _manifest_entries(manifest_dir)
+    assert entries, (
+        f"empty/corrupt lakehouse manifest at {manifest_dir}: "
+        "build_lakehouse_manifest wrote no entries for a non-empty "
+        "table"
+    )
+    counts = {"total": len(entries)}
+    if "partition" in gates:
+        entries = [e for e in entries if y_lo <= e["year"] <= y_hi]
+    counts["after_partition"] = len(entries)
+    if "bucket" in gates:
+        buckets = key_buckets(spark, keys)
+        entries = [e for e in entries if e["bucket"] in buckets]
+    counts["after_bucket"] = len(entries)
+    if "skip" in gates:
+        entries = [
+            e for e in entries
+            if not (e["max_price"] < p_lo or e["min_price"] > p_hi)
+        ]
+    counts["after_skip"] = len(entries)
+    keep = sorted(e["file"] for e in entries)
+    pred = (
+        F.col("o_year").between(y_lo, y_hi)
+        & F.col("o_custkey").isin(*keys)
+        & F.col("o_totalprice").between(p_lo, p_hi)
+    )
+    if keep:
+        df = (spark.read.option("basePath", table).parquet(*keep)
+              .filter(pred))
+    else:  # nothing can match: empty frame with the table schema
+        df = (spark.read.option("basePath", table).parquet(table)
+              .filter(F.lit(False)))
+    return df, counts
+
+
+_REV_SQL = rev_sql("o_totalprice")
+
+
+@query(
+    "q_lakehouse_read_path",
+    oracle=f"""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       {_REV_SQL} AS total_price,
+       TRUE AS partition_pruned,
+       TRUE AS bucket_pruned,
+       TRUE AS files_skipped
+FROM orders
+WHERE year(o_orderdate) BETWEEN {_Y_LO} AND {_Y_HI}
+  AND o_custkey IN {_KEYS!r}
+  AND o_totalprice BETWEEN {_P_LO} AND {_P_HI}
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_lakehouse_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority counts and exact revenue for a (year range,
+    customer set, price band) lookup, read through the full composed
+    reduction: 2 of 7 year partitions, <=3 of 4 bucket-transform
+    directories, and only the price-envelope-intersecting files
+    inside the surviving cells. Each gate's strict file-set decrease
+    rides as a boolean (the oracle's TRUE literals force them), and
+    the oracle recomputes from the raw table so no gate may lose a
+    row."""
+    table = staged_lakehouse_orders(spark, sf_dir)
+    manifest = staged_lakehouse_manifest(spark, sf_dir, table)
+    df, n = planned_read(spark, table, manifest)
+    return (
+        df.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .withColumn(
+            "partition_pruned",
+            F.lit(bool(n["after_partition"] < n["total"])))
+        .withColumn(
+            "bucket_pruned",
+            F.lit(bool(n["after_bucket"] < n["after_partition"])))
+        .withColumn(
+            "files_skipped",
+            F.lit(bool(0 < n["after_skip"] < n["after_bucket"])))
+        .orderBy("priority")
+    )

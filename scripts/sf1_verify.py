@@ -155,6 +155,12 @@ DEFAULT = [
     # envelopes must still prune the [100, 200] lookup to a strict
     # subset, hash-exact against the raw-table reconstruction
     "q_file_skipping_scan",
+    # r13: the composed lakehouse read path at the 10x orders -- the
+    # 1e8-offset custkey shards hash across all 4 buckets, the year
+    # domain is unchanged, and every strict-decrease boolean plus the
+    # exact per-priority revenue must hold through the three-gate
+    # reduction
+    "q_lakehouse_read_path",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

@@ -10,10 +10,10 @@ and r8 suites both went red at judging time because the driver landing
 the round's artifact re-ranked the just-checked queries -- a designed
 tripwire that fired twice is a process bug. window(max_round=
 DERIVED_AT_ROUND) ignores artifacts newer than the pinned round, so
-landing CORRECTNESS_r12.json cannot flip this suite; re-deriving for
-r13 is one deliberate commit: bump DERIVED_AT_ROUND to 12, update
+landing CORRECTNESS_r13.json cannot flip this suite; re-deriving for
+r14 is one deliberate commit: bump DERIVED_AT_ROUND to 13, update
 CHANGED/PIN, and paste the order printed by
-`python scripts/window_plan.py --max-round 12 --changed <r13 changed>`.
+`python scripts/window_plan.py --max-round 13 --changed <r14 changed>`.
 """
 
 from __future__ import annotations
@@ -24,55 +24,45 @@ registry.load_all_queries()
 
 WINDOW_SIZE = 50
 
-# The round whose artifacts this derivation used (artifacts r1..r11;
-# CORRECTNESS_r12.json and later are ignored by the fixed-point test).
-DERIVED_AT_ROUND = 11
+# The round whose artifacts this derivation used (artifacts r1..r12;
+# CORRECTNESS_r13.json and later are ignored by the fixed-point test).
+DERIVED_AT_ROUND = 12
 
-# Round-12 policy inputs that artifacts cannot express -- queries whose
+# Round-13 policy inputs that artifacts cannot express -- queries whose
 # code changed since their LAST green driver row:
-# - r12 in-round changes: q_setsim_prefix_join (size-conditional
-#   verification/expansion broadcasts -- VERDICT r11 item 1),
-#   q_theta_set_algebra (production projection slimmed, ADVICE),
-#   q_delete_merge_on_read (stat-only untouched fact, ADVICE),
-#   q_bucket_pruning (memoized sibling session, ADVICE),
-#   q_retention_ttl (hardlink scratch clone).
-# - late-r11 changes to lanes outside the r11 window (values identical,
-#   re-verified locally at sf0.01, but engine/oracle/parser code
-#   changed): q_constraint_audit (distinct-dim FK fold),
-#   q_hll_union_rollup (one-scan exact reference, column rename), the
-#   conversion trio (strict-parser conformance fixes, commit 4ecc7ab
-#   -- also their max-3-rounds freshness pin expires r13, closed here
-#   as CHANGED, VERDICT r11 item 7), and the operators/prefix.py
-#   consumers (commit e3725d4: running_sum null-carry fix ->
-#   q_budget_select, q_histogram_equidepth; value_at_ranks left-join
-#   fix -> q_stats_mad, q_percentile_cont_exact).
-# DELIBERATELY NOT CHANGED: q_compact_files / q_compact_partitioned
-# (late-r11 change was work-dir reuse -- harness footprint only) and
-# q_reservoir_per_group (canonical _doc_hash reuse, an identical
-# expression by construction); both rotate on evidence age, which
-# keeps every r7-evidence query inside this window (item 2's target:
-# oldest evidence anywhere >= r8 after r12).
-# The three r12-NEW queries (q_file_skipping_scan,
-# q_delete_positional_dv, q_incremental_join_view) need no entry:
-# rank 0 covers never-checked, and their modules ride forward whole
-# (deletion_vectors dragging merge via the dependency fold;
-# incremental bringing q_incremental_rollup).
-R12_CHANGED = frozenset({
-    "q_setsim_prefix_join", "q_theta_set_algebra",
-    "q_delete_merge_on_read", "q_bucket_pruning", "q_retention_ttl",
-    "q_constraint_audit", "q_hll_union_rollup",
-    "discogs_xml_conversion", "discogs_conversion_stats",
-    "discogs_explode_artists",
-    "q_budget_select", "q_histogram_equidepth",
-    "q_stats_mad", "q_percentile_cont_exact",
+# - late-r12 changes (commits 5c2117b + 80458ce, landed after the r12
+#   driver check): q_file_skipping_scan (non-empty-manifest guard),
+#   q_retention_ttl (EXDEV-safe hardlink clone), and the staged-lane
+#   cohort reworked onto staging.stage_df with the reliable-checkpoint
+#   production mode -- setsim, incremental (both queries), matching
+#   (all five), graph_iter (both; also the partition-aware PageRank
+#   edge staging, VERDICT r12 item 2).
+# - r13 in-round changes: q_setsim_prefix_join again (byte-gated
+#   broadcasts, VERDICT r12 item 3) and the four true-readStream
+#   lanes (memory sinks -> checkpointed file sinks, VERDICT r12
+#   item 6): q_stream_dedup_exact, q_stream_cdc_state,
+#   q_stream_join_attrib, q_stream_static_enrich.
+# The four q_stream_* batch faces in the same module are NOT changed
+# (their code is untouched); they ride the module fold.
+# q_lakehouse_read_path (NEW r13) needs no entry: rank 0 covers
+# never-checked.
+R13_CHANGED = frozenset({
+    "q_file_skipping_scan", "q_retention_ttl",
+    "q_setsim_prefix_join",
+    "q_incremental_rollup", "q_incremental_join_view",
+    "q_fuzzy_levenshtein", "q_fuzzy_blocked", "q_funnel_conversion",
+    "q_entity_resolution", "q_fuzzy_blocked_stats",
+    "q_pagerank_bipartite", "q_label_propagation",
+    "q_stream_dedup_exact", "q_stream_cdc_state",
+    "q_stream_join_attrib", "q_stream_static_enrich",
 })
-R12_PIN: tuple[str, ...] = ()
+R13_PIN: tuple[str, ...] = ()
 
 
 def test_import_order_is_policy_fixed_point():
     """The first 50 registered queries ARE the policy window."""
     want = registry.window(
-        size=WINDOW_SIZE, changed=R12_CHANGED, pin=R12_PIN,
+        size=WINDOW_SIZE, changed=R13_CHANGED, pin=R13_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     got = list(registry.QUERIES)[:WINDOW_SIZE]
@@ -104,10 +94,10 @@ def test_derivation_is_stable_under_new_artifacts(tmp_path):
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
     pinned = registry.window(
         size=WINDOW_SIZE, artifacts_dir=str(tmp_path),
-        changed=R12_CHANGED, pin=R12_PIN, max_round=DERIVED_AT_ROUND,
+        changed=R13_CHANGED, pin=R13_PIN, max_round=DERIVED_AT_ROUND,
     )
     baseline = registry.window(
-        size=WINDOW_SIZE, changed=R12_CHANGED, pin=R12_PIN,
+        size=WINDOW_SIZE, changed=R13_CHANGED, pin=R13_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     assert pinned == baseline
@@ -128,75 +118,73 @@ def test_window_contains_every_never_checked_query():
     assert not missing, f"never-checked queries outside window: {missing}"
 
 
-def test_r12_window_contents():
-    """The round-12 membership decisions, pinned explicitly: the
-    three NEW lanes lead with their riding modules (file_skipping;
-    deletion_vectors whole, its merge dependency folding the COW
-    quartet in first; incremental whole), the five r12-CHANGED lanes
-    and the late-r11 CHANGED cohort follow (curation_extra dragging
-    clustering, analytics_extra, features, sketch_rollup,
-    constraints, the conversion trio), then the oldest evidence:
-    reshaping riding for r7 q_percentiles and the COMPLETE r7 cohort
-    (joins, nested, python_udfs). The 50-cut lands at matching's
-    first query, so q_fuzzy_blocked leads the r13 remainder. After
-    this window the oldest evidence anywhere is r8."""
+def test_r13_window_contents():
+    """The round-13 membership decisions, pinned explicitly: the new
+    composed-lakehouse lane leads (rank 0), the late-r12/r13 CHANGED
+    cohort follows with its dependency folds (incremental dragging
+    the COW merge quartet in first), and the ENTIRE 28-query
+    r8-evidence cohort re-verifies -- matching's and graph_iter's
+    tails, the sketches, TPC-H q13/q17/q7/q22/q15, the pipeline and
+    range-join families, cohorts, setops, asof + the multimodal
+    trio. The 50-cut lands on q_join_bloom_dpp (runtime_filters' r9
+    trio fills the tail). After this window the oldest evidence
+    anywhere is r9."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
-        # rank 0 + riders
+        # rank 0
+        "q_lakehouse_read_path",
+        # changed + dependency folds
         "q_file_skipping_scan",
-        "q_delete_positional_dv", "q_delete_merge_on_read",
         "q_merge_upsert", "q_time_travel", "q_table_diff",
         "q_vacuum_retention",
-        "q_incremental_join_view", "q_incremental_rollup",
-        # r12 changed
-        "q_theta_set_algebra", "q_bucket_pruning", "q_retention_ttl",
-        "q_setsim_prefix_join",
-        # late-r11 changed cohort + riders
-        "q_kmeans_assign", "q_kmeans_update",
-        "q_dedup_chunks", "q_budget_select", "q_dedup_semantic",
-        "q_triangle_count", "q_pareto_frontier",
-        "q_histogram_equidepth", "q_session_window_builtin",
-        "q_stats_mad", "q_feature_normalize", "q_embedding_quantize",
-        "q_percentile_cont_exact",
-        "q_hll_union_rollup", "q_constraint_audit",
-        "discogs_xml_conversion", "discogs_conversion_stats",
-        "discogs_explode_artists",
-        # oldest evidence: reshaping rides for q_percentiles
-        "q_pivot", "q_unpivot", "q_minby_maxby", "q_percentiles",
-        # the complete r7 cohort
-        "q_join_star_revenue", "q_join_left_outer", "q_join_semi",
-        "q_join_anti", "q_join_nonequi_bands", "q_join_full_outer",
-        "q_skew_salted_join",
-        "q_explode_wordcount", "q_array_ops", "q_nested_collect",
-        "q_pandas_udf_scalar", "q_pandas_udf_grouped_agg",
-        "q_python_udtf", "q_apply_in_pandas",
-        # matching begins; the cut
+        "q_incremental_rollup", "q_incremental_join_view",
+        "q_retention_ttl", "q_setsim_prefix_join",
         "q_fuzzy_levenshtein",
-    ):
-        assert must in win, must
-    assert win[-1] == "q_fuzzy_levenshtein"  # cut at matching's head
-    for out in (
-        # the matching tail -> r13 leaders
+        # the 28-query r8 cohort
         "q_fuzzy_blocked", "q_funnel_conversion",
         "q_entity_resolution", "q_fuzzy_blocked_stats",
-        # r8-green stays out
-        "q_agg_approx_distinct", "q13_customer_distribution",
-        "q_pagerank_bipartite",
-        # deliberately-not-changed late-r11 touches stay on evidence
-        # age (see R12_CHANGED comment)
-        "q_compact_files", "q_compact_partitioned",
-        "q_reservoir_per_group",
-        # r9/r10/r11-green stays out
-        "q_join_aqe_skew", "q_stream_dedup_exact", "q_zorder_layout",
+        "q_pagerank_bipartite", "q_label_propagation",
+        "q_agg_approx_distinct", "q_percentiles_approx",
+        "q_freq_items_cms",
+        "q13_customer_distribution", "q17_small_qty_revenue",
+        "q7_volume_shipping", "q22_idle_balance", "q15_top_supplier",
+        "q_pii_redact", "q_sample_hash", "q_dedup_span_shingles",
+        "q_rollup_reuse_hourly_daily",
+        "q_range_join_events", "q_interval_overlap",
+        "q_range_join_bucketed",
+        "q_cohort_retention",
+        "q_setops_nations", "q_setops_multiset",
+        "q_asof_join", "q_multimodal_features", "q_multimodal_resize",
+        "q_multimodal_frames",
+        # the changed streaming lanes + their riding batch faces
+        "q_stream_dedup_exact", "q_stream_cdc_state",
+        "q_stream_join_attrib", "q_stream_static_enrich",
+        "q_stream_tumbling", "q_stream_session", "q_stream_sliding",
+        "q_stream_dedup_face",
+        # the r9 tail that fills the window
+        "q_join_aqe_skew", "q_join_bucketed", "q_join_bloom_dpp",
+    ):
+        assert must in win, must
+    assert win[0] == "q_lakehouse_read_path"
+    assert win[-1] == "q_join_bloom_dpp"  # cut inside runtime_filters
+    for out in (
+        # r12-green stays out (freshest evidence)
+        "q_delete_positional_dv", "q_delete_merge_on_read",
+        "q_theta_set_algebra", "q_bucket_pruning", "q_nested_collect",
+        "q_join_semi", "q_pandas_udf_scalar", "q_pivot",
+        "q_hll_union_rollup", "q_constraint_audit",
+        "discogs_xml_conversion", "q_stats_mad", "q_budget_select",
+        # r9-green stays out past the cut
+        "q_source_binaryfile", "q4_order_priority", "q_zorder_layout",
+        "q_text_stats", "q_window_topk_per_group",
         "q1_pricing_summary", "q_ann_bruteforce_topk",
+        # r10/r11-green stays out
         "q_profile_columns", "q_distribution_drift",
-        "q_sessionize_events", "q_stats_moments", "q_scd2_merge",
-        "q_dedup_exact", "q_curation_pipeline", "q_agg_rollup",
-        "q_stream_merge_sink", "q_stream_restart",
-        "q_schema_evolution_widening", "q_multimodal_image_decode",
-        "q_quantile_histogram_rollup", "q_kll_quantile_sketch",
-        "q_partition_evolution", "q_source_python_datasource",
-        "q10_returned_items",
+        "q_sessionize_events", "q_scd2_merge", "q_dedup_exact",
+        "q_curation_pipeline", "q_stream_merge_sink",
+        "q_stream_restart", "q_schema_evolution_widening",
+        "q_multimodal_image_decode", "q_partition_evolution",
+        "q_source_python_datasource", "q10_returned_items",
     ):
         assert out not in win, out
 
