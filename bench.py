@@ -162,6 +162,39 @@ _SF1_DIMS = ("nation",)
 _SF1_CORPUS_VERSION = 4
 
 
+# The five most expensive sf1 queries (VERDICT r12 item 4): a SECOND
+# measured decade (100x of the headline SF) turns the 10x ratios into
+# a CURVE -- per lane, does the per-decade ratio flatten (fixed costs
+# amortizing), hold (scan-bound linear), or COMPOUND (a super-linear
+# stage the first decade hid)? The lane is run MANUALLY with
+# SPARK_GRAFT_SF10=1 (corpus build + triple-interleaved passes cost
+# tens of minutes, far past the driver's per-round budget); the run
+# lands at bench_records/SF10_SPOT.json -- a committed run of record
+# -- and every subsequent bench run embeds that record into
+# BENCH_DETAIL as `sf10_spot` (marked "recorded": true) so the round
+# artifact carries the curve without re-paying the run.
+SF10_QUERIES = [
+    "q_fuzzy_blocked",
+    "q_setsim_prefix_join",
+    "q_pagerank_bipartite",
+    "q_stats_mad",
+    "q_merge_upsert",
+]
+
+# table -> id columns to offset per shard (only the tables the five
+# sf10 queries read; the 100x build is 10x lineitem bytes, so tables
+# nothing reads are not built)
+_SF10_TABLES = {
+    "customer": ["c_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "documents": ["doc_id"],
+}
+
+# bump when the construction changes so a cached corpus is not reused
+_SF10_CORPUS_VERSION = 1
+
+
 def _cpu_busy() -> float:
     """System-wide busy CPU seconds since boot (user+nice+system+...,
     everything except idle+iowait), from /proc/stat. Recorded per pass
@@ -298,6 +331,197 @@ def _build_10x_corpus(spark, src: str, dest: str, shards: int = 10) -> None:
         spark.read.parquet(f"{src}/{table}.parquet").write.mode(
             "overwrite").parquet(f"{dest}/{table}.parquet")
     marker.touch()
+
+
+def _shard_tag(i: int) -> str:
+    """Two-letter shard tag: distinct for every i < 676, and two
+    DISTINCT tags can never yield the same suffixed token (string
+    equality forces the trailing chars equal position-by-position
+    from the end, i.e. forces tag equality)."""
+    return chr(ord("a") + i // 26) + chr(ord("a") + i % 26)
+
+
+def _build_100x_corpus(spark, src: str, dest: str,
+                       shards: int = 100) -> None:
+    """The second decade of the sharded-ingest construction
+    _build_10x_corpus pins at 10x: `shards` id-offset shards of the
+    tables SF10_QUERIES read. Same skeleton (disjoint join/graph keys
+    per shard via +i*1e8 offsets -- BIGINT columns hold 99 shards
+    comfortably), with the two population constructions re-derived
+    for 100 shards:
+
+    - documents: the 10x alphabet ROTATION has only 26 distinct
+      permutations, so shards i and i+26 would carry IDENTICAL text
+      -- cross-shard exact-dup collisions a fresh 100x corpus does
+      not have. Instead every alnum token run gets a per-shard
+      2-letter TAG glued on. Suffixing by one tag is injective
+      (equal tokens stay equal, distinct stay distinct), so each
+      shard's token-SET structure -- and therefore its qualifying
+      pair set -- is preserved VERBATIM; distinct tags can never
+      collide across shards (_shard_tag), so cross-shard Jaccard is
+      identically zero and pairs(Nx) == N * pairs(1x) EXACTLY
+      (pinned at small scale in tests/test_sf10_corpus.py). Shard 0
+      is tagged too: raw text could collide with tagged text
+      ("coolaa" vs "cool"+tag "aa"). The stored n_chars column is
+      NOT rewritten -- setsim (the only sf10 consumer) ignores it.
+    - customer keeps the sf1 lane's DENSE name population
+      ('Customer#%09d' of shard*n_rows + original): exactly the name
+      population of a 100x table. Consequence worth stating up
+      front: at 1.5M dense names EVERY positional 3-gram digit band
+      exceeds q_fuzzy_blocked's fixed df<=200 blocking cap, so its
+      recall collapses by design at this decade -- the documented
+      behavior of a fixed-cap blocker on a dense population, not a
+      corpus artifact (at sf1's 150k names the last-3-digit bands
+      sit at df~150, just under the cap; at 1.5M they sit at ~1500).
+      The lane records out_rows at every decade so the artifact
+      shows the collapse next to the wall ratio (README 'Measured
+      scaling' names the cause).
+
+    lineitem values (quantity/price/dates) are replicated verbatim
+    per shard, so value-distribution statistics are EXACTLY scale
+    invariant: q_stats_mad at 100x must equal q_stats_mad at 1x
+    (also pinned in tests/test_sf10_corpus.py). Idempotent per
+    (dest); built once per container."""
+    from pyspark.sql import functions as F
+
+    marker = Path(dest) / "_BUILT"
+    if marker.exists():
+        return
+    for table, idcols in _SF10_TABLES.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        n_rows = df.count() if table == "customer" else 0
+        parts = []
+        for i in range(shards):
+            c = df
+            for col in idcols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * 100_000_000))
+            if table == "customer":
+                c = c.withColumn(
+                    "c_name",
+                    F.format_string(
+                        "Customer#%09d",
+                        F.col("c_custkey")
+                        + F.lit(i * n_rows - i * 100_000_000),
+                    ),
+                )
+            elif table == "documents":
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace(
+                        "text", "([A-Za-z0-9]+)", "$1" + _shard_tag(i)
+                    ),
+                )
+            parts.append(c)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.write.mode("overwrite").parquet(f"{dest}/{table}.parquet")
+    for table in _SF1_DIMS:
+        spark.read.parquet(f"{src}/{table}.parquet").write.mode(
+            "overwrite").parquet(f"{dest}/{table}.parquet")
+    marker.touch()
+
+
+def _run_sf10_lane(spark, sf_dir: str, sf: str,
+                   passes: int = 2, budget_s: int = 3600) -> dict:
+    """The sf10 spot lane (VERDICT r12 item 4): per pass, each query
+    runs at 100x IMMEDIATELY FOLLOWED by its 10x and 1x twins --
+    same-conditions denominators at every decade, the r12 lesson --
+    with a forced JVM GC before every measured run (same JMH
+    discipline as the sf1 lane: q_fuzzy_blocked's pair shuffles
+    directly precede setsim here too). Reports per-decade ratios
+    decade1_x = 10x/1x and decade2_x = 100x/10x plus their quotient
+    compound_x: ~1 means the lane's cost model holds across decades,
+    >>1 names a super-linear stage. The warm pass doubles as the
+    output probe (out_rows at all three decades separates
+    output-bound growth and recall collapse from plan regression)."""
+    import tempfile
+
+    sf1_dir = (f"{tempfile.gettempdir()}/spark_graft_10x_sf{sf}"
+               f"_v{_SF1_CORPUS_VERSION}")
+    sf10_dir = (f"{tempfile.gettempdir()}/spark_graft_100x_sf{sf}"
+                f"_v{_SF10_CORPUS_VERSION}")
+    _build_10x_corpus(spark, sf_dir, sf1_dir)
+    _build_100x_corpus(spark, sf_dir, sf10_dir)
+    decades = (("sf100x", sf10_dir), ("sf10x", sf1_dir), ("sf1x", sf_dir))
+
+    def force_at(name: str, d: str) -> None:
+        registry.QUERIES[name](spark, d).write.format("noop").mode(
+            "overwrite").save()
+
+    out_rows = {k: {} for k, _ in decades}
+    for name in SF10_QUERIES:
+        for dkey, ddir in decades:
+            out_rows[dkey][name] = (
+                registry.QUERIES[name](spark, ddir).count())
+            force_at(name, ddir)  # warm: plan + codegen at these stats
+
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    runs = {k: {n: [] for n in SF10_QUERIES} for k, _ in decades}
+    pass_wall: list[float] = []
+    pass_cpu: list[float] = []
+    pass_spin: list[float] = []
+    done = 0
+    over_budget = False
+    lane_t0 = time.perf_counter()
+    for _ in range(passes):
+        pass_spin.append(_spin_calib())
+        pw0, pc0 = time.perf_counter(), _cpu_busy()
+        for name in SF10_QUERIES:
+            for dkey, ddir in decades:
+                jvm_gc()
+                t0 = time.perf_counter()
+                force_at(name, ddir)
+                runs[dkey][name].append(time.perf_counter() - t0)
+            if done >= 1 and time.perf_counter() - lane_t0 > budget_s:
+                over_budget = True
+                break
+        else:
+            done += 1
+            pass_wall.append(round(time.perf_counter() - pw0, 3))
+            pass_cpu.append(round(_cpu_busy() - pc0, 3))
+            continue
+        break
+    med = {
+        k: {n: _true_med(ts) for n, ts in qs.items() if ts}
+        for k, qs in runs.items()
+    }
+
+    def _ratio(num: dict, den: dict) -> dict:
+        return {
+            n: round(num[n] / den[n], 2)
+            for n in num if den.get(n)
+        }
+
+    decade1 = _ratio(med["sf10x"], med["sf1x"])
+    decade2 = _ratio(med["sf100x"], med["sf10x"])
+    return {
+        "sf_decades": {k: round(float(sf) * m, 4) for (k, _), m in
+                       zip(decades, (100, 10, 1))},
+        "queries": med,
+        "spread": {
+            k: {n: [round(min(ts), 3), round(max(ts), 3)]
+                for n, ts in qs.items() if ts}
+            for k, qs in runs.items()
+        },
+        "decade1_x": decade1,
+        "decade2_x": decade2,
+        "compound_x": _ratio(decade2, decade1),
+        "out_rows": out_rows,
+        "passes": done,
+        "over_budget": over_budget,
+        "pass_wall": pass_wall,
+        "pass_cpu": pass_cpu,
+        "spin_sec": pass_spin,
+        "busy_frac": [
+            round(c / (w * os.cpu_count()), 3)
+            for c, w in zip(pass_cpu, pass_wall)
+        ],
+        "eff_cores": [
+            round(c / w, 2) for c, w in zip(pass_cpu, pass_wall)
+        ],
+        "corpus_version": _SF10_CORPUS_VERSION,
+    }
 
 
 def main() -> None:
@@ -640,6 +864,20 @@ def main() -> None:
             ],
         }
 
+    # 100x spot lane (VERDICT r12 item 4): the lane itself runs out of
+    # band (scripts/sf10_spot.py -- corpus build plus
+    # triple-interleaved passes cost tens of minutes, far past the
+    # driver's per-round budget) and commits its run of record at
+    # bench_records/SF10_SPOT.json; every bench run embeds that record
+    # so BENCH_DETAIL and the stdout line always carry the latest
+    # measured second-decade curve.
+    sf10_rec = (Path(__file__).resolve().parent
+                / "bench_records" / "SF10_SPOT.json")
+    sf10_spot = None
+    if sf10_rec.exists():
+        sf10_spot = json.loads(sf10_rec.read_text())
+        sf10_spot["recorded"] = True
+
     full = {
         "metric": "headline_query_wall_sec",
         "value": total,
@@ -673,6 +911,7 @@ def main() -> None:
         },
         "longtail": {"round": round_no, "queries": lt_timings},
         "sf1_spot": sf1_spot,
+        "sf10_spot": sf10_spot,
     }
 
     # The driver records only the LAST 2000 chars of stdout (every
@@ -719,6 +958,7 @@ def compact_line(full: dict) -> str:
     medians -> drop per-query sf1 medians (lane summary stays). The
     contract keys (metric/value/unit/queries/sf) always survive."""
     sf1 = full.get("sf1_spot")
+    sf10 = full.get("sf10_spot")
     compact = {
         "metric": full["metric"],
         "value": full["value"],
@@ -757,6 +997,17 @@ def compact_line(full: dict) -> str:
         },
         "detail": "BENCH_DETAIL.json",
     }
+    # second-decade curve (per-query 100x/10x ratios next to the
+    # 10x/1x ones above; "recorded" marks an embedded prior run of
+    # record rather than a fresh in-process measurement). Key omitted
+    # entirely when no record exists -- even a null costs line budget.
+    if sf10 is not None:
+        compact["sf10"] = {
+            "decade2_x": dict(sf10["decade2_x"]),
+            "compound_x": dict(sf10["compound_x"]),
+            "passes": sf10["passes"],
+            "recorded": bool(sf10.get("recorded")),
+        }
 
     def dumps() -> str:
         return json.dumps(compact, separators=(",", ":"))
@@ -770,8 +1021,18 @@ def compact_line(full: dict) -> str:
             k: round(v, 1) for k, v in compact["queries"].items()
         }
         line = dumps()
+    if len(line) > _LINE_BUDGET and compact.get("sf10"):
+        # the quotient is re-derivable from the committed
+        # SF10_SPOT.json record; decade2_x itself is the new evidence
+        compact["sf10"].pop("compound_x", None)
+        line = dumps()
     if len(line) > _LINE_BUDGET and compact.get("sf1"):
         compact["sf1"].pop("queries", None)
+        line = dumps()
+    if len(line) > _LINE_BUDGET and compact.get("sf10"):
+        # headline medians outrank the embedded record's detail: the
+        # full curve stays in SF10_SPOT.json / BENCH_DETAIL
+        compact.pop("sf10", None)
         line = dumps()
     # last resort: keep the slowest K queries and SAY how many were
     # omitted (never a silent cap) -- halve K until the line fits

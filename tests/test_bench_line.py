@@ -125,3 +125,42 @@ def test_clean_pass_filter_split_minima_never_empty():
     # pass failing both gates; still the argmin-spin pass survives
     assert _clean_pass_filter(
         [0.10, 0.15, 0.20], [0.50, 0.30, 0.10]) == [0]
+
+
+def _sf10_block() -> dict:
+    qs = ["q_fuzzy_blocked", "q_setsim_prefix_join",
+          "q_pagerank_bipartite", "q_stats_mad", "q_merge_upsert"]
+    return {
+        "decade1_x": {n: 3.28 for n in qs},
+        "decade2_x": {n: 4.12 for n in qs},
+        "compound_x": {n: 1.26 for n in qs},
+        "passes": 2,
+        "recorded": True,
+    }
+
+
+def test_sf10_block_rides_and_trims_before_sf1_queries():
+    """With an embedded sf10 record the line still fits; the trim
+    order sacrifices longtail and sf10's re-derivable compound_x
+    BEFORE the sf1 per-query medians, and decade2_x -- the second
+    decade's new evidence -- survives every trim short of the
+    terminal fallback."""
+    full = _full(31)
+    full["sf10_spot"] = _sf10_block()
+    line = compact_line(full)
+    assert len(line) <= _LINE_BUDGET
+    d = json.loads(line)
+    assert d["sf10"]["decade2_x"]
+    assert d["sf10"]["recorded"] is True
+    # grown shape: the whole sf10 block is sacrificed before any
+    # headline median is omitted (the record file keeps the curve)
+    full = _full(60, n_sf1=20)
+    full["sf10_spot"] = _sf10_block()
+    d = json.loads(compact_line(full))
+    assert len(d["queries"]) == 60
+    assert "queries_omitted" not in d
+
+
+def test_no_sf10_record_omits_the_key():
+    d = json.loads(compact_line(_full(31)))
+    assert "sf10" not in d

@@ -1,0 +1,97 @@
+"""Structural invariants of the 100x bench corpus (VERDICT r12 item
+4). The sf10 lane's evidence is only as good as its corpus, so the
+construction is pinned the same way _build_10x_corpus was (its
+fidelity check reproduced native sf0.1 fuzzy output from a 10x build
+of sf0.01): at shards=3 over sf0.001 we pin, exactly and cheaply,
+
+- per-shard token vocabularies are pairwise DISJOINT (the 2-letter
+  tag construction), so the qualifying set-similarity pair count is
+  EXACTLY shards * base -- the defining property of a faithful
+  scale-up with zero cross-shard near-dup contamination;
+- value-distribution statistics are scale invariant: lineitem values
+  are replicated verbatim per shard, and the lower median (rank
+  ceil(n/2)) of an N-fold replicated multiset equals the original's,
+  so q_stats_mad at Nx must equal q_stats_mad at 1x bit-for-bit;
+- the customer name population is DENSE (names enumerate
+  0..shards*n-1 with no gaps), i.e. exactly the name population of a
+  larger table, and shard key ranges stay disjoint.
+
+Every SF10 lane query also gets a mini-corpus smoke so a lane run
+cannot be the first time a query meets the construction."""
+
+from __future__ import annotations
+
+import pytest
+
+from bench import SF10_QUERIES, _build_100x_corpus, _shard_tag
+from discogs_xml_to_parquet_spark import registry
+from discogs_xml_to_parquet_spark.queries.setsim import setsim_pairs
+from tests.conftest import SF_SMOKE
+
+SHARDS = 3
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory) -> str:
+    dest = str(tmp_path_factory.mktemp("sf10_corpus"))
+    _build_100x_corpus(spark, SF_SMOKE, dest, shards=SHARDS)
+    return dest
+
+
+def test_shard_tags_distinct():
+    tags = [_shard_tag(i) for i in range(676)]
+    assert len(set(tags)) == 676
+    assert all(len(t) == 2 and t.isalpha() and t.islower() for t in tags)
+
+
+def test_vocab_disjoint_pairs_scale_exactly(spark, corpus):
+    from pyspark.sql import functions as F
+
+    def toks(d):
+        return (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
+                    .alias("t"))
+            .filter(F.col("t") != "")
+            .select("t").distinct().count()
+        )
+
+    base_vocab = toks(SF_SMOKE)
+    # disjoint vocabularies: the union is exactly shards * base
+    assert toks(corpus) == SHARDS * base_vocab
+    base_pairs = setsim_pairs(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")).count()
+    corpus_pairs = setsim_pairs(
+        spark.read.parquet(f"{corpus}/documents.parquet")).count()
+    assert base_pairs > 0  # the invariant must not hold vacuously
+    assert corpus_pairs == SHARDS * base_pairs
+
+
+def test_stats_mad_scale_invariant(spark, corpus):
+    registry.load_all_queries()
+    q = registry.QUERIES["q_stats_mad"]
+    base = [tuple(r) for r in q(spark, SF_SMOKE).collect()]
+    scaled = [tuple(r) for r in q(spark, corpus).collect()]
+    assert base == scaled
+
+
+def test_customer_names_dense_and_keys_disjoint(spark, corpus):
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{corpus}/customer.parquet")
+    n_base = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    total = SHARDS * n_base
+    assert c.count() == total
+    # keys disjoint across shards, names a DENSE enumeration
+    assert c.select("c_custkey").distinct().count() == total
+    names = c.select("c_name").distinct()
+    assert names.count() == total
+    lo, hi = names.agg(F.min("c_name"), F.max("c_name")).first()
+    assert lo == "Customer#%09d" % 0
+    assert hi == "Customer#%09d" % (total - 1)
+
+
+@pytest.mark.parametrize("name", SF10_QUERIES)
+def test_lane_queries_run_on_corpus(spark, corpus, name):
+    registry.load_all_queries()
+    assert registry.QUERIES[name](spark, corpus).count() >= 0
