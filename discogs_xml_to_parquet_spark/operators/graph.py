@@ -9,9 +9,13 @@ O(component diameter) rounds. Per round: one shuffle (the groupBy on
 the edge src).
 
 Scale rules encoded here:
-- localCheckpoint each round: an iterative loop otherwise builds an
-  unbounded lineage -- plan size grows linearly, and the optimizer
-  re-analyzes the whole history every round.
+- stage each round (staging.stage_df): an iterative loop otherwise
+  builds an unbounded lineage -- plan size grows linearly, and the
+  optimizer re-analyzes the whole history every round. Default is
+  localCheckpoint (zero I/O); SPARK_GRAFT_CHECKPOINT_DIR switches
+  every round to RELIABLE checkpoints so a 1000-executor run replays
+  a lost node from the checkpoint store instead of failing the
+  fixpoint (same production mode as the other staged lanes).
 - convergence is checked with a count of changed labels (an action per
   round -- inherent to any fixpoint loop).
 - for web-scale or deep graphs use connected_components_two_phase
@@ -31,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from discogs_xml_to_parquet_spark.staging import stage_df
+
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25) -> DataFrame:
@@ -45,7 +51,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct().localCheckpoint()
+    sym = stage_df(sym.distinct())
     return _min_label_from_sym(sym, max_iter)
 
 
@@ -93,8 +99,8 @@ def _min_label_from_sym(sym: DataFrame, max_iter: int) -> DataFrame:
                 ).alias("comp"),
                 F.col("comp").alias("old_comp"),
             )
-            .localCheckpoint()  # cut lineage every round
         )
+        new_labels = stage_df(new_labels)  # cut lineage every round
         changed = new_labels.filter(
             F.col("comp") != F.col("old_comp")
         ).count()
@@ -141,9 +147,9 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
     # the caller's edge list may carry an arbitrarily expensive lineage
     # (the curation capstone feeds the whole banded-LSH chain in here)
     # -- without this checkpoint that upstream would evaluate twice
-    raw = edges.select(
+    raw = stage_df(edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    ))
     # node set from RAW edges, before the self-loop filter: a node whose
     # only edge is a self-loop must still appear in the output (as its
     # own component), matching connected_components
@@ -157,8 +163,8 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
     )
+    e = stage_df(e)
 
     converged = False
     # max_iter + 1 iterations: up to max_iter rewrites, each preceded by
@@ -179,8 +185,8 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
                 F.max("b").alias("max_nbr"),
                 F.sum((F.col("b") < F.col("a")).cast("int")).alias("n_smaller"),
             )
-            .localCheckpoint()
         )
+        deg = stage_df(deg)
         # Fixpoint test (checked BEFORE the round's rewrites): the
         # canonical edge set (every stored edge has a < b) is a correct
         # answer iff (1) no node is both a parent and a member -- in
@@ -234,8 +240,8 @@ def connected_components_two_phase(edges: DataFrame, src: str = "src",
             .filter(F.col("na") != F.col("nb"))
             .select(F.col("na").alias("a"), F.col("nb").alias("b"))
             .distinct()
-            .localCheckpoint()
         )
+        new_e = stage_df(new_e)
         e = new_e
     if not converged:
         raise RuntimeError(
@@ -279,8 +285,8 @@ def connected_components_auto(edges: DataFrame, src: str = "src",
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
+    sym = stage_df(sym)
     if sym.count() <= 2 * small_graph_edges:
         try:
             return _min_label_from_sym(sym, max_iter)

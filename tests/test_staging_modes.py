@@ -64,3 +64,34 @@ def test_reliable_mode_covers_the_iterative_lane(spark, ckpt_dir):
     default_rows = _rows(spark, name)
     os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = ckpt_dir
     assert _rows(spark, name) == default_rows
+
+
+def test_reliable_mode_covers_connected_components(spark, ckpt_dir):
+    """operators/graph.py's fixpoints (min-label AND two-phase) stage
+    every round through stage_df too (r13: they were raw
+    localCheckpoints, the one staged surface VERDICT r12 item 5's
+    migration missed). Both algorithms under reliable checkpoints must
+    label identically to the default mode, and the checkpoint dir must
+    actually receive files from the round loop."""
+    from discogs_xml_to_parquet_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 6), (7, 8), (8, 9), (9, 10)],
+        ["src", "dst"],
+    )
+
+    def labels(fn):
+        return sorted(tuple(r) for r in fn(edges).collect())
+
+    default_min = labels(connected_components)
+    default_two = labels(connected_components_two_phase)
+    assert default_min == default_two  # the documented equivalence
+
+    os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = ckpt_dir
+    assert labels(connected_components) == default_min
+    assert labels(connected_components_two_phase) == default_two
+    written = [p for p in Path(ckpt_dir).rglob("*") if p.is_file()]
+    assert written, "reliable mode engaged but wrote no checkpoint files"

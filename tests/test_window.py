@@ -46,6 +46,15 @@ DERIVED_AT_ROUND = 12
 # (their code is untouched); they ride the module fold.
 # q_lakehouse_read_path (NEW r13) needs no entry: rank 0 covers
 # never-checked.
+# NOTE for the r14 derivation: the late-r13 operators/graph.py
+# staging migration (raw localCheckpoint -> staging.stage_df, value-
+# identical by construction and pinned both-modes in
+# test_staging_modes.py) touches the connected-components consumers
+# -- the dedup/curation group lanes (q_dedup_minhash_lsh,
+# q_dedup_simhash_banded, q_dedup_semantic, q_curation_pipeline,
+# q_entity_resolution) -- add them to R14_CHANGED when bumping
+# DERIVED_AT_ROUND (the matching/graph_iter members are already in
+# this round's set and the rest did not fit the r13 window anyway).
 R13_CHANGED = frozenset({
     "q_file_skipping_scan", "q_retention_ttl",
     "q_setsim_prefix_join",
