@@ -226,15 +226,36 @@ def _clean_pass_filter(spins: list[float], busy_fracs: list[float],
     clock-throttled), so the intersection can be empty -- in that
     split-minima case fall back to the argmin-spin pass alone
     (ADVICE r12: an empty filter crashed the whole bench line), so
-    the filtered median is never empty."""
-    ref_spin = min(spins)
+    the filtered median is never empty.
+
+    Singleton-reference guard (r13): a single anomalously-FAST
+    calibration (one pass catching a turbo window -- the first r13
+    record run measured one 0.0825 s spin against a uniform
+    0.098-0.110 cluster with uniform walls and busy) must not become
+    the yardstick that disqualifies every ordinary pass and leaves
+    the 'filtered' headline resting on that one sample. So when the
+    min-referenced filter keeps no pass but its own, the filter
+    retries with the SECOND-smallest spin as reference and accepts
+    that answer only if at least two passes agree under it -- a
+    cluster can outvote an uncorroborated singleton, but a genuinely
+    degraded tail (spins spread far past tolerance, or busy
+    contamination) still collapses to the single cleanest pass."""
+    n = len(spins)
     ref_busy = min(busy_fracs)
-    clean = [
-        i for i in range(len(spins))
-        if spins[i] <= ref_spin * spin_tol
-        and busy_fracs[i] <= ref_busy + busy_tol
-    ]
-    return clean if clean else [spins.index(ref_spin)]
+
+    def _with_ref(ref_spin: float) -> list[int]:
+        return [
+            i for i in range(n)
+            if spins[i] <= ref_spin * spin_tol
+            and busy_fracs[i] <= ref_busy + busy_tol
+        ]
+
+    clean = _with_ref(min(spins))
+    if len(clean) <= 1 and n >= 3:
+        retry = _with_ref(sorted(spins)[1])
+        if len(retry) >= 2:
+            clean = retry
+    return clean if clean else [spins.index(min(spins))]
 
 
 def _true_med(xs: list[float], nd: int = 3) -> float:

@@ -164,3 +164,26 @@ def test_sf10_block_rides_and_trims_before_sf1_queries():
 def test_no_sf10_record_omits_the_key():
     d = json.loads(compact_line(_full(31)))
     assert "sf10" not in d
+
+
+def test_clean_pass_filter_singleton_fast_spin_keeps_the_cluster():
+    """r13: the first record run measured one anomalously FAST spin
+    (0.0825 s turbo window) against a uniform 0.098-0.110 cluster with
+    uniform walls and busy -- min-as-reference disqualified four
+    ordinary passes and left the filtered headline on one sample. The
+    singleton guard retries with the second-smallest reference when
+    the min corroborates nobody, and the agreeing cluster outvotes
+    the singleton: all five passes qualify."""
+    from bench import _clean_pass_filter
+
+    spins = [0.1096, 0.098, 0.1013, 0.103, 0.0825]
+    busy = [0.205, 0.221, 0.235, 0.225, 0.227]
+    assert _clean_pass_filter(spins, busy) == [0, 1, 2, 3, 4]
+    # ...while two AGREEING fast samples keep the min reference (a
+    # real fast-clock window), excluding the genuinely slow tail
+    spins2 = [0.083, 0.085, 0.102, 0.104, 0.110]
+    assert _clean_pass_filter(spins2, busy) == [0, 1]
+    # ...and a spread with NO cluster (every pass far from every
+    # other) still collapses to the single cleanest pass, not two
+    assert _clean_pass_filter(
+        [0.1, 0.2, 0.3], [0.1, 0.4, 0.6]) == [0]
