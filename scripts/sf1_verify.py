@@ -167,40 +167,70 @@ DEFAULT = [
     # (~all 50k^2/2 pairs share a token at 10x).
 ]
 
+# --corpus 100 (r13): the THIRD decade's correctness set -- every sf10
+# lane query whose tables are all in _SF10_TABLES and whose oracle is
+# tractable at 60M rows. q_fuzzy_blocked is INCLUDED precisely because
+# its candidates collapse at 1.5M dense names (the fixed df<=200 cap,
+# see _build_100x_corpus): both engines must agree the answer is the
+# EMPTY set, pinning the collapse as the operator's true semantics
+# rather than a Spark-side bug. q_setsim_prefix_join is excluded for
+# the same quadratic-oracle reason as at 10x (its 100x correctness is
+# carried by the construction invariant pairs(100x) == 100 * pairs(1x),
+# pinned in tests/test_sf10_corpus.py, with the 1x side driver-gated).
+DEFAULT_100 = [
+    "q_stats_mad",
+    "q_merge_upsert",
+    "q_pagerank_bipartite",
+    "q_fuzzy_blocked",
+]
 
-def build_combined(spark, dest: str) -> None:
+
+def build_combined(spark, dest: str, corpus: int = 10) -> None:
     import os
 
     import duckdb
 
     import bench
 
-    sf1_dir = f"/tmp/spark_graft_10x_sf{SRC_SF.rsplit('sf', 1)[-1]}" \
-              f"_v{bench._SF1_CORPUS_VERSION}"
-    bench._build_10x_corpus(spark, SRC_SF, sf1_dir)
+    sf = SRC_SF.rsplit("sf", 1)[-1]
+    if corpus == 100:
+        scaled_dir = (f"/tmp/spark_graft_100x_sf{sf}"
+                      f"_v{bench._SF10_CORPUS_VERSION}")
+        bench._build_100x_corpus(spark, SRC_SF, scaled_dir)
+        scaled_tables = bench._SF10_TABLES
+    else:
+        scaled_dir = (f"/tmp/spark_graft_10x_sf{sf}"
+                      f"_v{bench._SF1_CORPUS_VERSION}")
+        bench._build_10x_corpus(spark, SRC_SF, scaled_dir)
+        scaled_tables = bench._SF1_TABLES
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
-    # only tables OUTSIDE the 10x set ride through at 1x (a symlink
-    # for a table that later joins _SF1_TABLES would shadow its 10x
-    # copy -- the dest is corpus-version-keyed to make that impossible
-    # across upgrades)
-    for t in ("region nation part embeddings").split():
+    # only tables OUTSIDE the scaled set ride through at 1x (a symlink
+    # for a table that later joins the scaled set would shadow its
+    # scaled copy -- the dest is corpus-version-keyed to make that
+    # impossible across upgrades)
+    all_tables = ("region nation customer supplier part orders "
+                  "lineitem events documents embeddings").split()
+    for t in all_tables:
+        if t in scaled_tables:
+            continue
         p = Path(dest) / f"{t}.parquet"
         if not p.exists():
             p.symlink_to(f"{SRC_SF}/{t}.parquet")
-    for t in bench._SF1_TABLES:
+    for t in scaled_tables:
         p = Path(dest) / f"{t}.parquet"
         if not p.exists():
             con.execute(
                 f"COPY (SELECT * FROM read_parquet("
-                f"'{sf1_dir}/{t}.parquet/*.parquet')) TO '{p}' "
+                f"'{scaled_dir}/{t}.parquet/*.parquet')) TO '{p}' "
                 f"(FORMAT PARQUET, COMPRESSION SNAPPY)"
             )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", default=",".join(DEFAULT))
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--corpus", type=int, default=10, choices=(10, 100))
     args = ap.parse_args()
 
     from discogs_xml_to_parquet_spark import registry
@@ -212,16 +242,36 @@ def main() -> None:
     registry.load_all_queries()
     spark = get_spark(app_name="sf1-verify")
     spark.sparkContext.setLogLevel("ERROR")
-    dest = f"/tmp/sf1_combined_v{bench._SF1_CORPUS_VERSION}"
-    build_combined(spark, dest)
+    ver = (bench._SF10_CORPUS_VERSION if args.corpus == 100
+           else bench._SF1_CORPUS_VERSION)
+    dest = f"/tmp/sf{args.corpus // 10}_combined_v{ver}"
+    build_combined(spark, dest, corpus=args.corpus)
+    if args.queries is None:
+        args.queries = ",".join(
+            DEFAULT_100 if args.corpus == 100 else DEFAULT)
 
     failures = []
     for name in args.queries.split(","):
         t0 = time.time()
+        # At the 100x corpus q_fuzzy_blocked's EMPTINESS is the
+        # assertion (the fixed df<=200 cap drops every dense digit
+        # band -- see _build_100x_corpus): both engines agreeing on
+        # the empty set pins the collapse as the operator's true
+        # semantics, so the vacuous-check guard is explicitly waived
+        # for exactly this (query, corpus) pair.
+        allow_empty = args.corpus == 100 and name == "q_fuzzy_blocked"
+        # The 3-round PageRank oracle's CTE chain is re-inlined by
+        # DuckDB's planner into a >50 GB spill at the 100x corpus;
+        # materializing each top-level CTE as a temp table runs the
+        # identical stages in ~30 s (oracle_utils.split_top_level_ctes)
+        mat = args.corpus == 100 and name == "q_pagerank_bipartite"
         try:
             compare(spark, dest, registry.QUERIES[name],
-                    registry.ORACLES[name], name)
-            print(f"OK   {name} ({round(time.time() - t0, 1)} s)")
+                    registry.ORACLES[name], name, allow_empty=allow_empty,
+                    materialize_ctes=mat)
+            print(f"OK   {name} ({round(time.time() - t0, 1)} s)"
+                  + (" [both sides empty, as asserted]"
+                     if allow_empty else ""))
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: {str(exc)[:200]}")

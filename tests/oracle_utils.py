@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal as _decimal
 import math
+import os
 
 import duckdb
 
@@ -58,6 +59,15 @@ def _normalize(rows, cols):
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Oracle-side memory ceiling (r13): DuckDB's default (80% of RAM)
+    # is right for the driver gate's sf0.01 tables, but the 100x
+    # verification corpus (scripts/sf1_verify.py --corpus 100) runs
+    # 120M-row iterative oracles in a container whose disk cannot
+    # absorb a full spill -- the knob lets that lane trade spill for
+    # RAM explicitly without touching the gate's defaults.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -163,15 +173,62 @@ def lint_oracle_types(spark, sf_dir: str, query_fn, oracle: str,
     return problems
 
 
+def split_top_level_ctes(sql: str) -> tuple[list[tuple[str, str]], str]:
+    """`WITH a AS (...), b AS (...) SELECT ...` -> ([(name, body)...],
+    final_select), by paren-depth scan of the TOP level only (nested
+    WITHs stay inside their body). Used by the 100x verification lane
+    to execute each CTE as a temp table: DuckDB's planner re-inlines a
+    deep multi-reference CTE chain (the 3-round PageRank oracle) into
+    a plan that spills >50 GB at 120M edges, while the same stages
+    materialized stepwise run in ~30 s. Only safe for oracles whose
+    string literals contain no parens -- the callers opt in per query."""
+    s = sql.strip()
+    assert s[:4].upper() == "WITH", "oracle does not start with WITH"
+    i = 4
+    ctes: list[tuple[str, str]] = []
+    while True:
+        while s[i] in " \n\t,":
+            i += 1
+        j = i
+        while s[j] not in " \n\t":
+            j += 1
+        cte_name = s[i:j]
+        k = s.index("(", j)
+        depth, m = 0, k
+        while True:
+            if s[m] == "(":
+                depth += 1
+            elif s[m] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            m += 1
+        ctes.append((cte_name, s[k + 1:m]))
+        m += 1
+        while s[m] in " \n\t":
+            m += 1
+        if s[m] == ",":
+            i = m + 1
+        else:
+            return ctes, s[m:]
+
+
 def compare(
-    spark, sf_dir: str, query_fn, oracle: str, name: str = "?", allow_empty: bool = False
+    spark, sf_dir: str, query_fn, oracle: str, name: str = "?",
+    allow_empty: bool = False, materialize_ctes: bool = False,
 ) -> None:
     sdf = query_fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_conn(sf_dir)
-    cur = con.execute(oracle)
+    if materialize_ctes:
+        parts, final = split_top_level_ctes(oracle)
+        for cte_name, body in parts:
+            con.execute(f"CREATE TEMP TABLE {cte_name} AS {body}")
+        cur = con.execute(final)
+    else:
+        cur = con.execute(oracle)
     d_cols = [c[0] for c in cur.description]
     d_rows = cur.fetchall()
     con.close()
