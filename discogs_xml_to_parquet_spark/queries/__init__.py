@@ -22,31 +22,35 @@ in tests/test_window.py, pin=(), max_round=12). The design intent
 r8-evidence queries re-verify this round, so after r13 the oldest
 evidence anywhere is r9.
 
-- 1: lakehouse rank 0 (q_lakehouse_read_path NEW -- the COMPOSED
+- 1: tokenize rank 0 (q_bpe_encode NEW late-r13 -- the tokenizer
+  APPLY half of the BPE story; its arrival displaces the one
+  r9-evidence tail entry q_join_bloom_dpp past the 50-cut);
+- 2: lakehouse rank 0 (q_lakehouse_read_path NEW -- the COMPOSED
   read path: partition pruning x bucket-transform pruning x min/max
   file skipping planned off ONE stats manifest, the Iceberg scan
   shape; closes VERDICT r12 "what's missing" #5);
-- 2: file_skipping CHANGED (non-empty-manifest guard, ADVICE r12);
-- 3-9: the staged-lane cohort CHANGED by the reliable-checkpoint
+- 3: file_skipping CHANGED (non-empty-manifest guard, ADVICE r12);
+- 4-10: the staged-lane cohort CHANGED by the reliable-checkpoint
   rework (commit 80458ce: staging.stage_df gives every staged lane a
   SPARK_GRAFT_CHECKPOINT_DIR production mode) -- incremental (whose
   merge import folds the COW quartet in first), ttl (also the EXDEV
   hardlink fallback, ADVICE r12), setsim (also the r13 BYTE gate on
   the verification/expansion broadcasts, VERDICT r12 item 3);
-- 10-17: matching CHANGED (same stage_df rework; its r8-evidence
+- 11-18: matching CHANGED (same stage_df rework; its r8-evidence
   tail q_fuzzy_blocked/q_funnel_conversion/q_entity_resolution/
   q_fuzzy_blocked_stats leads the r8 cohort) and graph_iter CHANGED
   (the partition-aware PageRank edge staging, VERDICT r12 item 2);
-- 18-25: streaming_queries -- the four true-readStream lanes
+- 19-26: streaming_queries -- the four true-readStream lanes
   CHANGED (memory sinks -> file sinks, VERDICT r12 item 6), the four
   r9-evidence batch faces ride the module;
-- 26-47: the rest of the r8 cohort on evidence age -- sketches,
+- 27-48: the rest of the r8 cohort on evidence age -- sketches,
   tpch_extra2 (q13/q17/q7/q22/q15), pipeline (pii/sample/span-
   shingles/rollup-reuse), ranges (the range-join trio), cohorts,
   setops, temporal (asof + the multimodal feature trio);
-- 48-50: the oldest r9 evidence fills the window -- runtime_filters
-  (the DPP+bloom trio's first two ride in, q_join_bloom_dpp is cut
-  at exactly 50).
+- 49-50: the oldest r9 evidence fills the window -- runtime_filters'
+  q_join_aqe_skew and q_join_bucketed ride in; q_join_bloom_dpp is
+  the one r9-evidence query q_bpe_encode's arrival displaced past
+  the cut (it leads the r14 derivation).
 
 After this window the oldest evidence anywhere is r9 (binary_source,
 tpch_extra3, layout, text_analysis, ...). The staging helpers the
@@ -55,7 +59,13 @@ importing them cannot drag a query module forward in the window.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # 1: q_lakehouse_read_path NEW (rank 0)
+    # 1: q_bpe_encode NEW late-r13 (rank 0) -- the tokenizer APPLY
+    # half of the BPE story (vocab.py holds the training count step);
+    # its arrival displaces exactly one r9-evidence query
+    # (q_join_bloom_dpp, the runtime_filters tail) past the 50-cut,
+    # leaving the whole r8 cohort intact
+    tokenize,
+    # 2: q_lakehouse_read_path NEW (rank 0)
     lakehouse,
     # 2: q_file_skipping_scan CHANGED (manifest guard)
     file_skipping,
@@ -91,8 +101,8 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     setops,
     # 44-47: r8 evidence -- asof join + the multimodal feature trio
     temporal,
-    # 48-50: oldest r9 evidence; the 50-cut lands ON
-    # q_join_bloom_dpp, runtime_filters' third query
+    # 49-50: oldest r9 evidence; the 50-cut lands INSIDE
+    # runtime_filters -- q_join_bloom_dpp (position 51) leads r14
     runtime_filters,
     # --- 50-query window cut ---
     # r9-green remainder: first in line for round 14

@@ -161,6 +161,10 @@ DEFAULT = [
     # exact per-priority revenue must hold through the three-gate
     # reduction
     "q_lakehouse_read_path",
+    # r13 late: the tokenizer APPLY lane -- the distinct-word domain
+    # collapse must hold the encoding exact over the 10x (50k-doc)
+    # corpus; documents is in the 10x table set
+    "q_bpe_encode",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries. q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus

@@ -210,3 +210,25 @@ def test_stats_moments_match_numpy(spark):
         m = p.mean()
         skew = ((p - m) ** 3).mean() / (((p - m) ** 2).mean()) ** 1.5
         np.testing.assert_allclose(got["skew_price"], skew, rtol=1e-8)
+
+
+def test_bpe_encode_merge_semantics(spark):
+    """The encoding algorithm's two load-bearing edge cases, pinned
+    engine-side (the oracle pins cross-engine equality; this pins the
+    SEMANTICS): overlapping pairs resolve leftmost-first
+    (aaa + (a,a) -> [aa, a]), and multi-level merges chain in rank
+    order (order -> one symbol through 4 merges)."""
+    from pyspark.sql import functions as F
+
+    from discogs_xml_to_parquet_spark.queries.tokenize import _enc_sql
+
+    df = spark.createDataFrame(
+        [("aaa",), ("order",), ("spark",), ("zzz",)], ["word"])
+    got = {
+        r["word"]: r["enc"]
+        for r in df.withColumn("enc", F.expr(_enc_sql("word"))).collect()
+    }
+    assert got["zzz"] == ",zz,z,"      # leftmost, non-overlapping
+    assert got["order"] == ",order,"   # 4-merge chain fires fully
+    assert got["spark"] == ",spark,"
+    assert got["aaa"] == ",a,a,a,"     # no merge applies -> untouched

@@ -128,19 +128,23 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r13_window_contents():
-    """The round-13 membership decisions, pinned explicitly: the new
-    composed-lakehouse lane leads (rank 0), the late-r12/r13 CHANGED
-    cohort follows with its dependency folds (incremental dragging
-    the COW merge quartet in first), and the ENTIRE 28-query
+    """The round-13 membership decisions, pinned explicitly: the two
+    rank-0 arrivals lead (q_bpe_encode -- the late-r13 tokenizer
+    APPLY lane -- then the composed-lakehouse lane), the late-r12/r13
+    CHANGED cohort follows with its dependency folds (incremental
+    dragging the COW merge quartet in first), and the ENTIRE 28-query
     r8-evidence cohort re-verifies -- matching's and graph_iter's
     tails, the sketches, TPC-H q13/q17/q7/q22/q15, the pipeline and
     range-join families, cohorts, setops, asof + the multimodal
-    trio. The 50-cut lands on q_join_bloom_dpp (runtime_filters' r9
-    trio fills the tail). After this window the oldest evidence
+    trio. The 50-cut lands inside runtime_filters' r9 trio: aqe_skew
+    and bucketed ride in, q_join_bloom_dpp is the one r9-evidence
+    query q_bpe_encode's arrival displaced past the cut (it leads the
+    r14 derivation instead). After this window the oldest evidence
     anywhere is r9."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         # rank 0
+        "q_bpe_encode",
         "q_lakehouse_read_path",
         # changed + dependency folds
         "q_file_skipping_scan",
@@ -171,12 +175,16 @@ def test_r13_window_contents():
         "q_stream_tumbling", "q_stream_session", "q_stream_sliding",
         "q_stream_dedup_face",
         # the r9 tail that fills the window
-        "q_join_aqe_skew", "q_join_bucketed", "q_join_bloom_dpp",
+        "q_join_aqe_skew", "q_join_bucketed",
     ):
         assert must in win, must
-    assert win[0] == "q_lakehouse_read_path"
-    assert win[-1] == "q_join_bloom_dpp"  # cut inside runtime_filters
+    assert win[0] == "q_bpe_encode"
+    assert win[1] == "q_lakehouse_read_path"
+    assert win[-1] == "q_join_bucketed"  # cut inside runtime_filters
     for out in (
+        # the one r9-evidence query the late-r13 tokenizer lane
+        # displaced past the cut (leads r14)
+        "q_join_bloom_dpp",
         # r12-green stays out (freshest evidence)
         "q_delete_positional_dv", "q_delete_merge_on_read",
         "q_theta_set_algebra", "q_bucket_pruning", "q_nested_collect",
