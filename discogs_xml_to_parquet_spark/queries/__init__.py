@@ -29,17 +29,19 @@ evidence anywhere is r9.
   read path: partition pruning x bucket-transform pruning x min/max
   file skipping planned off ONE stats manifest, the Iceberg scan
   shape; closes VERDICT r12 "what's missing" #5);
-- 3: file_skipping CHANGED (non-empty-manifest guard, ADVICE r12);
-- 4-10: the staged-lane cohort CHANGED by the reliable-checkpoint
+- 3-8: matching rank 0 (q_fuzzy_blocked_sampled NEW late-r13: block
+  SAMPLING, the graceful-degradation twin of the df-cap purge whose
+  sf10 recall cliff this round measured; the module also carries its
+  stage_df CHANGED rework and 4 of the r8 cohort);
+- 9: file_skipping CHANGED (non-empty-manifest guard, ADVICE r12);
+- 10-16: the staged-lane cohort CHANGED by the reliable-checkpoint
   rework (commit 80458ce: staging.stage_df gives every staged lane a
   SPARK_GRAFT_CHECKPOINT_DIR production mode) -- incremental (whose
   merge import folds the COW quartet in first), ttl (also the EXDEV
   hardlink fallback, ADVICE r12), setsim (also the r13 BYTE gate on
   the verification/expansion broadcasts, VERDICT r12 item 3);
-- 11-18: matching CHANGED (same stage_df rework; its r8-evidence
-  tail q_fuzzy_blocked/q_funnel_conversion/q_entity_resolution/
-  q_fuzzy_blocked_stats leads the r8 cohort) and graph_iter CHANGED
-  (the partition-aware PageRank edge staging, VERDICT r12 item 2);
+- 17-18: graph_iter CHANGED (the partition-aware PageRank edge
+  staging, VERDICT r12 item 2);
 - 19-26: streaming_queries -- the four true-readStream lanes
   CHANGED (memory sinks -> file sinks, VERDICT r12 item 6), the four
   r9-evidence batch faces ride the module;
@@ -48,9 +50,9 @@ evidence anywhere is r9.
   shingles/rollup-reuse), ranges (the range-join trio), cohorts,
   setops, temporal (asof + the multimodal feature trio);
 - 49-50: the oldest r9 evidence fills the window -- runtime_filters'
-  q_join_aqe_skew and q_join_bucketed ride in; q_join_bloom_dpp is
-  the one r9-evidence query q_bpe_encode's arrival displaced past
-  the cut (it leads the r14 derivation).
+  q_join_aqe_skew rides in at the cut; q_join_bucketed and
+  q_join_bloom_dpp are the two r9-evidence queries the late-r13
+  arrivals displaced past it (they lead the r14 derivation).
 
 After this window the oldest evidence anywhere is r9 (binary_source,
 tpch_extra3, layout, text_analysis, ...). The staging helpers the
@@ -67,7 +69,12 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     tokenize,
     # 2: q_lakehouse_read_path NEW (rank 0)
     lakehouse,
-    # 2: q_file_skipping_scan CHANGED (manifest guard)
+    # 3-8: matching rank 0 (q_fuzzy_blocked_sampled NEW late-r13 --
+    # block SAMPLING, the graceful twin of the df-cap purge whose
+    # sf10 recall cliff this round measured; the module's stage_df
+    # rework + r8-evidence tail ride up with it)
+    matching,
+    # 9: q_file_skipping_scan CHANGED (manifest guard)
     file_skipping,
     # 3-6: merge folds in first (incremental imports it): the COW
     # MERGE / time travel / diff / vacuum quartet re-rides
@@ -79,10 +86,7 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     ttl,
     # 10: q_setsim_prefix_join CHANGED (byte-gated broadcasts)
     setsim,
-    # 11-15: matching CHANGED (stage_df rework) -- carries 4 of the
-    # r8 cohort
-    matching,
-    # 16-17: graph_iter CHANGED (partition-aware edge staging)
+    # 18-19: graph_iter CHANGED (partition-aware edge staging)
     graph_iter,
     # 18-25: the four true-readStream lanes CHANGED (file sinks);
     # the r9 batch faces ride
@@ -101,8 +105,8 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     setops,
     # 44-47: r8 evidence -- asof join + the multimodal feature trio
     temporal,
-    # 49-50: oldest r9 evidence; the 50-cut lands INSIDE
-    # runtime_filters -- q_join_bloom_dpp (position 51) leads r14
+    # 50: oldest r9 evidence; the 50-cut lands INSIDE
+    # runtime_filters -- q_join_bucketed + q_join_bloom_dpp lead r14
     runtime_filters,
     # --- 50-query window cut ---
     # r9-green remainder: first in line for round 14

@@ -49,9 +49,28 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def blocked_pairs_df(c: DataFrame) -> DataFrame:
+def blocked_pairs_df(c: DataFrame, keep_cap: int = 200,
+                     sampled: bool = False) -> DataFrame:
     """Core of the shared blocked-candidate pipeline (mirrors
     _BLOCKED_CTES) over a (c_custkey, c_name) frame.
+
+    `sampled=False` (q_fuzzy_blocked): buckets over `keep_cap` members
+    are DROPPED whole (block purging) -- zero work in degenerate
+    buckets, but recall in a bucket collapses to nothing the moment it
+    crosses the cap. The r13 sf10 run measured the cliff: at 1.5M
+    dense names EVERY positional digit band exceeds 200 and output
+    goes to zero (both engines agree -- sf1_verify --corpus 100).
+
+    `sampled=True` (q_fuzzy_blocked_sampled): over-cap buckets keep a
+    DETERMINISTIC hash-ranked sample of `keep_cap` members instead
+    (block sampling, the meta-blocking literature's graceful twin of
+    purging): row_number over md5(c_custkey) -- engine-portable, so
+    the oracle draws the identical sample. Work stays bounded at
+    cap^2/2 candidates per bucket at ANY corpus density; recall in an
+    over-cap bucket degrades smoothly as ~(cap/df)^2 instead of to 0.
+    Under-cap buckets keep every member, so sampled output is a
+    SUPERSET of the purged output on every corpus (pytest-pinned) and
+    IDENTICAL on corpora where no bucket crosses the cap.
 
     Pass 1 (equal length): explode each name to 6 prefix-aligned
     (length, band_no, 3-char band) blocking keys; substitutions never
@@ -147,9 +166,15 @@ def blocked_pairs_df(c: DataFrame) -> DataFrame:
         .withColumn("mx_ln", F.col("ln") + F.col("dl"))
     )
     w = Window.partitionBy("mx_ln", "band_no", "band_val")
-    kept = ex.withColumn("df", F.count(F.lit(1)).over(w)).filter(
-        F.col("df") <= 200
-    )
+    if sampled:
+        # same window, ROW_NUMBER over the portable hash order: under
+        # the cap this keeps every member (identical to purging);
+        # over it, a deterministic sample both engines reproduce
+        rank = F.row_number().over(
+            w.orderBy(F.md5(F.col("c_custkey").cast("string"))))
+    else:
+        rank = F.count(F.lit(1)).over(w)
+    kept = ex.withColumn("df", rank).filter(F.col("df") <= keep_cap)
     a, b = kept.alias("a"), kept.alias("b")
     ln_gap = F.abs(F.col("a.ln") - F.col("b.ln"))
     cand = (
@@ -269,6 +294,54 @@ def q_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     test in test_determinism feeds synthetic length-changing pairs
     through blocked_pairs_df)."""
     return blocked_match_pairs(spark, sf_dir).orderBy("id1", "id2")
+
+
+# The sampled-keep oracle is the purged oracle with ONE window swapped
+# in each pass: COUNT(*) (membership size, purge whole bucket past the
+# cap) -> ROW_NUMBER() over md5(custkey) (keep a deterministic sample
+# of the cap). The alias and the <= 200 predicate are untouched, so
+# the two oracle texts cannot drift anywhere else.
+_SAMPLED_CTES = _BLOCKED_CTES.replace(
+    "COUNT(*) OVER (PARTITION BY ln, band_no, band_val) AS df",
+    "ROW_NUMBER() OVER (PARTITION BY ln, band_no, band_val "
+    "ORDER BY md5(CAST(c_custkey AS VARCHAR))) AS df",
+).replace(
+    "COUNT(*) OVER (PARTITION BY mx_ln, band_no, band_val) AS df",
+    "ROW_NUMBER() OVER (PARTITION BY mx_ln, band_no, band_val "
+    "ORDER BY md5(CAST(c_custkey AS VARCHAR))) AS df",
+)
+assert _SAMPLED_CTES.count("ROW_NUMBER") == 2, "oracle swap missed"
+
+
+@query(
+    "q_fuzzy_blocked_sampled",
+    oracle="WITH " + _SAMPLED_CTES + """
+SELECT id1, id2, name1, name2, edit_dist
+FROM matched
+ORDER BY id1, id2
+""",
+)
+def q_fuzzy_blocked_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching with BLOCK SAMPLING instead of block
+    purging (r13): identical band construction and verification to
+    q_fuzzy_blocked, but a bucket past the 200-member cap keeps a
+    deterministic md5(custkey)-ranked sample of 200 members instead of
+    dying whole. The r13 sf10 run measured purging's cliff -- at 1.5M
+    dense names every digit band exceeds the cap and recall collapses
+    to ZERO (out_rows in bench_records/SF10_SPOT.json, confirmed
+    semantically by both engines at --corpus 100). Sampling is the
+    production answer for that density regime: per-bucket work stays
+    bounded at cap^2/2 candidates no matter the corpus (the property
+    the cap exists for), while recall degrades smoothly as ~(cap/df)^2
+    per over-cap bucket. On corpora where no bucket crosses the cap
+    the two contracts are IDENTICAL, and on every corpus the sampled
+    output is a superset of the purged one (under-cap buckets keep all
+    members) -- both pinned in tests/test_new_operators.py. The hash
+    rank is md5 of the key, so Spark and DuckDB draw the same sample
+    and the oracle stays cell-exact."""
+    return blocked_pairs_df(
+        load(spark, sf_dir, "customer"), sampled=True
+    ).orderBy("id1", "id2")
 
 
 @query(

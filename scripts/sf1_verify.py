@@ -166,7 +166,8 @@ DEFAULT = [
     # corpus; documents is in the 10x table set
     "q_bpe_encode",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
-    # opt in with --queries. q_setsim_prefix_join is deliberately NOT
+    # opt in with --queries (q_fuzzy_blocked_sampled shares the same
+    # oracle cost profile -- identical band CTEs, one window swapped). q_setsim_prefix_join is deliberately NOT
     # here: its brute-force oracle is quadratic in the near-dup corpus
     # (~all 50k^2/2 pairs share a token at 10x).
 ]

@@ -232,3 +232,39 @@ def test_bpe_encode_merge_semantics(spark):
     assert got["order"] == ",order,"   # 4-merge chain fires fully
     assert got["spark"] == ",spark,"
     assert got["aaa"] == ",a,a,a,"     # no merge applies -> untouched
+
+
+def test_blocked_sampling_contract(spark):
+    """Block sampling vs block purging (r13): on a corpus dense enough
+    that buckets cross the cap, purging collapses to zero pairs while
+    sampling still recovers true pairs; every sampled pair is a true
+    <=2-edit pair; and sampled output is a SUPERSET of purged output
+    on any corpus (under-cap buckets keep every member)."""
+    from pyspark.sql import functions as F
+
+    from discogs_xml_to_parquet_spark.queries.matching import (
+        blocked_pairs_df,
+    )
+
+    # 120 dense names -> with cap=5 every digit band is over-cap
+    dense = spark.createDataFrame(
+        [(i, "Customer#%09d" % i) for i in range(120)],
+        ["c_custkey", "c_name"],
+    )
+    purged = blocked_pairs_df(dense, keep_cap=5).count()
+    sampled_rows = blocked_pairs_df(dense, keep_cap=5, sampled=True)
+    sampled = sampled_rows.count()
+    assert purged == 0          # the measured sf10 cliff, in miniature
+    assert sampled > 0          # graceful degradation recovers pairs
+    # soundness: every recovered pair is a true <=2-edit pair
+    assert sampled_rows.filter(F.col("edit_dist") > 2).count() == 0
+
+    # superset on a mixed corpus at the production cap: under-cap
+    # buckets keep all members, so purged pairs all survive sampling
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    p = {(r["id1"], r["id2"])
+         for r in blocked_pairs_df(c).select("id1", "id2").collect()}
+    s = {(r["id1"], r["id2"])
+         for r in blocked_pairs_df(c, sampled=True)
+         .select("id1", "id2").collect()}
+    assert p and p <= s

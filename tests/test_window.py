@@ -128,19 +128,22 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r13_window_contents():
-    """The round-13 membership decisions, pinned explicitly: the two
+    """The round-13 membership decisions, pinned explicitly: the
     rank-0 arrivals lead (q_bpe_encode -- the late-r13 tokenizer
-    APPLY lane -- then the composed-lakehouse lane), the late-r12/r13
+    APPLY lane -- the composed-lakehouse lane, then matching, whose
+    late-r13 member q_fuzzy_blocked_sampled pulls the module into
+    rank 0), the late-r12/r13
     CHANGED cohort follows with its dependency folds (incremental
     dragging the COW merge quartet in first), and the ENTIRE 28-query
     r8-evidence cohort re-verifies -- matching's and graph_iter's
     tails, the sketches, TPC-H q13/q17/q7/q22/q15, the pipeline and
     range-join families, cohorts, setops, asof + the multimodal
     trio. The 50-cut lands inside runtime_filters' r9 trio: aqe_skew
-    and bucketed ride in, q_join_bloom_dpp is the one r9-evidence
-    query q_bpe_encode's arrival displaced past the cut (it leads the
-    r14 derivation instead). After this window the oldest evidence
-    anywhere is r9."""
+    q_join_aqe_skew rides in at the cut; q_join_bucketed and
+    q_join_bloom_dpp are the two r9-evidence queries the late-r13
+    arrivals (q_bpe_encode, q_fuzzy_blocked_sampled) displaced past
+    it -- they lead the r14 derivation instead. After this window the
+    oldest evidence anywhere is r9."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
         # rank 0
@@ -153,6 +156,8 @@ def test_r13_window_contents():
         "q_incremental_rollup", "q_incremental_join_view",
         "q_retention_ttl", "q_setsim_prefix_join",
         "q_fuzzy_levenshtein",
+        # the late-r13 sampled-blocking twin rides with matching
+        "q_fuzzy_blocked_sampled",
         # the 28-query r8 cohort
         "q_fuzzy_blocked", "q_funnel_conversion",
         "q_entity_resolution", "q_fuzzy_blocked_stats",
@@ -175,16 +180,16 @@ def test_r13_window_contents():
         "q_stream_tumbling", "q_stream_session", "q_stream_sliding",
         "q_stream_dedup_face",
         # the r9 tail that fills the window
-        "q_join_aqe_skew", "q_join_bucketed",
+        "q_join_aqe_skew",
     ):
         assert must in win, must
     assert win[0] == "q_bpe_encode"
     assert win[1] == "q_lakehouse_read_path"
-    assert win[-1] == "q_join_bucketed"  # cut inside runtime_filters
+    assert win[-1] == "q_join_aqe_skew"  # cut inside runtime_filters
     for out in (
-        # the one r9-evidence query the late-r13 tokenizer lane
-        # displaced past the cut (leads r14)
-        "q_join_bloom_dpp",
+        # the two r9-evidence queries the late-r13 arrivals displaced
+        # past the cut (they lead r14)
+        "q_join_bloom_dpp", "q_join_bucketed",
         # r12-green stays out (freshest evidence)
         "q_delete_positional_dv", "q_delete_merge_on_read",
         "q_theta_set_algebra", "q_bucket_pruning", "q_nested_collect",
