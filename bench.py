@@ -166,10 +166,11 @@ _SF1_CORPUS_VERSION = 4
 # measured decade (100x of the headline SF) turns the 10x ratios into
 # a CURVE -- per lane, does the per-decade ratio flatten (fixed costs
 # amortizing), hold (scan-bound linear), or COMPOUND (a super-linear
-# stage the first decade hid)? The lane is run MANUALLY with
-# SPARK_GRAFT_SF10=1 (corpus build + triple-interleaved passes cost
-# tens of minutes, far past the driver's per-round budget); the run
-# lands at bench_records/SF10_SPOT.json -- a committed run of record
+# stage the first decade hid)? The lane is run MANUALLY via
+# `python scripts/sf10_spot.py` (pass count via
+# SPARK_GRAFT_SF10_PASSES; corpus build + triple-interleaved passes
+# cost tens of minutes, far past the driver's per-round budget); the
+# run lands at bench_records/SF10_SPOT.json -- a committed run of record
 # -- and every subsequent bench run embeds that record into
 # BENCH_DETAIL as `sf10_spot` (marked "recorded": true) so the round
 # artifact carries the curve without re-paying the run.
@@ -487,6 +488,13 @@ def _run_sf10_lane(spark, sf_dir: str, sf: str,
     lane_t0 = time.perf_counter()
     for _ in range(passes):
         pass_spin.append(_spin_calib())
+        # samples-per-list snapshot: a budget break mid-pass discards
+        # the partial pass's timings so the medians only ever mix
+        # samples from passes with an accounted pass_wall/pass_cpu row
+        # (ADVICE r13: a partial pass has no wall/cpu entry, so its
+        # samples would be unauditable by the clean-pass filter)
+        pre = {k: {n: len(ts) for n, ts in qs.items()}
+               for k, qs in runs.items()}
         pw0, pc0 = time.perf_counter(), _cpu_busy()
         for name in SF10_QUERIES:
             for dkey, ddir in decades:
@@ -502,6 +510,9 @@ def _run_sf10_lane(spark, sf_dir: str, sf: str,
             pass_wall.append(round(time.perf_counter() - pw0, 3))
             pass_cpu.append(round(_cpu_busy() - pc0, 3))
             continue
+        for k, qs in runs.items():
+            for n, ts in qs.items():
+                del ts[pre[k][n]:]
         break
     med = {
         k: {n: _true_med(ts) for n, ts in qs.items() if ts}

@@ -310,7 +310,12 @@ _SAMPLED_CTES = _BLOCKED_CTES.replace(
     "ROW_NUMBER() OVER (PARTITION BY mx_ln, band_no, band_val "
     "ORDER BY md5(CAST(c_custkey AS VARCHAR))) AS df",
 )
-assert _SAMPLED_CTES.count("ROW_NUMBER") == 2, "oracle swap missed"
+if _SAMPLED_CTES.count("ROW_NUMBER") != 2:  # not assert: survives -O
+    raise RuntimeError(
+        "q_fuzzy_blocked_sampled oracle integrity: the string-replace "
+        "over _BLOCKED_CTES swapped fewer than 2 COUNT(*) windows -- "
+        "a _BLOCKED_CTES wording change would otherwise silently "
+        "register a sampled oracle identical to the purged one")
 
 
 @query(

@@ -214,8 +214,10 @@ def build_combined(spark, dest: str, corpus: int = 10) -> None:
     # for a table that later joins the scaled set would shadow its
     # scaled copy -- the dest is corpus-version-keyed to make that
     # impossible across upgrades)
-    all_tables = ("region nation customer supplier part orders "
-                  "lineitem events documents embeddings").split()
+    # the canonical table list (ADVICE r13: a local literal here
+    # silently dropped any table later added to tables.TABLES from the
+    # combined dir, failing only at duckdb view binding)
+    from discogs_xml_to_parquet_spark.tables import TABLES as all_tables
     for t in all_tables:
         if t in scaled_tables:
             continue
