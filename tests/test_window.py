@@ -10,10 +10,10 @@ and r8 suites both went red at judging time because the driver landing
 the round's artifact re-ranked the just-checked queries -- a designed
 tripwire that fired twice is a process bug. window(max_round=
 DERIVED_AT_ROUND) ignores artifacts newer than the pinned round, so
-landing CORRECTNESS_r13.json cannot flip this suite; re-deriving for
-r14 is one deliberate commit: bump DERIVED_AT_ROUND to 13, update
+landing CORRECTNESS_r14.json cannot flip this suite; re-deriving for
+r15 is one deliberate commit: bump DERIVED_AT_ROUND to 14, update
 CHANGED/PIN, and paste the order printed by
-`python scripts/window_plan.py --max-round 13 --changed <r14 changed>`.
+`python scripts/window_plan.py --max-round 14 --changed <r15 changed>`.
 """
 
 from __future__ import annotations
@@ -24,54 +24,31 @@ registry.load_all_queries()
 
 WINDOW_SIZE = 50
 
-# The round whose artifacts this derivation used (artifacts r1..r12;
-# CORRECTNESS_r13.json and later are ignored by the fixed-point test).
-DERIVED_AT_ROUND = 12
+# The round whose artifacts this derivation used (artifacts r1..r13;
+# CORRECTNESS_r14.json and later are ignored by the fixed-point test).
+DERIVED_AT_ROUND = 13
 
-# Round-13 policy inputs that artifacts cannot express -- queries whose
-# code changed since their LAST green driver row:
-# - late-r12 changes (commits 5c2117b + 80458ce, landed after the r12
-#   driver check): q_file_skipping_scan (non-empty-manifest guard),
-#   q_retention_ttl (EXDEV-safe hardlink clone), and the staged-lane
-#   cohort reworked onto staging.stage_df with the reliable-checkpoint
-#   production mode -- setsim, incremental (both queries), matching
-#   (all five), graph_iter (both; also the partition-aware PageRank
-#   edge staging, VERDICT r12 item 2).
-# - r13 in-round changes: q_setsim_prefix_join again (byte-gated
-#   broadcasts, VERDICT r12 item 3) and the four true-readStream
-#   lanes (memory sinks -> checkpointed file sinks, VERDICT r12
-#   item 6): q_stream_dedup_exact, q_stream_cdc_state,
-#   q_stream_join_attrib, q_stream_static_enrich.
-# The four q_stream_* batch faces in the same module are NOT changed
-# (their code is untouched); they ride the module fold.
-# q_lakehouse_read_path (NEW r13) needs no entry: rank 0 covers
-# never-checked.
-# NOTE for the r14 derivation: the late-r13 operators/graph.py
-# staging migration (raw localCheckpoint -> staging.stage_df, value-
-# identical by construction and pinned both-modes in
-# test_staging_modes.py) touches the connected-components consumers
-# -- the dedup/curation group lanes (q_dedup_minhash_lsh,
-# q_dedup_simhash_banded, q_dedup_semantic, q_curation_pipeline,
-# q_entity_resolution) -- add them to R14_CHANGED when bumping
-# DERIVED_AT_ROUND (the matching/graph_iter members are already in
-# this round's set and the rest did not fit the r13 window anyway).
-R13_CHANGED = frozenset({
-    "q_file_skipping_scan", "q_retention_ttl",
-    "q_setsim_prefix_join",
-    "q_incremental_rollup", "q_incremental_join_view",
-    "q_fuzzy_levenshtein", "q_fuzzy_blocked", "q_funnel_conversion",
-    "q_entity_resolution", "q_fuzzy_blocked_stats",
-    "q_pagerank_bipartite", "q_label_propagation",
-    "q_stream_dedup_exact", "q_stream_cdc_state",
-    "q_stream_join_attrib", "q_stream_static_enrich",
+# Round-14 policy inputs that artifacts cannot express -- queries whose
+# code changed since their LAST green driver row: the late-r13
+# operators/graph.py staging migration (raw localCheckpoint ->
+# staging.stage_df, value-identical by construction and pinned
+# both-modes in test_staging_modes.py) touches the connected-
+# components consumers. The matching/graph_iter CC consumers were
+# driver-checked AFTER that commit landed (they sat in the r13
+# window), so only the dedup/curation group lanes -- whose last green
+# row predates the migration -- carry a CHANGED mark:
+R14_CHANGED = frozenset({
+    "q_dedup_minhash_lsh", "q_dedup_simhash_banded",
+    "q_dedup_semantic", "q_curation_pipeline",
+    "q_entity_resolution",
 })
-R13_PIN: tuple[str, ...] = ()
+R14_PIN: tuple[str, ...] = ()
 
 
 def test_import_order_is_policy_fixed_point():
     """The first 50 registered queries ARE the policy window."""
     want = registry.window(
-        size=WINDOW_SIZE, changed=R13_CHANGED, pin=R13_PIN,
+        size=WINDOW_SIZE, changed=R14_CHANGED, pin=R14_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     got = list(registry.QUERIES)[:WINDOW_SIZE]
@@ -103,10 +80,10 @@ def test_derivation_is_stable_under_new_artifacts(tmp_path):
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
     pinned = registry.window(
         size=WINDOW_SIZE, artifacts_dir=str(tmp_path),
-        changed=R13_CHANGED, pin=R13_PIN, max_round=DERIVED_AT_ROUND,
+        changed=R14_CHANGED, pin=R14_PIN, max_round=DERIVED_AT_ROUND,
     )
     baseline = registry.window(
-        size=WINDOW_SIZE, changed=R13_CHANGED, pin=R13_PIN,
+        size=WINDOW_SIZE, changed=R14_CHANGED, pin=R14_PIN,
         max_round=DERIVED_AT_ROUND,
     )
     assert pinned == baseline
@@ -127,86 +104,74 @@ def test_window_contains_every_never_checked_query():
     assert not missing, f"never-checked queries outside window: {missing}"
 
 
-def test_r13_window_contents():
-    """The round-13 membership decisions, pinned explicitly: the
-    rank-0 arrivals lead (q_bpe_encode -- the late-r13 tokenizer
-    APPLY lane -- the composed-lakehouse lane, then matching, whose
-    late-r13 member q_fuzzy_blocked_sampled pulls the module into
-    rank 0), the late-r12/r13
-    CHANGED cohort follows with its dependency folds (incremental
-    dragging the COW merge quartet in first), and the ENTIRE 28-query
-    r8-evidence cohort re-verifies -- matching's and graph_iter's
-    tails, the sketches, TPC-H q13/q17/q7/q22/q15, the pipeline and
-    range-join families, cohorts, setops, asof + the multimodal
-    trio. The 50-cut lands inside runtime_filters' r9 trio: aqe_skew
-    q_join_aqe_skew rides in at the cut; q_join_bucketed and
-    q_join_bloom_dpp are the two r9-evidence queries the late-r13
-    arrivals (q_bpe_encode, q_fuzzy_blocked_sampled) displaced past
-    it -- they lead the r14 derivation instead. After this window the
-    oldest evidence anywhere is r9."""
+def test_r14_window_contents():
+    """The round-14 membership decisions, pinned explicitly: matching
+    leads (its CHANGED member q_entity_resolution -- a stage_df-
+    migrated connected-components consumer -- pulls the module up with
+    fresh-r13 siblings riding the fold), the dedup/curation CHANGED
+    cohort follows with its dependency folds (curation_full dragging
+    packing+quality in, curation_extra dragging clustering), then
+    runtime_filters -- whose q_join_bucketed + q_join_bloom_dpp are
+    the two r9-evidence queries the late-r13 arrivals displaced past
+    the r13 cut -- and the r9-evidence cohort on evidence age:
+    binary_source, tpch_extra3, layout, the full text_analysis seven,
+    windows, subqueries, and semistructured closing the window at
+    exactly 50. After this window the r9-evidence set shrinks from 37
+    to 13 (relational, scalars, similarity lead r15)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
-        # rank 0
-        "q_bpe_encode",
-        "q_lakehouse_read_path",
-        # changed + dependency folds
-        "q_file_skipping_scan",
-        "q_merge_upsert", "q_time_travel", "q_table_diff",
-        "q_vacuum_retention",
-        "q_incremental_rollup", "q_incremental_join_view",
-        "q_retention_ttl", "q_setsim_prefix_join",
-        "q_fuzzy_levenshtein",
-        # the late-r13 sampled-blocking twin rides with matching
-        "q_fuzzy_blocked_sampled",
-        # the 28-query r8 cohort
-        "q_fuzzy_blocked", "q_funnel_conversion",
-        "q_entity_resolution", "q_fuzzy_blocked_stats",
-        "q_pagerank_bipartite", "q_label_propagation",
-        "q_agg_approx_distinct", "q_percentiles_approx",
-        "q_freq_items_cms",
-        "q13_customer_distribution", "q17_small_qty_revenue",
-        "q7_volume_shipping", "q22_idle_balance", "q15_top_supplier",
-        "q_pii_redact", "q_sample_hash", "q_dedup_span_shingles",
-        "q_rollup_reuse_hourly_daily",
-        "q_range_join_events", "q_interval_overlap",
-        "q_range_join_bucketed",
-        "q_cohort_retention",
-        "q_setops_nations", "q_setops_multiset",
-        "q_asof_join", "q_multimodal_features", "q_multimodal_resize",
-        "q_multimodal_frames",
-        # the changed streaming lanes + their riding batch faces
-        "q_stream_dedup_exact", "q_stream_cdc_state",
-        "q_stream_join_attrib", "q_stream_static_enrich",
-        "q_stream_tumbling", "q_stream_session", "q_stream_sliding",
-        "q_stream_dedup_face",
-        # the r9 tail that fills the window
-        "q_join_aqe_skew",
+        # matching: CHANGED member + riding siblings
+        "q_entity_resolution", "q_fuzzy_levenshtein", "q_fuzzy_blocked",
+        "q_fuzzy_blocked_sampled", "q_funnel_conversion",
+        "q_fuzzy_blocked_stats",
+        # dedup: CHANGED members + r11 tail
+        "q_dedup_minhash_lsh", "q_dedup_simhash_banded",
+        "q_dedup_exact", "q_dedup_components", "q_dedup_containment",
+        # the curation_full dependency fold
+        "q_pack_sequences", "q_quality_repetition",
+        "q_quality_gopher_filter", "q_curation_pipeline",
+        # curation_extra CHANGED member + its clustering dep
+        "q_dedup_semantic", "q_kmeans_assign", "q_kmeans_update",
+        "q_dedup_chunks", "q_budget_select",
+        # the displaced r9 leads + their riding sibling
+        "q_join_bucketed", "q_join_bloom_dpp", "q_join_aqe_skew",
+        # the r9-evidence cohort
+        "q_source_binaryfile",
+        "q4_order_priority", "q8_market_share", "q12_priority_class",
+        "q_zorder_layout",
+        "q_text_stats", "q_text_quality", "q_text_langid",
+        "q_text_token_regex", "q_text_fingerprint",
+        "q_text_rolling_winnow", "q_text_langid_ngram",
+        "q_window_topk_per_group", "q_window_running",
+        "q_window_range_frame", "q_window_rank_dense",
+        "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
+        "q_map_funcs", "q_json_struct",
     ):
         assert must in win, must
-    assert win[0] == "q_bpe_encode"
-    assert win[1] == "q_lakehouse_read_path"
-    assert win[-1] == "q_join_aqe_skew"  # cut inside runtime_filters
+    assert win[0] == "q_fuzzy_levenshtein"  # matching leads
+    assert win[-1] == "q_json_struct"  # semistructured closes at 50
     for out in (
-        # the two r9-evidence queries the late-r13 arrivals displaced
-        # past the cut (they lead r14)
-        "q_join_bloom_dpp", "q_join_bucketed",
-        # r12-green stays out (freshest evidence)
-        "q_delete_positional_dv", "q_delete_merge_on_read",
-        "q_theta_set_algebra", "q_bucket_pruning", "q_nested_collect",
-        "q_join_semi", "q_pandas_udf_scalar", "q_pivot",
-        "q_hll_union_rollup", "q_constraint_audit",
-        "discogs_xml_conversion", "q_stats_mad", "q_budget_select",
-        # r9-green stays out past the cut
-        "q_source_binaryfile", "q4_order_priority", "q_zorder_layout",
-        "q_text_stats", "q_window_topk_per_group",
-        "q1_pricing_summary", "q_ann_bruteforce_topk",
-        # r10/r11-green stays out
+        # r13-green stays out (freshest evidence)
+        "q_bpe_encode", "q_lakehouse_read_path", "q_file_skipping_scan",
+        "q_setsim_prefix_join", "q_pagerank_bipartite",
+        "q_merge_upsert", "q_incremental_rollup", "q_retention_ttl",
+        "q_stream_dedup_exact", "q_agg_approx_distinct",
+        "q13_customer_distribution", "q_asof_join", "q_cohort_retention",
+        "q_setops_nations", "q_multimodal_features", "q_pii_redact",
+        "q_range_join_events",
+        # r9-green past the cut: first in line for r15
+        "q1_pricing_summary", "q_filter_project", "q_string_funcs",
+        "q_ann_bruteforce_topk", "q_ann_lsh_buckets",
+        # r10/r11/r12-green stays out
         "q_profile_columns", "q_distribution_drift",
-        "q_sessionize_events", "q_scd2_merge", "q_dedup_exact",
-        "q_curation_pipeline", "q_stream_merge_sink",
+        "q_sessionize_events", "q_scd2_merge", "q_stream_merge_sink",
         "q_stream_restart", "q_schema_evolution_widening",
         "q_multimodal_image_decode", "q_partition_evolution",
         "q_source_python_datasource", "q10_returned_items",
+        "q_delete_positional_dv", "q_theta_set_algebra",
+        "q_bucket_pruning", "q_nested_collect", "q_join_semi",
+        "q_pandas_udf_scalar", "q_pivot", "q_hll_union_rollup",
+        "q_constraint_audit", "discogs_xml_conversion", "q_stats_mad",
     ):
         assert out not in win, out
 
