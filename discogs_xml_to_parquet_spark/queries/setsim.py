@@ -78,12 +78,31 @@ then verified. Three changes, each measured in isolation:
 
 Measured (local[32], same box): the r10 plan = 47.2 s at sf0.1 /
 69.6 s at sf1; the r11 collapse = ~5.5 s / ~19 s (22x -> ~4-5x);
-this plan = 4.4-5.3 s at sf0.1 / 12.8-14.6 s at sf1 -- the sf1/sf0.1
-wall ratio lands at ~2.9x for 10x data and exactly 10x output,
-under r9's <= ~4x bound with margin. The other r11 lever stays:
-localCheckpoint staging of the fan-out frames (doc_sets / sets /
-members / prefix) removes ~10 s of lineage recompute the
-~10-consumer DAG otherwise pays.
+the r12 plan = 4.4-5.3 s at sf0.1 / 12.8-14.6 s at sf1 -- the
+sf1/sf0.1 wall ratio lands at ~2.9x for 10x data and exactly 10x
+output, under r9's <= ~4x bound with margin. The other r11 lever
+stays: localCheckpoint staging of the fan-out frames (doc_sets /
+sets / members / ranked tokens) removes ~10 s of lineage recompute
+the ~10-consumer DAG otherwise pays.
+
+r14 rewrite -- INTERNED TOKEN IDS (VERDICT r13 item 3): the r13 sf10
+lane measured the candidate stream exactly linear (9.6M -> 96M per
+decade) but decade2 wall at 6.9x -- the residual super-linearity is
+pure verification CPU: array_intersect over STRING token arrays pays
+UTF8 hashing + equality per element per candidate. The rarity join
+already exists (every token row joins the per-token df table), so the
+global token dictionary is free to mint there: distinct tokens get an
+8-byte surrogate `tid` (monotonically_increasing_id frozen by
+stage_df -- the same dimension-key trick as `sid`), the candidate
+self-join keys on tid (8-byte probes instead of variable-length
+strings), and verification intersects SORTED LONG arrays rebuilt
+per-set from the already-sid-partitioned ranked frame (the groupBy
+reuses the window's exchange -- zero added shuffles). The md5 stays
+the collapse identity; the string arrays never ride a broadcast or a
+join again after the dictionary join. Exactness is untouched: the
+dictionary is bijective (tid equality <=> token equality), so the
+oracle hash-match at sf0.01 pins the interning on top of the collapse
+and prefix-filter theorems.
 """
 
 from __future__ import annotations
@@ -125,11 +144,13 @@ _BROADCAST_MAX_ROWS = 2_000_000
 # heap while still broadcasting every bench-scale corpus.
 _BROADCAST_MAX_BYTES = 512 * 2**20
 
-# Per-token estimate: UTF8String payload + array slot + object
-# overhead inside the broadcast HashedRelation; per-row fixed cost:
-# the non-array columns (md5 string, sid long, n int) + row/array
-# headers + hash-table entry.
-_TOKEN_OVERHEAD = 20
+# Per-row / per-element byte estimates for the broadcast build sides
+# (r14: the verification arrays are interned LONGS, so the estimate
+# is exact-ish -- 8 B payload + UnsafeArrayData slot/alignment; the
+# string token arrays never ride a broadcast anymore). Per-row fixed
+# cost: the non-array columns + row/array headers + hash-table entry.
+_ITOK_BYTES = 16
+_ISET_ROW_OVERHEAD = 64
 _SETS_ROW_OVERHEAD = 96
 _MEMBERS_ROW_OVERHEAD = 56
 
@@ -163,34 +184,52 @@ def _doc_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _ranked_prefix(sets: DataFrame) -> DataFrame:
-    """Prefix tokens of the distinct sets under the global rarity
-    order (set frequency, then token): per-set positions come from a
-    row_number window PARTITIONED BY the set's surrogate id (bounded,
-    never global), and only the first |d| - ceil(t*|d|) + 1 tokens
-    survive (all-integer ceil). (pos, n) ride along so the candidate
-    join can evaluate the positional and length filters as residuals.
-    Keys are the 8-byte `sid` surrogate, not the md5 string -- the
-    candidate stream downstream carries two ids per matched row, so
-    key width is THE bandwidth knob (r12). Factored out of the query
-    so the plan gate can inspect this stage's window spec directly --
-    the query localCheckpoints the result (both sides of the
-    self-join read it), which cuts the lineage out of the final
-    plan."""
+def _ranked_tokens(sets: DataFrame) -> DataFrame:
+    """Every (set, token) row with the token's interned 8-byte id and
+    its per-set rarity position: tokens rank under the global rarity
+    order (set frequency, then token) via a row_number window
+    PARTITIONED BY the set's surrogate id (bounded, never global).
+    The interned `tid` (r14) is minted on the per-token df table that
+    the rarity join ALREADY builds -- monotonically_increasing_id
+    frozen by stage_df, bijective with the token string -- so
+    dictionary assignment costs zero extra shuffles: the stok-side
+    exchange on tok and the df groupBy existed in r11-r13; the tid
+    column just rides the same join. Downstream, candidate join keys
+    and verification arrays are all longs; the token STRING dies
+    here."""
     stok = sets.select("sid", "n", F.explode("toks").alias("tok"))
-    df_tok = stok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = stok.join(df_tok, "tok").withColumn(
+    tok_dict = stage_df(
+        stok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("tid", F.monotonically_increasing_id())
+    )
+    return stok.join(tok_dict, "tok").withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy("sid").orderBy("df", "tok")
         ),
-    )
+    ).select("sid", "tid", "pos", "n")
+
+
+def _prefix_filter(ranked: DataFrame) -> DataFrame:
+    """Only the first |d| - ceil(t*|d|) + 1 rarity positions survive
+    as join keys (all-integer ceil); (pos, n) ride along so the
+    candidate join can evaluate the positional and length filters as
+    residuals."""
     return ranked.filter(
         F.col("pos")
         <= F.col("n")
         - F.expr(f"({_T_NUM} * n + {_T_DEN} - 1) DIV {_T_DEN}")
         + 1
-    ).select("sid", "tok", "pos", "n")
+    ).select("sid", "tid", "pos", "n")
+
+
+def _ranked_prefix(sets: DataFrame) -> DataFrame:
+    """Prefix tokens of the distinct sets (the r11-r13 entry point,
+    kept factored so the plan gate can inspect the ranking stage's
+    window spec directly -- the query stages the ranked frame, which
+    cuts this lineage out of the final plan)."""
+    return _prefix_filter(_ranked_tokens(sets))
 
 
 @query(
@@ -279,20 +318,19 @@ def setsim_pairs(docs: DataFrame,
     # r12 item 3): counts AND build-side byte estimates come off the
     # eager staged frames -- map-only passes over cached partitions,
     # no lineage recompute. members has one row per DOC (sid long +
-    # doc_id, fixed width), sets one per distinct set (its width is
-    # the TOKEN ARRAYS -- the quantity the row cap cannot see); each
-    # build side is gated on its own count and its own bytes.
+    # doc_id, fixed width); the slim (set_id, sid) mapping and the
+    # interned verification arrays (r14: LONGS -- total_toks * 16 B,
+    # the quantity the row cap cannot see) are gated separately, each
+    # on its own count and its own bytes.
     set_stats = sets.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.coalesce(
-            F.sum(F.aggregate(
-                "toks", F.lit(0).cast("long"),
-                lambda acc, t: acc + F.length(t) + _TOKEN_OVERHEAD)),
-            F.lit(0).cast("long"),
-        ).alias("tok_bytes"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+        .alias("total_toks"),
     ).first()
     n_sets = set_stats["rows"]
-    sets_bytes = set_stats["tok_bytes"] + n_sets * _SETS_ROW_OVERHEAD
+    slim_bytes = n_sets * _SETS_ROW_OVERHEAD
+    iset_bytes = (set_stats["total_toks"] * _ITOK_BYTES
+                  + n_sets * _ISET_ROW_OVERHEAD)
     mem_stats = doc_sets.agg(
         F.count(F.lit(1)).alias("rows"),
         F.coalesce(
@@ -303,22 +341,38 @@ def setsim_pairs(docs: DataFrame,
     n_docs = mem_stats["rows"]
     members_bytes = (mem_stats["id_bytes"]
                      + n_docs * _MEMBERS_ROW_OVERHEAD)
-    bc_set = F.broadcast if (
+    bc_slim = F.broadcast if (
         n_sets <= broadcast_max_rows
-        and sets_bytes <= broadcast_max_bytes) else (lambda df: df)
+        and slim_bytes <= broadcast_max_bytes) else (lambda df: df)
+    bc_iset = F.broadcast if (
+        n_sets <= broadcast_max_rows
+        and iset_bytes <= broadcast_max_bytes) else (lambda df: df)
     bc_mem = F.broadcast if (
         n_docs <= broadcast_max_rows
         and members_bytes <= broadcast_max_bytes) else (lambda df: df)
     # membership on the surrogate key: one gated set-table join at
     # staging, then the three expansion joins all probe by long
     members = (
-        doc_sets.join(bc_set(sets.select("set_id", "sid")), "set_id")
+        doc_sets.join(bc_slim(sets.select("set_id", "sid")), "set_id")
         .select("sid", "doc_id")
         .transform(stage_df)
     )
-    # 2. prefix tokens of the distinct sets (see _ranked_prefix),
-    # staged once: BOTH sides of the candidate self-join read it.
-    prefix = stage_df(_ranked_prefix(sets))
+    # 2. every (set, token) row with its interned tid and rarity
+    # position (see _ranked_tokens), staged ONCE: the prefix filter
+    # (both sides of the candidate self-join), and the verification-
+    # array rebuild below, all read it. The window's exchange left the
+    # staged partitions keyed by sid, so the groupBy(sid) that
+    # re-assembles each set's SORTED LONG array adds no shuffle.
+    ranked = stage_df(_ranked_tokens(sets))
+    prefix = _prefix_filter(ranked)
+    isets = (
+        ranked.groupBy("sid")
+        .agg(
+            F.sort_array(F.collect_list("tid")).alias("itoks"),
+            F.max("n").alias("n"),
+        )
+        .transform(stage_df)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     # LENGTH filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
     # POSITIONAL filter: overlap <= 1 + min(|A|-pos_a, |B|-pos_b)
@@ -339,7 +393,7 @@ def setsim_pairs(docs: DataFrame,
     # set pairs: 20k rows at sf1, output-bound).
     cand = a.join(
         b,
-        (F.col("a.tok") == F.col("b.tok"))
+        (F.col("a.tid") == F.col("b.tid"))
         & (F.col("a.sid") < F.col("b.sid"))
         & (F.col("a.n") * _T_DEN >= _T_NUM * F.col("b.n"))
         & (F.col("b.n") * _T_DEN >= _T_NUM * F.col("a.n"))
@@ -358,17 +412,20 @@ def setsim_pairs(docs: DataFrame,
         F.col("a.sid").alias("sid_a"),
         F.col("b.sid").alias("sid_b"),
     )
-    # 3. verification over sets: the set table is one row per DISTINCT
-    # SET -- below the cap, broadcast it so the candidate pairs (the
-    # big side) never shuffle and the token arrays ship once per
-    # executor; above it, shuffle on set_id (AQE picks from runtime
+    # 3. verification over sets: the interned-array table is one row
+    # per DISTINCT SET -- below the cap, broadcast it so the candidate
+    # pairs (the big side) never shuffle and the long arrays ship once
+    # per executor; above it, shuffle on sid (AQE picks from runtime
     # sizes). BOTH sides join the SAME canonical frame via aliases
     # (no per-side column renames inside the build side): identical
     # broadcast children canonicalize equal, so ReuseExchange ships
-    # the set table ONCE instead of building it per join -- at sf1
-    # the toks-array broadcast is the verification stage's dominant
+    # the array table ONCE instead of building it per join -- at sf1
+    # the array broadcast is the verification stage's dominant
     # cost, and r11's renamed-projection spelling built it twice
-    # (plan-gated in test_setsim_broadcast.py).
+    # (plan-gated in test_setsim_broadcast.py). The intersect runs
+    # over SORTED LONG arrays (r14): no UTF8 hashing or byte-wise
+    # equality per element per candidate -- the decade2 CPU the r13
+    # sf10 lane measured on the exactly-linear 96M-candidate stream.
     # ... but the verification work must NOT run inside the prefix
     # join's output partitions: those are keyed by TOK, and the match
     # explosion concentrates in the few partitions holding the
@@ -384,13 +441,14 @@ def setsim_pairs(docs: DataFrame,
     n_shuffle = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = cand.repartition(n_shuffle, "sid_a", "sid_b")
-    va, vb = sets.alias("va"), sets.alias("vb")
+    va, vb = isets.alias("va"), isets.alias("vb")
     qual = (
-        cand.join(bc_set(va), F.col("sid_a") == F.col("va.sid"))
-        .join(bc_set(vb), F.col("sid_b") == F.col("vb.sid"))
+        cand.join(bc_iset(va), F.col("sid_a") == F.col("va.sid"))
+        .join(bc_iset(vb), F.col("sid_b") == F.col("vb.sid"))
         .withColumn(
             "n_common",
-            F.size(F.array_intersect("va.toks", "vb.toks")).cast("long"),
+            F.size(F.array_intersect("va.itoks", "vb.itoks"))
+            .cast("long"),
         )
         .withColumn(
             "n_union",
@@ -423,16 +481,16 @@ def setsim_pairs(docs: DataFrame,
     )
     # Intra-clique pairs: two docs with the SAME token set have J = 1
     # >= t always; n_common = n_union = |set|. The size lookup joins
-    # the canonical set frame too (the spare toks column rides a
-    # broadcast that already shipped -- reuse beats a second, slimmer
-    # build).
-    vs = sets.alias("vs")
+    # the canonical interned frame (the spare itoks column rides a
+    # broadcast that already shipped for verification -- reuse beats
+    # a second, slimmer build).
+    vs = isets.alias("vs")
     intra = (
         members.alias("x")
         .join(bc_mem(members.alias("y")),
               (F.col("x.sid") == F.col("y.sid"))
               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .join(bc_set(vs), F.col("x.sid") == F.col("vs.sid"))
+        .join(bc_iset(vs), F.col("x.sid") == F.col("vs.sid"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
