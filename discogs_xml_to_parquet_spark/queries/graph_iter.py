@@ -135,7 +135,41 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct -> SinglePartition count" chains for one scalar).
     # Its eager materialization also fills the ewd cache.
     nn = stage_df(ewd.agg(F.count_distinct("src").alias("n")))
-    ranks = None
+    # PRE-DIVIDE (r14, VERDICT r13 item 4): the per-edge contribution
+    # is r div odeg, CONSTANT per src -- dividing on the edge stream
+    # pays the div (and carries the odeg column through the cache
+    # scan) once per EDGE, 10x per round more arithmetic and memory
+    # bandwidth than the node domain needs on this avg-degree-10
+    # graph. Instead each round ends by folding damping AND the
+    # division into one O(nodes) projection joined against the
+    # per-node out-degree table -- `parts` (node, part = r div odeg)
+    # IS the rank-vector the next round's edge join consumes. The
+    # out-degree table derives from the cached frame with a
+    # groupBy(src): the window already partitioned ewd by src, so the
+    # agg needs no exchange, and the contrib⋈outdeg join below lands
+    # co-partitioned (contrib from groupBy(dst), outdeg from
+    # groupBy(src), the same hash family on node ids). Per round the
+    # cached-edge scan now prunes to (src, dst) -- the columnar
+    # InMemoryRelation never materializes odeg again.
+    outdeg = ewd.groupBy(F.col("src").alias("onode")).agg(
+        F.max("odeg").alias("odeg"))
+
+    def _next_parts(contrib: DataFrame) -> DataFrame:
+        """(teleport + damped sum) div odeg, one row per node: the
+        damping projection and the pre-division fused into the single
+        exchange-free O(nodes) stage between message rounds."""
+        return (
+            contrib.join(outdeg.hint("shuffle_hash"),
+                         contrib["dst"] == outdeg["onode"])
+            .crossJoin(F.broadcast(nn))
+            .selectExpr(
+                "dst AS node",
+                f"(CAST((15 * ({_SCALE} div n)) div 100"
+                " + (85 * s) div 100 AS BIGINT)) div odeg AS part",
+            )
+        )
+
+    parts = None
     for it in range(_ITERS):
         if it == 0:
             # Round 1 fused: the initial rank vector is UNIFORM
@@ -161,16 +195,16 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the graph shipped per round; ~300 MB at sf1, impossible
             # at 100 TB). Hinted, the join streams the src-partitioned
             # cached edges exchange-free and builds only the O(nodes)
-            # rank vector -- which arrives ALREADY co-partitioned: the
-            # previous round's groupBy(dst) partitioned it by dst, and
-            # the alias-aware Project carries that through node. Per
-            # round the only exchange left is the message shuffle
-            # (groupBy dst, map-side combined) -- PageRank's inherent
-            # communication floor.
+            # pre-divided vector -- which arrives ALREADY
+            # co-partitioned: the previous round's groupBy(dst)
+            # partitioned it by dst, and the alias-aware Projects
+            # carry that through node. Per round the only exchange
+            # left is the message shuffle (groupBy dst, map-side
+            # combined) -- PageRank's inherent communication floor.
             contrib = (
-                ewd.join(ranks.hint("shuffle_hash"),
-                         ewd["src"] == ranks["node"])
-                .selectExpr("dst", "r div odeg AS part")
+                ewd.join(parts.hint("shuffle_hash"),
+                         ewd["src"] == parts["node"])
+                .select("dst", "part")
                 .groupBy("dst")
                 .agg(F.sum("part").alias("s"))
             )
@@ -181,11 +215,14 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round (~25% of the query; equivalence pinned by the oracle
         # and tests/test_new_operators.py). A general-graph PageRank
         # (dangling nodes / asymmetric edges) needs the outdeg rebuild.
-        ranks = contrib.crossJoin(F.broadcast(nn)).selectExpr(
-            "dst AS node",
-            f"CAST((15 * ({_SCALE} div n)) div 100"
-            " + (85 * s) div 100 AS BIGINT) AS r",
-        )
+        if it < _ITERS - 1:
+            parts = _next_parts(contrib)
+    # the LAST round keeps the undivided rank (the output quantity)
+    ranks = contrib.crossJoin(F.broadcast(nn)).selectExpr(
+        "dst AS node",
+        f"CAST((15 * ({_SCALE} div n)) div 100"
+        " + (85 * s) div 100 AS BIGINT) AS r",
+    )
     top = (
         ranks.select("node", F.col("r").alias("rank_scaled"))
         .selectExpr(

@@ -513,11 +513,15 @@ def test_q19_disjunction_keeps_equi_join(spark):
 
 
 def test_pagerank_round1_is_join_free(spark):
-    """The fused PageRank plans exactly ITERS-1 shuffle joins: round 1
-    propagates the uniform rank as a constant off the edge list
-    (broadcast of the 1-row node count only), so an extra
-    SortMergeJoin/ShuffledHashJoin means the rank-vector build crept
-    back in (it costs a distinct + a join at every scale)."""
+    """The fused PageRank plans exactly 2*(ITERS-1) equi-joins: per
+    round 2..N one O(edges) edge⋈rank-vector join, plus (r14
+    pre-divide) one O(nodes) contrib⋈outdeg join folding damping and
+    the odeg division into the between-rounds projection -- both
+    co-partitioned, neither an exchange. Round 1 propagates the
+    uniform rank as a constant off the edge list (broadcast of the
+    1-row node count only), so MORE joins than this means the
+    rank-vector build crept back in (it costs a distinct + a join at
+    every scale)."""
     from discogs_xml_to_parquet_spark.queries.graph_iter import _ITERS
 
     df = registry.QUERIES["q_pagerank_bipartite"](spark, SF_SMOKE)
@@ -528,7 +532,7 @@ def test_pagerank_round1_is_join_free(spark):
         + tree.count("ShuffledHashJoin")
         + tree.count("BroadcastHashJoin")
     )
-    assert equi_joins == _ITERS - 1  # rounds 2..N; round 1 is join-free
+    assert equi_joins == 2 * (_ITERS - 1)
 
 
 def test_pagerank_edge_list_shuffles_once(spark):
