@@ -176,6 +176,10 @@ _SF1_CORPUS_VERSION = 4
 # artifact carries the curve without re-paying the run.
 SF10_QUERIES = [
     "q_fuzzy_blocked",
+    # r14 (VERDICT r13 item 2): the sampled twin rides the lane at the
+    # exact density where the purged blocker collapsed to 0 rows --
+    # its cap^2/2-per-bucket bound must hold work AND output at 100x
+    "q_fuzzy_blocked_sampled",
     "q_setsim_prefix_join",
     "q_pagerank_bipartite",
     "q_stats_mad",

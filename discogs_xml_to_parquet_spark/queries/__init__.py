@@ -22,63 +22,80 @@ in tests/test_window.py, pin=(), max_round=13). The design intent
 components consumers and start retiring the 37-query r9-evidence
 cohort -- the oldest evidence in the repo.
 
-- 1-6: matching CHANGED (the late-r13 operators/graph.py stage_df
+- 1-2: snapshot_read NEW r14 at rank 0 -- q_snapshot_read, the FULL
+  composed snapshot read (versioned manifest -> three-gate planned
+  scan -> positional-DV subtraction); its lakehouse import folds in
+  first, and q_lakehouse_read_path is itself CHANGED in-round
+  (planned_read now exposes the planned file list);
+- 3-8: matching CHANGED (the late-r13 operators/graph.py stage_df
   migration touches q_entity_resolution's CC stage; the module's
   five siblings -- including the late-r13 sampled-blocking twin --
   ride the fold with fresh r13 evidence);
-- 7-17: dedup CHANGED (q_dedup_minhash_lsh + q_dedup_simhash_banded
+- 9-19: dedup CHANGED (q_dedup_minhash_lsh + q_dedup_simhash_banded
   are stage_df-migrated CC consumers; the module's r11-evidence tail
   re-verifies with them);
-- 18-21: packing + quality + curation_full ride the dependency fold
+- 20-23: packing + quality + curation_full ride the dependency fold
   (curation_full imports dedup/packing/quality; q_curation_pipeline
   is itself a stage_df-migrated CC consumer);
-- 22-26: clustering + curation_extra (q_dedup_semantic is the fifth
+- 24-28: clustering + curation_extra (q_dedup_semantic is the fifth
   stage_df-migrated CC consumer; clustering is its import dep);
-- 27-29: runtime_filters -- q_join_bucketed and q_join_bloom_dpp are
+- 29-31: setsim + graph_iter CHANGED in-round (the interned-token
+  verification rewrite and the pre-divided PageRank rank vector --
+  both r13-green, both rewritten this round, so both re-verify);
+- 32-34: runtime_filters -- q_join_bucketed and q_join_bloom_dpp are
   the two r9-evidence queries the late-r13 arrivals displaced past
   the r13 cut (VERDICT r13: "they lead the r14 derivation");
   q_join_aqe_skew rides its module;
-- 30-50: the r9-evidence cohort on evidence age -- binary_source,
+- 35-50: the r9-evidence cohort on evidence age -- binary_source,
   tpch_extra3 (q4/q8/q12), layout, text_analysis (all seven),
-  windows (all four), subqueries (all three), semistructured
-  (q_map_funcs + q_json_struct close the window at exactly 50).
+  windows (all four close the window at exactly 50).
 
-After this window the r9-evidence set shrinks from 37 to 13
-(relational, scalars, similarity -- first in line for r15). The
+After this window the r9-evidence set shrinks from 37 to 18
+(subqueries, semistructured, relational, scalars, similarity --
+first in line for r15). The
 staging helpers the staged lanes share live in ../staging.py, OUTSIDE
 this package, so importing them cannot drag a query module forward in
 the window.
 """
 
 from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
-    # 1-6: matching CHANGED (stage_df CC migration touches
+    # 1-2: snapshot_read NEW r14 (rank 0) -- the FULL composed
+    # snapshot read (versioned manifest -> three-gate planned scan ->
+    # positional-DV subtraction); its lakehouse import folds in first
+    lakehouse,
+    snapshot_read,
+    # 3-8: matching CHANGED (stage_df CC migration touches
     # q_entity_resolution; fresh-r13 siblings ride the module fold)
     matching,
-    # 7-17: dedup CHANGED (q_dedup_minhash_lsh + q_dedup_simhash_banded
+    # 9-19: dedup CHANGED (q_dedup_minhash_lsh + q_dedup_simhash_banded
     # are stage_df-migrated; the r11 tail re-verifies)
     dedup,
-    # 18-21: the curation_full dependency fold (imports dedup,
+    # 20-23: the curation_full dependency fold (imports dedup,
     # packing, quality; q_curation_pipeline is stage_df-migrated)
     packing,
     quality,
     curation_full,
-    # 22-26: q_dedup_semantic CHANGED (stage_df) + its clustering dep
+    # 24-28: q_dedup_semantic CHANGED (stage_df) + its clustering dep
     clustering,
     curation_extra,
-    # 27-29: q_join_bucketed + q_join_bloom_dpp -- the two r9-evidence
+    # 29-31: the in-round rewrites re-verify (interned setsim
+    # verification, pre-divided PageRank)
+    setsim,
+    graph_iter,
+    # 32-34: q_join_bucketed + q_join_bloom_dpp -- the two r9-evidence
     # queries displaced past the r13 cut lead the rotation
     runtime_filters,
-    # 30-50: the r9-evidence cohort on evidence age
+    # 35-50: the r9-evidence cohort on evidence age; the 50-cut lands
+    # exactly at windows' fourth query
     binary_source,
     tpch_extra3,
     layout,
     text_analysis,
     windows,
-    subqueries,
-    # the 50-cut lands exactly at semistructured's second query
-    semistructured,
     # --- 50-query window cut ---
     # r9-green remainder: first in line for round 15
+    subqueries,
+    semistructured,
     relational,
     scalars,
     similarity,
@@ -140,14 +157,12 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401,E402
     joins,
     nested,
     python_udfs,
-    # r13-green (freshest evidence, rotated out of the window)
+    # r13-green (freshest evidence, rotated out of the window;
+    # lakehouse/setsim/graph_iter already registered in-window above)
     tokenize,
-    lakehouse,
     file_skipping,
     incremental,
     ttl,
-    setsim,
-    graph_iter,
     streaming_queries,
     sketches,
     tpch_extra2,

@@ -209,6 +209,11 @@ def planned_read(spark: SparkSession, table: str, manifest_dir: str,
         ]
     counts["after_skip"] = len(entries)
     keep = sorted(e["file"] for e in entries)
+    # the planned file list rides with the gate counts: the composed
+    # snapshot read (queries/snapshot_read.py) prunes its deletion-
+    # vector build side to the planned files, and tests pin
+    # inputFiles == the planned keep set
+    counts["files"] = keep
     pred = (
         F.col("o_year").between(y_lo, y_hi)
         & F.col("o_custkey").isin(*keys)

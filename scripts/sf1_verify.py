@@ -165,6 +165,12 @@ DEFAULT = [
     # collapse must hold the encoding exact over the 10x (50k-doc)
     # corpus; documents is in the 10x table set
     "q_bpe_encode",
+    # r14: the composed snapshot read at the 10x orders -- v0/v1 both
+    # resolve through 10x-file manifests, the merge rewrites ~10x
+    # bytes in the 8 window cells, the positional DV set subtracts
+    # ~10x (file, row) pairs through the planned scan, and every
+    # checksum + strict-decrease boolean must hold
+    "q_snapshot_read",
     # q_fuzzy_blocked also passes but its oracle side takes ~6 min;
     # opt in with --queries (q_fuzzy_blocked_sampled shares the same
     # oracle cost profile -- identical band CTEs, one window swapped). q_setsim_prefix_join is deliberately NOT
@@ -187,6 +193,14 @@ DEFAULT_100 = [
     "q_merge_upsert",
     "q_pagerank_bipartite",
     "q_fuzzy_blocked",
+    # r14 (VERDICT r13 item 2): the sampled twin at the density where
+    # purging collapsed -- the md5-rank is engine-portable, so the
+    # compare is cell-exact and the answer must be NON-empty
+    "q_fuzzy_blocked_sampled",
+    # r14 (VERDICT r13 item 6): the dedup stack's third decade --
+    # the full LSH chain (shingles -> signatures -> bands -> verified
+    # pairs) hash-matched over the 500k-doc corpus
+    "q_dedup_minhash_lsh",
 ]
 
 

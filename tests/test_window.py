@@ -36,11 +36,17 @@ DERIVED_AT_ROUND = 13
 # components consumers. The matching/graph_iter CC consumers were
 # driver-checked AFTER that commit landed (they sat in the r13
 # window), so only the dedup/curation group lanes -- whose last green
-# row predates the migration -- carry a CHANGED mark:
+# row predates the migration -- carry a CHANGED mark. The last three
+# entries are r14 IN-ROUND rewrites of r13-green queries: the
+# interned-token setsim verification, the pre-divided PageRank rank
+# vector, and planned_read's planned-file-list return (the lakehouse
+# helper the new snapshot_read lane composes):
 R14_CHANGED = frozenset({
     "q_dedup_minhash_lsh", "q_dedup_simhash_banded",
     "q_dedup_semantic", "q_curation_pipeline",
     "q_entity_resolution",
+    "q_setsim_prefix_join", "q_pagerank_bipartite",
+    "q_lakehouse_read_path",
 })
 R14_PIN: tuple[str, ...] = ()
 
@@ -105,21 +111,23 @@ def test_window_contains_every_never_checked_query():
 
 
 def test_r14_window_contents():
-    """The round-14 membership decisions, pinned explicitly: matching
-    leads (its CHANGED member q_entity_resolution -- a stage_df-
-    migrated connected-components consumer -- pulls the module up with
-    fresh-r13 siblings riding the fold), the dedup/curation CHANGED
-    cohort follows with its dependency folds (curation_full dragging
-    packing+quality in, curation_extra dragging clustering), then
-    runtime_filters -- whose q_join_bucketed + q_join_bloom_dpp are
-    the two r9-evidence queries the late-r13 arrivals displaced past
-    the r13 cut -- and the r9-evidence cohort on evidence age:
-    binary_source, tpch_extra3, layout, the full text_analysis seven,
-    windows, subqueries, and semistructured closing the window at
-    exactly 50. After this window the r9-evidence set shrinks from 37
-    to 13 (relational, scalars, similarity lead r15)."""
+    """The round-14 membership decisions, pinned explicitly: the
+    rank-0 arrival leads (q_snapshot_read -- the composed snapshot
+    read -- with its changed lakehouse import folding in first), then
+    matching (its CHANGED member q_entity_resolution pulls the module
+    up), the dedup/curation CHANGED cohort with its dependency folds,
+    the two in-round rewrites (setsim, graph_iter), runtime_filters
+    -- whose q_join_bucketed + q_join_bloom_dpp are the two
+    r9-evidence queries the late-r13 arrivals displaced -- and the
+    r9-evidence cohort: binary_source, tpch_extra3, layout, the full
+    text_analysis seven, and windows closing the cut at exactly 50.
+    After this window the r9-evidence set shrinks from 37 to 18
+    (subqueries, semistructured, relational, scalars, similarity
+    lead r15)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
+        # rank 0 + its changed dep
+        "q_snapshot_read", "q_lakehouse_read_path",
         # matching: CHANGED member + riding siblings
         "q_entity_resolution", "q_fuzzy_levenshtein", "q_fuzzy_blocked",
         "q_fuzzy_blocked_sampled", "q_funnel_conversion",
@@ -133,6 +141,9 @@ def test_r14_window_contents():
         # curation_extra CHANGED member + its clustering dep
         "q_dedup_semantic", "q_kmeans_assign", "q_kmeans_update",
         "q_dedup_chunks", "q_budget_select",
+        # the in-round rewrites re-verify
+        "q_setsim_prefix_join", "q_pagerank_bipartite",
+        "q_label_propagation",
         # the displaced r9 leads + their riding sibling
         "q_join_bucketed", "q_join_bloom_dpp", "q_join_aqe_skew",
         # the r9-evidence cohort
@@ -144,24 +155,24 @@ def test_r14_window_contents():
         "q_text_rolling_winnow", "q_text_langid_ngram",
         "q_window_topk_per_group", "q_window_running",
         "q_window_range_frame", "q_window_rank_dense",
-        "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
-        "q_map_funcs", "q_json_struct",
     ):
         assert must in win, must
-    assert win[0] == "q_fuzzy_levenshtein"  # matching leads
-    assert win[-1] == "q_json_struct"  # semistructured closes at 50
+    assert win[0] == "q_lakehouse_read_path"  # snapshot_read's dep
+    assert win[1] == "q_snapshot_read"        # the rank-0 arrival
+    assert win[-1] == "q_window_rank_dense"   # windows closes at 50
     for out in (
+        # r9-green past the cut: first in line for r15
+        "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
+        "q_map_funcs", "q_json_struct",
+        "q1_pricing_summary", "q_filter_project", "q_string_funcs",
+        "q_ann_bruteforce_topk", "q_ann_lsh_buckets",
         # r13-green stays out (freshest evidence)
-        "q_bpe_encode", "q_lakehouse_read_path", "q_file_skipping_scan",
-        "q_setsim_prefix_join", "q_pagerank_bipartite",
+        "q_bpe_encode", "q_file_skipping_scan",
         "q_merge_upsert", "q_incremental_rollup", "q_retention_ttl",
         "q_stream_dedup_exact", "q_agg_approx_distinct",
         "q13_customer_distribution", "q_asof_join", "q_cohort_retention",
         "q_setops_nations", "q_multimodal_features", "q_pii_redact",
         "q_range_join_events",
-        # r9-green past the cut: first in line for r15
-        "q1_pricing_summary", "q_filter_project", "q_string_funcs",
-        "q_ann_bruteforce_topk", "q_ann_lsh_buckets",
         # r10/r11/r12-green stays out
         "q_profile_columns", "q_distribution_drift",
         "q_sessionize_events", "q_scd2_merge", "q_stream_merge_sink",
