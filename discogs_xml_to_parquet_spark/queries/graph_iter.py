@@ -150,9 +150,17 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # co-partitioned (contrib from groupBy(dst), outdeg from
     # groupBy(src), the same hash family on node ids). Per round the
     # cached-edge scan now prunes to (src, dst) -- the columnar
-    # InMemoryRelation never materializes odeg again.
+    # InMemoryRelation never materializes odeg again. The O(nodes)
+    # result is ITSELF persisted: _next_parts references it once per
+    # non-final round, and without its own cache entry each reference
+    # re-scans the full cached edge list -- hot-cache solo that is
+    # memory-bandwidth noise, but under the bench lane's neighbor
+    # memory pressure the evicted edge partitions re-read from disk
+    # (measured: 3.1 s solo vs 6.8 s interleaved at sf1 before this
+    # persist). InMemoryRelation keeps the groupBy's src partitioning,
+    # so the pre-divide join stays exchange-free.
     outdeg = ewd.groupBy(F.col("src").alias("onode")).agg(
-        F.max("odeg").alias("odeg"))
+        F.max("odeg").alias("odeg")).persist()
 
     def _next_parts(contrib: DataFrame) -> DataFrame:
         """(teleport + damped sum) div odeg, one row per node: the
