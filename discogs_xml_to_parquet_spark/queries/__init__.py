@@ -27,7 +27,10 @@ cohort -- the oldest evidence in the repo.
   scan -> positional-DV subtraction); its lakehouse import folds in
   first, and q_lakehouse_read_path is itself CHANGED in-round
   (planned_read now exposes the planned file list);
-- 3-8: matching CHANGED (the late-r13 operators/graph.py stage_df
+- 3-4: packing rank 0 (q_pack_greedy NEW r14 -- boundary-preserving
+  next-fit packing as a per-shard applyInPandas recurrence, the
+  non-splitting twin of concat-and-chunk);
+- 5-10: matching CHANGED (the late-r13 operators/graph.py stage_df
   migration touches q_entity_resolution's CC stage; the module's
   five siblings -- including the late-r13 sampled-blocking twin --
   ride the fold with fresh r13 evidence);
@@ -46,9 +49,9 @@ cohort -- the oldest evidence in the repo.
   the two r9-evidence queries the late-r13 arrivals displaced past
   the r13 cut (VERDICT r13: "they lead the r14 derivation");
   q_join_aqe_skew rides its module;
-- 35-50: the r9-evidence cohort on evidence age -- binary_source,
+- 36-50: the r9-evidence cohort on evidence age -- binary_source,
   tpch_extra3 (q4/q8/q12), layout, text_analysis (all seven),
-  windows (all four close the window at exactly 50).
+  windows (the cut lands INSIDE windows: rank_dense waits for r15).
 
 After this window the r9-evidence set shrinks from 37 to 18
 (subqueries, semistructured, relational, scalars, similarity --
@@ -64,15 +67,17 @@ from discogs_xml_to_parquet_spark.queries import (  # noqa: F401
     # positional-DV subtraction); its lakehouse import folds in first
     lakehouse,
     snapshot_read,
-    # 3-8: matching CHANGED (stage_df CC migration touches
+    # 3-4: packing rank 0 (q_pack_greedy NEW r14 -- the boundary-
+    # preserving next-fit packer; q_pack_sequences rides the module)
+    packing,
+    # 5-10: matching CHANGED (stage_df CC migration touches
     # q_entity_resolution; fresh-r13 siblings ride the module fold)
     matching,
-    # 9-19: dedup CHANGED (q_dedup_minhash_lsh + q_dedup_simhash_banded
+    # 11-21: dedup CHANGED (q_dedup_minhash_lsh + q_dedup_simhash_banded
     # are stage_df-migrated; the r11 tail re-verifies)
     dedup,
-    # 20-23: the curation_full dependency fold (imports dedup,
+    # 22-24: the curation_full dependency fold (imports dedup,
     # packing, quality; q_curation_pipeline is stage_df-migrated)
-    packing,
     quality,
     curation_full,
     # 24-28: q_dedup_semantic CHANGED (stage_df) + its clustering dep

@@ -47,6 +47,39 @@ def test_packing_conserves_docs_and_tokens(spark):
     assert got[1] == src["tok"]
 
 
+def test_greedy_pack_conserves_and_bounds(spark):
+    """The boundary-preserving packer (r14): conservation (every doc
+    and token in exactly one bin), the capacity contract (a bin over
+    CAPACITY tokens can only be a singleton oversize document -- no
+    multi-doc bin may overflow), the greedy tightness property (no
+    bin except the last of its shard could have accepted the FIRST
+    doc of the next bin -- otherwise the scan wasn't greedy), and
+    non-degeneracy (some bin actually holds >1 doc)."""
+    from discogs_xml_to_parquet_spark.queries.packing import CAPACITY
+
+    docs = load(spark, SF_ORACLE, "documents")
+    src = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("tok"),
+    ).first()
+    out = registry.QUERIES["q_pack_greedy"](spark, SF_ORACLE)
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == src["n"]
+    assert sum(r["sum_tokens"] for r in rows) == src["tok"]
+    overfull_multi = [
+        r for r in rows
+        if r["sum_tokens"] > CAPACITY and r["n_docs"] > 1
+    ]
+    assert not overfull_multi, overfull_multi
+    assert any(r["n_docs"] > 1 for r in rows)
+    # bin ids are contiguous 0..max per shard
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["bin_id"])
+    for shard, ids in by_shard.items():
+        assert sorted(ids) == list(range(len(ids))), shard
+
+
 def test_gopher_keep_iff_no_reasons(spark):
     """keep must be exactly 'no rule fired' -- and both sides of the
     filter must be non-empty at the test SF (vacuity guard)."""

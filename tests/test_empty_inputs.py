@@ -31,6 +31,7 @@ REPRESENTATIVE = [
     "q_kmeans_update",           # broadcast NLJ + posexplode + agg
     "q_bm25_search",             # scalar-stats crossJoin + heap top-N
     "q_pack_sequences",          # shard window cumsum
+    "q_pack_greedy",             # per-shard applyInPandas recurrence
     "q_entity_resolution",       # blocked pairs -> CC -> golden record
     # round-5 families
     "q_cdc_apply",               # key shuffle + rank window

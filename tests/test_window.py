@@ -126,8 +126,9 @@ def test_r14_window_contents():
     lead r15)."""
     win = list(registry.QUERIES)[:WINDOW_SIZE]
     for must in (
-        # rank 0 + its changed dep
+        # rank 0 + its changed dep; packing's rank-0 arrival
         "q_snapshot_read", "q_lakehouse_read_path",
+        "q_pack_greedy",
         # matching: CHANGED member + riding siblings
         "q_entity_resolution", "q_fuzzy_levenshtein", "q_fuzzy_blocked",
         "q_fuzzy_blocked_sampled", "q_funnel_conversion",
@@ -154,14 +155,15 @@ def test_r14_window_contents():
         "q_text_token_regex", "q_text_fingerprint",
         "q_text_rolling_winnow", "q_text_langid_ngram",
         "q_window_topk_per_group", "q_window_running",
-        "q_window_range_frame", "q_window_rank_dense",
+        "q_window_range_frame",
     ):
         assert must in win, must
     assert win[0] == "q_lakehouse_read_path"  # snapshot_read's dep
     assert win[1] == "q_snapshot_read"        # the rank-0 arrival
-    assert win[-1] == "q_window_rank_dense"   # windows closes at 50
+    assert win[-1] == "q_window_range_frame"  # cut inside windows
     for out in (
         # r9-green past the cut: first in line for r15
+        "q_window_rank_dense",
         "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
         "q_map_funcs", "q_json_struct",
         "q1_pricing_summary", "q_filter_project", "q_string_funcs",
