@@ -184,7 +184,7 @@ def _doc_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _ranked_tokens(sets: DataFrame) -> DataFrame:
+def _ranked_tokens(sets: DataFrame, bc_dict=F.broadcast) -> DataFrame:
     """Every (set, token) row with the token's interned 8-byte id and
     its per-set rarity position: tokens rank under the global rarity
     order (set frequency, then token) via a row_number window
@@ -203,7 +203,19 @@ def _ranked_tokens(sets: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("tid", F.monotonically_increasing_id())
     )
-    return stok.join(tok_dict, "tok").withColumn(
+    # bc_dict wraps the DICTIONARY side explicitly (r14 optimization
+    # round, guide 3.1): a localCheckpoint'd frame surfaces NO size
+    # stats (LogicalRDD defaults to spark.sql.defaultSizeInBytes), so
+    # the planner treated the few-hundred-row dictionary as
+    # unbroadcastable and instead broadcast the OTHER side -- the full
+    # exploded (sid, n, tok) stream, 112 MiB / 854k rows at sf1
+    # (measured from the final AQE plan: BroadcastHashJoin BuildLeft
+    # over stok). The caller gates bc_dict on measured corpus stats
+    # the same way as the verification broadcasts (setsim_pairs: the
+    # distinct-token count is bounded by total_toks, already measured
+    # there); the default suits bench-scale callers. Measured: the
+    # join stage 1.53 s -> map-side at sf1.
+    return stok.join(bc_dict(tok_dict), "tok").withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy("sid").orderBy("df", "tok")
@@ -322,24 +334,35 @@ def setsim_pairs(docs: DataFrame,
     # interned verification arrays (r14: LONGS -- total_toks * 16 B,
     # the quantity the row cap cannot see) are gated separately, each
     # on its own count and its own bytes.
-    set_stats = sets.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long")
-        .alias("total_toks"),
-    ).first()
+    # ONE action for both stat frames (r14 optimization round): the
+    # set-side and member-side aggregates are each a map-only pass
+    # over a cached staged frame, but as separate .first() calls they
+    # were two driver round-trips -- a broadcast-NL cross join of the
+    # two 1-row aggregates collects both in one job (measured 1.17 s
+    # -> 0.80 s at sf1; pure scheduling latency, same bytes scanned).
+    set_stats = (
+        sets.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+            .alias("total_toks"),
+        )
+        .crossJoin(
+            doc_sets.agg(
+                F.count(F.lit(1)).alias("doc_rows"),
+                F.coalesce(
+                    F.sum(F.length(F.col("doc_id").cast("string"))),
+                    F.lit(0).cast("long"),
+                ).alias("id_bytes"),
+            )
+        )
+        .first()
+    )
     n_sets = set_stats["rows"]
     slim_bytes = n_sets * _SETS_ROW_OVERHEAD
     iset_bytes = (set_stats["total_toks"] * _ITOK_BYTES
                   + n_sets * _ISET_ROW_OVERHEAD)
-    mem_stats = doc_sets.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.coalesce(
-            F.sum(F.length(F.col("doc_id").cast("string"))),
-            F.lit(0).cast("long"),
-        ).alias("id_bytes"),
-    ).first()
-    n_docs = mem_stats["rows"]
-    members_bytes = (mem_stats["id_bytes"]
+    n_docs = set_stats["doc_rows"]
+    members_bytes = (set_stats["id_bytes"]
                      + n_docs * _MEMBERS_ROW_OVERHEAD)
     bc_slim = F.broadcast if (
         n_sets <= broadcast_max_rows
@@ -363,7 +386,17 @@ def setsim_pairs(docs: DataFrame,
     # array rebuild below, all read it. The window's exchange left the
     # staged partitions keyed by sid, so the groupBy(sid) that
     # re-assembles each set's SORTED LONG array adds no shuffle.
-    ranked = stage_df(_ranked_tokens(sets))
+    # dictionary-broadcast gate (same discipline as bc_slim/bc_iset):
+    # the distinct-token count is bounded above by total_toks (sum of
+    # distinct-set sizes), already measured off the staged frame; 48 B
+    # ~= one short token string + df/tid longs + slot overhead. Under
+    # the caps the dictionary ships once per executor and the tid join
+    # is map-side; over them it shuffles on tok and AQE picks.
+    bc_dict = F.broadcast if (
+        set_stats["total_toks"] <= broadcast_max_rows
+        and set_stats["total_toks"] * 48 <= broadcast_max_bytes
+    ) else (lambda df: df)
+    ranked = stage_df(_ranked_tokens(sets, bc_dict=bc_dict))
     prefix = _prefix_filter(ranked)
     isets = (
         ranked.groupBy("sid")
