@@ -43,7 +43,6 @@ harness isolation (the lane mutates its table), same as merge.py.
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 from pathlib import Path
@@ -54,6 +53,7 @@ from pyspark.sql import functions as F
 from discogs_xml_to_parquet_spark.functions.exact import dsum, rev_sql
 from discogs_xml_to_parquet_spark.queries.merge import (
     _inventory,
+    _link_or_copy,
     staged_partitioned_orders,
 )
 from discogs_xml_to_parquet_spark.registry import query
@@ -63,16 +63,9 @@ _CUTOFF = "1998-07-15"          # retain o_orderdate >= this
 _CUTOFF_MONTH = "1998-07"       # the partition the cutoff cuts through
 
 
-def _link_or_copy(src: str, dst: str) -> None:
-    """Hardlink when possible, byte-copy across filesystems (ADVICE
-    r12: os.link raises EXDEV if SPARK_LOCAL_DIRS/tmpdir overrides
-    land the staged base and the scratch on different mounts; both
-    sit under tempfile.gettempdir() today, so the link path is the
-    one actually taken)."""
-    try:
-        os.link(src, dst)
-    except OSError:
-        shutil.copy2(src, dst)
+# _link_or_copy moved to merge.py (r14 optimization round): the MERGE
+# lane adopted the same hardlink-clone isolation, and merge.py is
+# already this module's import source for the shared inventory helper.
 
 
 def _inventory_young(table: str) -> dict[str, tuple[int, str]]:
