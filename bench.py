@@ -491,6 +491,11 @@ def _run_sf10_lane(spark, sf_dir: str, sf: str,
     over_budget = False
     lane_t0 = time.perf_counter()
     for _ in range(passes):
+        # cold-cache passes (r15, VERDICT r14 item 4): the persisted
+        # lanes (PageRank's edge-list cache) otherwise measure warm
+        # cache from pass 2 on -- and the decade RATIOS mix a cold
+        # cell against a warm one. Every pass now pays the build.
+        spark.catalog.clearCache()
         pass_spin.append(_spin_calib())
         # samples-per-list snapshot: a budget break mid-pass discards
         # the partial pass's timings so the medians only ever mix
@@ -592,6 +597,16 @@ def main() -> None:
     pass_cpu: list[float] = []
     pass_spin: list[float] = []
     for _ in range(N_RUNS):
+        # COLD-CACHE medians (r15, VERDICT r14 item 4 -- a deliberate,
+        # disclosed measurement fix): q_pagerank_bipartite persists its
+        # edge list, and CacheManager dedupes by canonicalized plan, so
+        # passes 2-5 previously hit a warm cache built in pass 1 -- the
+        # headline median measured cache reuse, not what a fresh job
+        # pays. Clearing between passes makes every pass pay the build;
+        # the r14 warm-median for pagerank was 3.5 s, so a higher r15
+        # number for that one lane is the honest cold cost, not a
+        # regression (OPTIMIZATION_r15.md keeps both numbers).
+        spark.catalog.clearCache()
         pass_spin.append(_spin_calib())
         pw0, pc0 = time.perf_counter(), _cpu_busy()
         for name in names:
@@ -616,7 +631,19 @@ def main() -> None:
         round(c / (w * os.cpu_count()), 3)
         for c, w in zip(pass_cpu, pass_wall)
     ]
+    # the SESSION's core count, read back from the master the session
+    # actually runs with (r15, VERDICT r14 item 2): the harness honors
+    # $SPARK_GRAFT_CPUS (session.py builds local[$SPARK_GRAFT_CPUS]),
+    # but the JSON line never SAID so, and the driver's scaling
+    # heuristic had nothing to check the 8-core run against -- it
+    # flagged `suspect_cpus_ignored` against a harness that complies.
+    master = spark.sparkContext.master
+    try:
+        session_cpus = int(master.split("[", 1)[1].rstrip("]"))
+    except (IndexError, ValueError):  # local[*] or a cluster master
+        session_cpus = os.cpu_count()
     cpu_attr = {
+        "cpus": session_cpus,
         "pass_wall": pass_wall,
         "pass_cpu": pass_cpu,
         "eff_cores": [round(c / w, 2) for c, w in zip(pass_cpu, pass_wall)],
@@ -809,6 +836,8 @@ def main() -> None:
         sf1_pass_cpu: list[float] = []
         sf1_pass_spin: list[float] = []
         for _ in range(3):
+            # cold-cache passes, same rule as the headline loop (r15)
+            spark.catalog.clearCache()
             sf1_pass_spin.append(_spin_calib())
             pw0, pc0 = time.perf_counter(), _cpu_busy()
             for name in SF1_QUERIES:
@@ -1007,6 +1036,10 @@ def compact_line(full: dict) -> str:
         # rounds -- proportional inflation alongside uniform query
         # slowdown = host clock throttle, not a code regression
         "spin_sec_median": _med(full["cpu_attribution"]["spin_sec"], 3),
+        # the session master's core count (local[N]) next to the OS
+        # count, so the driver's low-core scaling run can verify the
+        # harness honored $SPARK_GRAFT_CPUS from the artifact alone
+        "cpus": full["cpu_attribution"].get("cpus"),
         "os_cpus": full["cpu_attribution"]["os_cpus"],
         # contamination-filtered headline (passes within spin +
         # system-busy tolerance of the cleanest -- see

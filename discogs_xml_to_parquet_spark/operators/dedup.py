@@ -146,7 +146,22 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, band_col: str) -> DataFrame:
         F.col(id_col).alias("_id"),
         F.posexplode_outer(F.col(band_col)).alias("_band_no", "_band_key"),
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    # SHUFFLE_HASH, explicitly (r15, VERDICT r14 item 3; guide 3.1):
+    # the self-join's static size estimate descends through the
+    # Generate (whose stats forward the child's sizeInBytes, blind to
+    # the bands-per-doc fan-out), so the planner broadcasts an
+    # O(corpus) build side -- the same failure class the r14 fuzzy fix
+    # removed (matching.py). Hinted, both sides shuffle on the band
+    # keys; the subtrees are identical, so AQE stage reuse pays ONE
+    # exchange and the build-side recompute disappears with it. HASH,
+    # not MERGE, for THIS join (measured r15): the band keys are
+    # 32-char md5 strings, and sorting them twice cost more than the
+    # per-partition hash build -- shuffle_merge regressed the curation
+    # capstone 3.6 -> 4.7 s at sf0.1 while shuffle_hash holds it flat
+    # and takes q_dedup_minhash_lsh 1.88 -> 1.67 s; AQE's skew-join
+    # splitting covers SHJ too, and exact-dup pre-collapse (the
+    # pipeline ordering rule) bounds the band-bucket pileups.
+    a, b = exploded.alias("a"), exploded.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,

@@ -32,6 +32,8 @@ Scale rules encoded here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,6 +82,19 @@ def _min_label_from_sym(sym: DataFrame, max_iter: int) -> DataFrame:
         )
     )
 
+    # ONE job per round where two ran before (r15, VERDICT r14 item
+    # 7): the round's materialization and its convergence probe fuse
+    # -- `persist()` + the changed-count action builds the cache AND
+    # returns the count in a single scheduled job, where
+    # localCheckpoint + count paid a second driver round-trip per
+    # round (pure scheduling latency on the small, shallow graphs
+    # dedup produces). Superseded rounds unpersist immediately, so at
+    # most two label caches are ever live. The RELIABLE-checkpoint
+    # production mode (SPARK_GRAFT_CHECKPOINT_DIR, VERDICT r12 item
+    # 5) keeps the stage_df path: there the per-round durability is
+    # the point, and a cache is not a checkpoint.
+    reliable = bool(os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+    prev_cache = None
     changed = -1  # max_iter <= 0 must hit the non-convergence raise
     for _ in range(max_iter):
         neigh_min = (
@@ -87,8 +102,8 @@ def _min_label_from_sym(sym: DataFrame, max_iter: int) -> DataFrame:
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
-        # carry the previous label through the checkpoint so the
-        # convergence probe below is a scan of checkpointed data, not
+        # carry the previous label through the materialization so the
+        # convergence probe is a scan of materialized data, not
         # another join+shuffle job per round
         new_labels = (
             labels.join(neigh_min, labels["id"] == neigh_min["a"], "left")
@@ -100,10 +115,17 @@ def _min_label_from_sym(sym: DataFrame, max_iter: int) -> DataFrame:
                 F.col("comp").alias("old_comp"),
             )
         )
-        new_labels = stage_df(new_labels)  # cut lineage every round
+        if reliable:
+            new_labels = stage_df(new_labels)  # cut lineage every round
+        else:
+            new_labels = new_labels.persist()
         changed = new_labels.filter(
             F.col("comp") != F.col("old_comp")
-        ).count()
+        ).count()  # on the persist path this one job also fills the cache
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        if not reliable:
+            prev_cache = new_labels
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break

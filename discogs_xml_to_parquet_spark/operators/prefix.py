@@ -79,9 +79,23 @@ def _leading(df: DataFrame, order_cols: list[Column]) -> tuple[str, bool]:
     return name, " DESC" in inner
 
 
+def quantile_bounds(
+    df: DataFrame, name: str, parts: int = _PARTS
+) -> list[float]:
+    """The boundary sketch _bucketed uses (one approxQuantile driver
+    action at coarse precision), exposed (r15, VERDICT r14 item 8) so
+    a caller running SEVERAL selection passes can pay the sketch once
+    and derive the later passes' boundaries arithmetically -- boundary
+    quality affects load BALANCE only, never correctness (any sorted
+    double list yields a monotone pure `_pid`), so a derived boundary
+    set is exactly as correct as a measured one."""
+    probs = [i / parts for i in range(1, parts)]
+    return df.approxQuantile(name, probs, max(0.02, 1.0 / (4 * parts)))
+
+
 def _bucketed(
     df: DataFrame, order_cols: list[Column], parts: int,
-    stage: bool = True
+    stage: bool = True, bounds: list[float] | None = None
 ) -> DataFrame:
     """df + `_pid` = quantile bucket of the leading order key,
     monotone along the order, pure per row (branch-safe -- see module
@@ -101,12 +115,17 @@ def _bucketed(
     aggregate upstream in three plan branches), so the default stands
     everywhere. The boundary sketch runs at coarse
     precision (0.5 s at relErr 0.02 vs 2.1 s at high precision --
-    precision only buys balance, never correctness)."""
+    precision only buys balance, never correctness).
+
+    `bounds` (r15): a precomputed sorted boundary list skips the
+    sketch action entirely -- for callers that already hold one (or
+    can derive one) for this domain. Purely a balance input, same as
+    the sketch it replaces."""
     if stage:
         df = df.localCheckpoint()
     name, desc = _leading(df, order_cols)
-    probs = [i / parts for i in range(1, parts)]
-    bounds = df.approxQuantile(name, probs, max(0.02, 1.0 / (4 * parts)))
+    if bounds is None:
+        bounds = quantile_bounds(df, name, parts)
     if not bounds:  # empty input: one bucket
         return df.withColumn("_pid", F.lit(0))
     arr = F.array(*[F.lit(float(b)) for b in bounds])
@@ -227,6 +246,7 @@ def value_at_ranks(
     group_cols: list[str] | tuple[str, ...] = (),
     parts: int = _PARTS,
     stage: bool = True,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Distributed SELECTION: per group, the value of `order_col` at
     one or more target ranks (1-based, in `weight` units; value at
@@ -253,7 +273,7 @@ def value_at_ranks(
     rank expressions (median, percentile_cont brackets) are bounded by
     construction."""
     gcols = list(group_cols)
-    r = _bucketed(df, [F.col(order_col).asc()], parts, stage)
+    r = _bucketed(df, [F.col(order_col).asc()], parts, stage, bounds)
     bc = r.groupBy(*gcols, "_pid").agg(F.sum(weight).alias("_bn"))
     w_bc = Window.partitionBy(*gcols).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1

@@ -40,7 +40,8 @@ _ZSCORE = (
 
 
 def _median_of(
-    counts: DataFrame, group: str, value: str, stage: bool = True
+    counts: DataFrame, group: str, value: str, stage: bool = True,
+    bounds: list[float] | None = None
 ) -> DataFrame:
     """Lower median per group from a (group, value, cnt) table:
     value at rank ceil(n/2) in value order. Returns (group, med).
@@ -55,11 +56,13 @@ def _median_of(
 
     Pass stage=False when `counts` is already staged (checkpointed)
     by the caller -- value_at_ranks consumes it in three plan
-    branches, and re-staging a checkpoint just copies it."""
+    branches, and re-staging a checkpoint just copies it. Pass
+    `bounds` (a sorted boundary list) to skip the operator's own
+    approxQuantile sketch -- balance-only, see quantile_bounds."""
     sel = P.value_at_ranks(
         counts, value, F.col("cnt"),
         {"med": F.floor((F.col("n_g") + 1) / 2)},
-        group_cols=[group], stage=stage,
+        group_cols=[group], stage=stage, bounds=bounds,
     )
     return sel.select(group, "med")
 
@@ -116,14 +119,29 @@ def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = li.groupBy(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
     ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
-    med1 = _median_of(vc, "g", "v", stage=False).localCheckpoint()
+    # ONE boundary sketch serves BOTH selection passes (r15, VERDICT
+    # r14 item 8): the deviation domain |v - med| doesn't need its own
+    # approxQuantile action -- its bucket boundaries derive
+    # arithmetically from the price sketch (|b - sketch-median| per
+    # boundary, sorted). Boundary quality is balance-only, never
+    # correctness (any sorted list gives a monotone pure _pid, see
+    # operators/prefix.py), and the groups share one price
+    # distribution here, so the derived set splits the deviation
+    # domain about as evenly as a measured one. One fewer driver
+    # action + domain pass per run.
+    bounds1 = P.quantile_bounds(vc, "v")
+    med1 = _median_of(
+        vc, "g", "v", stage=False, bounds=bounds1).localCheckpoint()
+    med_star = bounds1[len(bounds1) // 2] if bounds1 else 0.0
+    dev_bounds = sorted(abs(b - med_star) for b in bounds1)
     dev = (
         vc.join(F.broadcast(med1), "g")
         .select("g", F.abs(F.col("v") - F.col("med")).alias("v"), "cnt")
         .groupBy("g", "v")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    med2 = _median_of(dev, "g", "v").withColumnRenamed("med", "mad")
+    med2 = _median_of(
+        dev, "g", "v", bounds=dev_bounds).withColumnRenamed("med", "mad")
     return (
         med1.join(med2, "g")
         .select(

@@ -113,13 +113,22 @@ def blocked_pairs_df(c: DataFrame, keep_cap: int = 200,
     EXECUTION (r14, optimization round): the purged lane's df cap is
     a map-side-combining groupBy of the over-cap band keys plus a
     broadcast LEFT ANTI (the exploded frame never shuffles or sorts
-    for the cap -- COUNT(*) OVER paid both, 34.9 -> 22.1 s at sf1);
-    the sampled lane keeps the row_number window its per-row rank
-    genuinely needs. The self-join carries an explicit SHUFFLE_MERGE
-    hint on both lanes: post-Generate size estimates undercount by
-    the 42x fan-out, so the planner otherwise broadcasts an
-    O(corpus) build side (multi-GB at sf1, OOM at 100 TB); hinted,
-    AQE stage reuse pays one band-key exchange for both sides."""
+    for the cap -- COUNT(*) OVER paid both, 34.9 -> 22.1 s at sf1).
+    The self-join carries an explicit SHUFFLE_MERGE hint on both
+    lanes: post-Generate size estimates undercount by the 42x
+    fan-out, so the planner otherwise broadcasts an O(corpus) build
+    side (multi-GB at sf1, OOM at 100 TB); hinted, AQE stage reuse
+    pays one band-key exchange for both sides.
+
+    EXECUTION (r15, optimization round 2): the sampled lane's
+    row_number window runs ONLY over the over-cap buckets' rows (a
+    broadcast semi-join against the same over-cap key set the purged
+    lane builds); under-cap rows union in unranked -- their ranks are
+    all <= cap by definition, so the kept row set is identical to
+    ranking the whole frame, while the window's exchange + sort
+    shrinks from the full exploded frame to the degenerate buckets
+    only (near-zero at sf1/sf10 density, the old full sort in the
+    worst case)."""
     c = c.select("c_custkey", "c_name")
     ln = F.length("c_name")
     # band families under disjoint band_no ranges (order inside the
@@ -173,37 +182,68 @@ def blocked_pairs_df(c: DataFrame, keep_cap: int = 200,
         )
         .withColumn("mx_ln", F.col("ln") + F.col("dl"))
     )
+    # Over-cap bucket KEYS, shared by both lanes (r14 purged lane,
+    # r15 sampled lane; guide 2.4): a map-side-combining groupBy finds
+    # the few degenerate keys whose bucket exceeds the cap -- the
+    # exploded frame never shuffles or sorts to learn bucket sizes.
+    over_cap = (
+        ex.groupBy("mx_ln", "band_no", "band_val")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > keep_cap)
+        .select("mx_ln", "band_no", "band_val")
+    )
     if sampled:
-        # ROW_NUMBER over the portable hash order: under the cap this
-        # keeps every member (identical to purging); over it, a
-        # deterministic sample both engines reproduce. The rank is
-        # genuinely per-row, so the window (exchange + sort over the
-        # exploded frame) is the honest cost of the sampling contract.
+        # r15 (VERDICT r14 item 1, guide 2.4): the rank is only NEEDED
+        # where it can exceed the cap. The r13-r14 spelling ranked the
+        # WHOLE exploded frame (exchange + sort: 63M rows at sf1, 630M
+        # at sf10) to keep every under-cap row it ranked -- rows whose
+        # rank the <= cap filter can never reject. Split on the
+        # over-cap key set instead: under-cap rows pass through a
+        # broadcast LEFT ANTI unranked (all kept), and ONLY the
+        # over-cap buckets' rows (broadcast LEFT SEMI) pay the
+        # row_number window. Row set is provably identical to ranking
+        # everything: within a bucket the window sees exactly the same
+        # members in the same md5 order, and an under-cap bucket's
+        # ranks are all <= cap by definition. The oracle still spells
+        # the one global ROW_NUMBER window and hash-matches (sf0.01
+        # driver gate + --corpus 100 cell-exact). At sf1/sf10 density
+        # almost no bucket is over-cap, so the window input collapses
+        # to ~nothing; at sf100 density (every digit band over-cap) it
+        # degrades to the old full sort, never worse. The two
+        # broadcasts share one build (ReuseExchange: identical
+        # canonicalized over_cap subtrees).
         w = Window.partitionBy("mx_ln", "band_no", "band_val")
         rank = F.row_number().over(
             w.orderBy(F.md5(F.col("c_custkey").cast("string"))))
-        kept = ex.withColumn("df", rank).filter(F.col("df") <= keep_cap)
+        under = ex.join(
+            F.broadcast(over_cap),
+            ["mx_ln", "band_no", "band_val"],
+            "left_anti",
+        )
+        over = (
+            ex.join(
+                F.broadcast(over_cap),
+                ["mx_ln", "band_no", "band_val"],
+                "left_semi",
+            )
+            .withColumn("df", rank)
+            .filter(F.col("df") <= keep_cap)
+            .drop("df")
+        )
+        kept = under.unionByName(over)
     else:
         # r14 (guide 2.4): the purged lane only needs MEMBERSHIP of an
         # over-cap bucket, not a per-row rank -- COUNT(*) OVER (the
         # r6-r13 spelling) paid a full exchange + sort of the exploded
-        # frame (63M rows at sf1, 630M at sf10) to attach a count that
-        # was immediately reduced to one boolean. A map-side-combining
-        # groupBy finds the few degenerate over-cap keys, and a
-        # broadcast LEFT ANTI drops their rows without the exploded
-        # frame ever shuffling for the cap. Row set is identical
-        # (count <= cap keeps whole buckets; anti against count > cap
-        # keys keeps the same whole buckets); the oracle still spells
-        # the COUNT(*) window and hash-matches. Measured at sf1:
-        # 34.9 -> 22.1 s; at sf10 density (every digit band over-cap)
-        # the anti empties the stream map-side instead of sorting the
-        # 630M-row explosion first.
-        over_cap = (
-            ex.groupBy("mx_ln", "band_no", "band_val")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .filter(F.col("bucket_n") > keep_cap)
-            .select("mx_ln", "band_no", "band_val")
-        )
+        # frame to attach a count that was immediately reduced to one
+        # boolean. A broadcast LEFT ANTI drops the over-cap buckets'
+        # rows without the exploded frame ever shuffling for the cap.
+        # Row set is identical (count <= cap keeps whole buckets; anti
+        # against count > cap keys keeps the same whole buckets); the
+        # oracle still spells the COUNT(*) window and hash-matches.
+        # Measured at sf1: 34.9 -> 22.1 s; at sf10 density (every
+        # digit band over-cap) the anti empties the stream map-side
+        # instead of sorting the 630M-row explosion first.
         kept = ex.join(
             F.broadcast(over_cap),
             ["mx_ln", "band_no", "band_val"],

@@ -184,7 +184,22 @@ def _doc_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _ranked_tokens(sets: DataFrame, bc_dict=F.broadcast) -> DataFrame:
+def _token_dict(sets: DataFrame) -> DataFrame:
+    """The global token dictionary: per-token set frequency plus an
+    interned 8-byte id (monotonically_increasing_id, to be frozen by
+    the caller's stage_df). Factored out of _ranked_tokens (r15) so
+    setsim_pairs can materialize it CONCURRENTLY with the broadcast-
+    gate stats job -- the dictionary's content is gate-independent."""
+    return (
+        sets.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("tid", F.monotonically_increasing_id())
+    )
+
+
+def _ranked_tokens(sets: DataFrame, bc_dict=lambda df: df,
+                   tok_dict: DataFrame | None = None) -> DataFrame:
     """Every (set, token) row with the token's interned 8-byte id and
     its per-set rarity position: tokens rank under the global rarity
     order (set frequency, then token) via a row_number window
@@ -198,11 +213,8 @@ def _ranked_tokens(sets: DataFrame, bc_dict=F.broadcast) -> DataFrame:
     and verification arrays are all longs; the token STRING dies
     here."""
     stok = sets.select("sid", "n", F.explode("toks").alias("tok"))
-    tok_dict = stage_df(
-        stok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("tid", F.monotonically_increasing_id())
-    )
+    if tok_dict is None:
+        tok_dict = stage_df(_token_dict(sets))
     # bc_dict wraps the DICTIONARY side explicitly (r14 optimization
     # round, guide 3.1): a localCheckpoint'd frame surfaces NO size
     # stats (LogicalRDD defaults to spark.sql.defaultSizeInBytes), so
@@ -213,8 +225,10 @@ def _ranked_tokens(sets: DataFrame, bc_dict=F.broadcast) -> DataFrame:
     # over stok). The caller gates bc_dict on measured corpus stats
     # the same way as the verification broadcasts (setsim_pairs: the
     # distinct-token count is bounded by total_toks, already measured
-    # there); the default suits bench-scale callers. Measured: the
-    # join stage 1.53 s -> map-side at sf1.
+    # there). The DEFAULT is the identity, not F.broadcast (ADVICE
+    # r14): an unconditional broadcast of a corpus-wide dictionary is
+    # the exact failure class the gates exist for, so every caller
+    # must opt in explicitly with a measured gate.
     return stok.join(bc_dict(tok_dict), "tok").withColumn(
         "pos",
         F.row_number().over(
@@ -340,23 +354,36 @@ def setsim_pairs(docs: DataFrame,
     # were two driver round-trips -- a broadcast-NL cross join of the
     # two 1-row aggregates collects both in one job (measured 1.17 s
     # -> 0.80 s at sf1; pure scheduling latency, same bytes scanned).
-    set_stats = (
-        sets.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.coalesce(F.sum("n"), F.lit(0)).cast("long")
-            .alias("total_toks"),
-        )
-        .crossJoin(
-            doc_sets.agg(
-                F.count(F.lit(1)).alias("doc_rows"),
-                F.coalesce(
-                    F.sum(F.length(F.col("doc_id").cast("string"))),
-                    F.lit(0).cast("long"),
-                ).alias("id_bytes"),
+    # OVERLAPPED with the token-dictionary staging (r15, VERDICT r14
+    # item 6; guide 2.6 "overlap independent jobs"): the dictionary's
+    # CONTENT is gate-independent (only whether it broadcasts is
+    # gated), so its groupBy + checkpoint runs on a second driver
+    # thread while this thread collects the stats row -- two
+    # independent jobs back-filling each other's stragglers instead
+    # of two serial rungs of the staging ladder.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        tok_dict_fut = pool.submit(
+            lambda: stage_df(_token_dict(sets)))
+        set_stats = (
+            sets.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+                .alias("total_toks"),
             )
+            .crossJoin(
+                doc_sets.agg(
+                    F.count(F.lit(1)).alias("doc_rows"),
+                    F.coalesce(
+                        F.sum(F.length(F.col("doc_id").cast("string"))),
+                        F.lit(0).cast("long"),
+                    ).alias("id_bytes"),
+                )
+            )
+            .first()
         )
-        .first()
-    )
+        tok_dict = tok_dict_fut.result()
     n_sets = set_stats["rows"]
     slim_bytes = n_sets * _SETS_ROW_OVERHEAD
     iset_bytes = (set_stats["total_toks"] * _ITOK_BYTES
@@ -373,19 +400,6 @@ def setsim_pairs(docs: DataFrame,
     bc_mem = F.broadcast if (
         n_docs <= broadcast_max_rows
         and members_bytes <= broadcast_max_bytes) else (lambda df: df)
-    # membership on the surrogate key: one gated set-table join at
-    # staging, then the three expansion joins all probe by long
-    members = (
-        doc_sets.join(bc_slim(sets.select("set_id", "sid")), "set_id")
-        .select("sid", "doc_id")
-        .transform(stage_df)
-    )
-    # 2. every (set, token) row with its interned tid and rarity
-    # position (see _ranked_tokens), staged ONCE: the prefix filter
-    # (both sides of the candidate self-join), and the verification-
-    # array rebuild below, all read it. The window's exchange left the
-    # staged partitions keyed by sid, so the groupBy(sid) that
-    # re-assembles each set's SORTED LONG array adds no shuffle.
     # dictionary-broadcast gate (same discipline as bc_slim/bc_iset):
     # the distinct-token count is bounded above by total_toks (sum of
     # distinct-set sizes), already measured off the staged frame; 48 B
@@ -396,16 +410,43 @@ def setsim_pairs(docs: DataFrame,
         set_stats["total_toks"] <= broadcast_max_rows
         and set_stats["total_toks"] * 48 <= broadcast_max_bytes
     ) else (lambda df: df)
-    ranked = stage_df(_ranked_tokens(sets, bc_dict=bc_dict))
-    prefix = _prefix_filter(ranked)
-    isets = (
-        ranked.groupBy("sid")
-        .agg(
-            F.sort_array(F.collect_list("tid")).alias("itoks"),
-            F.max("n").alias("n"),
+
+    # membership on the surrogate key (one gated set-table join at
+    # staging, then the three expansion joins all probe by long) --
+    # OVERLAPPED (r15, guide 2.6) with the ranked/isets chain below:
+    # members and ranked share no dependency once the gates are known,
+    # so the membership join+checkpoint runs on a second driver thread
+    # while this thread stages the ranked frame and the verification
+    # arrays. Two jobs in flight: enough to fill each other's task
+    # tails, not enough to fight for executors.
+    def _stage_members() -> DataFrame:
+        return (
+            doc_sets.join(bc_slim(sets.select("set_id", "sid")), "set_id")
+            .select("sid", "doc_id")
+            .transform(stage_df)
         )
-        .transform(stage_df)
-    )
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        members_fut = pool.submit(_stage_members)
+        # 2. every (set, token) row with its interned tid and rarity
+        # position (see _ranked_tokens), staged ONCE: the prefix
+        # filter (both sides of the candidate self-join), and the
+        # verification-array rebuild below, all read it. The window's
+        # exchange left the staged partitions keyed by sid, so the
+        # groupBy(sid) that re-assembles each set's SORTED LONG array
+        # adds no shuffle.
+        ranked = stage_df(
+            _ranked_tokens(sets, bc_dict=bc_dict, tok_dict=tok_dict))
+        isets = (
+            ranked.groupBy("sid")
+            .agg(
+                F.sort_array(F.collect_list("tid")).alias("itoks"),
+                F.max("n").alias("n"),
+            )
+            .transform(stage_df)
+        )
+        members = members_fut.result()
+    prefix = _prefix_filter(ranked)
     a, b = prefix.alias("a"), prefix.alias("b")
     # LENGTH filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
     # POSITIONAL filter: overlap <= 1 + min(|A|-pos_a, |B|-pos_b)
