@@ -1036,10 +1036,6 @@ def compact_line(full: dict) -> str:
         # rounds -- proportional inflation alongside uniform query
         # slowdown = host clock throttle, not a code regression
         "spin_sec_median": _med(full["cpu_attribution"]["spin_sec"], 3),
-        # the session master's core count (local[N]) next to the OS
-        # count, so the driver's low-core scaling run can verify the
-        # harness honored $SPARK_GRAFT_CPUS from the artifact alone
-        "cpus": full["cpu_attribution"].get("cpus"),
         "os_cpus": full["cpu_attribution"]["os_cpus"],
         # contamination-filtered headline (passes within spin +
         # system-busy tolerance of the cleanest -- see
@@ -1066,6 +1062,13 @@ def compact_line(full: dict) -> str:
         },
         "detail": "BENCH_DETAIL.json",
     }
+    # the session master's core count (local[N]) next to os_cpus
+    # (r15, VERDICT r14 item 2): the harness honors $SPARK_GRAFT_CPUS
+    # (session.py), but the line never SAID so, and the driver's
+    # scaling heuristic had nothing to check the 8-core run against.
+    # Omitted when absent -- even a null costs line budget.
+    if full["cpu_attribution"].get("cpus") is not None:
+        compact["cpus"] = full["cpu_attribution"]["cpus"]
     # second-decade curve (per-query 100x/10x ratios next to the
     # 10x/1x ones above; "recorded" marks an embedded prior run of
     # record rather than a fresh in-process measurement). Key omitted
@@ -1125,6 +1128,8 @@ def compact_line(full: dict) -> str:
             "sf": full["sf"],
             "detail": "BENCH_DETAIL.json",
         }
+        if full["cpu_attribution"].get("cpus") is not None:
+            compact["cpus"] = full["cpu_attribution"]["cpus"]
         line = dumps()
     assert len(line) <= _LINE_BUDGET, len(line)  # fail loudly, never truncate
     return line

@@ -21,7 +21,7 @@ def _full(n_queries: int, n_sf1: int = 12, name_len: int = 16) -> dict:
         "n": 5,
         "sf": "0.1",
         "cpu_attribution": {
-            "eff_cores": [6.9, 7.1, 5.2], "os_cpus": 32,
+            "eff_cores": [6.9, 7.1, 5.2], "os_cpus": 32, "cpus": 32,
             "spin_sec": [0.112, 0.109, 0.115],
             "busy_frac": [0.21, 0.22, 0.19],
         },
